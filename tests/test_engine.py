@@ -1,0 +1,140 @@
+"""End-to-end engine tests: summary contract on the contact_details fixture.
+
+Expected values hand-computed per the reference's aggregation semantics
+(create_entity_aggregate_dq_summary.sql:37-79, OVERVIEW.md:200-202) — the same
+expectation style as the reference's dq_rules_expected_results.json."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from cloud_data_quality_spark.compiler.binding import compile_binding
+from cloud_data_quality_spark.engine.runner import DqEngine
+
+TS = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+
+@pytest.fixture()
+def engine(spark, contact_registry, tmp_path):
+    return DqEngine(
+        spark, contact_registry,
+        summary_path=str(tmp_path / "dq_summary"),
+        failed_records_path=str(tmp_path / "dq_failed_records"),
+    )
+
+
+def rows_by_rule(summary_rows):
+    return {(r["rule_binding_id"], r["rule_id"]): r for r in summary_rows}
+
+
+def run_bindings(engine, ids, **kw):
+    result = engine.run(ids, execution_ts=TS, **kw)
+    return rows_by_rule([r.asDict() for r in result.summary.collect()])
+
+
+class TestSimpleRules:
+    def test_not_null_full_table(self, engine):
+        out = run_bindings(engine, ["T1_VALUE_NOT_NULL"], write_summary=False)
+        r = out[("T1_VALUE_NOT_NULL", "NOT_NULL_SIMPLE")]
+        assert r["rows_validated"] == 9
+        assert r["success_count"] == 7
+        assert r["failed_count"] == 2
+        assert r["null_count"] is None            # skip_null_count for NOT_NULL
+        assert r["null_percentage"] is None
+        assert r["success_percentage"] == pytest.approx(7 / 9)
+        assert r["complex_rule_validation_errors_count"] is None
+        assert r["complex_rule_validation_success_flag"] is None
+
+    def test_fused_multi_rule_binding(self, engine):
+        out = run_bindings(engine, ["T2_EMAIL"], write_summary=False)
+        expect = {
+            "NOT_NULL_SIMPLE":          (7, 6, 1, None),
+            "NOT_BLANK_RULE":           (7, 5, 1, 1),
+            "REGEX_VALID_EMAIL":        (7, 4, 2, 1),
+            "CUSTOM_SQL_LENGTH_LE_30":  (7, 5, 1, 1),
+            "CUSTOM_SQL_LENGTH_LE_LIMIT": (7, 5, 1, 1),
+        }
+        for rule_id, (rv, s, f, n) in expect.items():
+            r = out[("T2_EMAIL", rule_id)]
+            assert (r["rows_validated"], r["success_count"],
+                    r["failed_count"], r["null_count"]) == (rv, s, f, n), rule_id
+        r = out[("T2_EMAIL", "REGEX_VALID_EMAIL")]
+        assert r["dimension"] == "CONFORMANCE"
+        assert r["metadata_json_string"] == '{"brand": "one"}'
+
+
+class TestStatementRules:
+    def test_duplicate_detection(self, engine):
+        out = run_bindings(engine, ["T4_DUPLICATES"], write_summary=False)
+        r = out[("T4_DUPLICATES", "NO_DUPLICATES_IN_COLUMN_GROUPS")]
+        assert r["rows_validated"] == 9
+        assert r["complex_rule_validation_errors_count"] == 2
+        assert r["complex_rule_validation_success_flag"] is False
+        # record-level stats all NULL for CUSTOM_SQL_STATEMENT
+        for f in ("success_count", "failed_count", "null_count",
+                  "success_percentage", "failed_percentage", "null_percentage"):
+            assert r[f] is None, f
+        assert r["column_id"] is None
+        assert r["dimension"] == "DUPLICATION"
+
+
+class TestIncremental:
+    def test_watermark_progression_and_zero_row_semantics(self, engine):
+        # run 1: epoch watermark → all 7 email rows validated
+        out1 = run_bindings(engine, ["T9_INCREMENTAL"], incremental=True)
+        r1 = out1[("T9_INCREMENTAL", "NOT_NULL_SIMPLE")]
+        assert r1["rows_validated"] == 7
+        assert r1["success_count"] == 6
+
+        # run 2: watermark == run-1 execution_ts (2026) → no 2024 rows remain
+        ts2 = datetime(2026, 2, 1, tzinfo=timezone.utc)
+        result2 = engine.run(["T9_INCREMENTAL"], execution_ts=ts2, incremental=True)
+        r2 = rows_by_rule([r.asDict() for r in result2.summary.collect()])[
+            ("T9_INCREMENTAL", "NOT_NULL_SIMPLE")]
+        assert r2["rows_validated"] == 0
+        # rows_validated == 0 → every count/percentage NULL
+        for f in ("success_count", "failed_count", "null_count",
+                  "success_percentage", "failed_percentage", "null_percentage"):
+            assert r2[f] is None, f
+
+
+class TestFailedRecords:
+    def test_failed_records_lineage(self, engine, spark):
+        engine.run(["T2_EMAIL"], execution_ts=TS, write_failed_records=True,
+                   write_summary=False)
+        fr = spark.read.parquet(engine.failed_records_path)
+        rows = [r.asDict() for r in fr.collect()]
+        by_rule = {}
+        for r in rows:
+            by_rule.setdefault(r["_dq_validation_rule_id"], []).append(r)
+        # NULL validity is NOT a failure (failed_records_query.sql:108-109)
+        assert len(by_rule["NOT_NULL_SIMPLE"]) == 1      # the NULL row fails NOT_NULL
+        assert len(by_rule["REGEX_VALID_EMAIL"]) == 2    # '' and 'not-an-email'
+        assert len(by_rule["CUSTOM_SQL_LENGTH_LE_30"]) == 1
+        sample = by_rule["REGEX_VALID_EMAIL"][0]
+        assert sample["_dq_validation_rule_binding_id"] == "T2_EMAIL"
+        # reference columns echoed as JSON for joinback
+        assert '"ROW_ID"' in sample["_dq_validation_reference_columns_json"]
+
+
+class TestSummarySink:
+    def test_append_and_merge_dedupe(self, engine, spark):
+        engine.run(["T1_VALUE_NOT_NULL"], execution_ts=TS)
+        engine.run(["T1_VALUE_NOT_NULL"], execution_ts=TS)  # same dq_run_id
+        raw = spark.read.parquet(engine.summary_path)
+        assert raw.count() == 2
+        deduped = engine.read_summary(deduped=True)
+        assert deduped.count() == 1  # MERGE-on-dq_run_id emulation
+
+
+class TestCompileOnly:
+    def test_compiled_binding_shape(self, contact_registry):
+        b = compile_binding(contact_registry, "T2_EMAIL")
+        assert len(b.simple_rules) == 5
+        assert b.filter_sql == "contact_type = 'email'"
+        assert b.reference_columns == ("ROW_ID", "CONTACT_TYPE")
+        sqls = {r.rule_id: r.predicate_sql for r in b.simple_rules}
+        assert sqls["NOT_NULL_SIMPLE"] == "VALUE IS NOT NULL"
+        assert sqls["CUSTOM_SQL_LENGTH_LE_LIMIT"] == "LENGTH( VALUE ) <= 40"
