@@ -1,0 +1,277 @@
+"""Deduplication operators over a document table.
+
+CloudDQ's only dedup surface is the group-by-having self-join rule
+(configs/rules/complex-rules.yml:17-32). A web-scale training-data pipeline
+needs the full ladder; each level here is a DataFrame composition (no UDFs in
+the hot path):
+
+* exact_duplicates       — md5(normalized text) groupBy; one shuffle on a
+                           16-byte key, skew-safe (hash keys are uniform).
+* minhash_lsh_pairs      — bottom-k MinHash via md5 shingle hashes: each of
+                           the k minimum hashes is an LSH bucket key; docs
+                           sharing any bucket become candidate pairs, then
+                           exact shingle-Jaccard verifies. Scales as
+                           O(candidates), not O(n²): the join is on bucket
+                           hash (uniformly distributed → no skew), and
+                           verification touches only candidates.
+* simhash64              — 60-bit SimHash from md5(token) bit-vote; hamming
+                           band join for near-dup candidates.
+* ngram_jaccard_pairs    — exact word-n-gram Jaccard within a length bucket
+                           (the small-n exact baseline the LSH variant
+                           approximates).
+* embedding_cosine_pairs — near-dup by cosine over an embedding column.
+
+Portability note: hashing uses md5 (bit-identical in Spark, DuckDB, BigQuery)
+rather than xxhash64 (Spark-only), so every operator has an exact SQL oracle.
+At 100 TB scale md5 costs ~2× xxhash64 per shingle but both are negligible
+next to the shuffle; a production fork can swap in xxhash64 behind the same
+API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cloud_data_quality_spark.functions.text import fingerprint, tokens
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-equal (normalized) text: (fingerprint, dup_count,
+    doc_ids sorted). Only groups with >1 member."""
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dup_count"),
+             F.array_sort(F.collect_list(id_col)).alias("doc_ids"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per fingerprint group. Implemented as
+    groupBy-min + semi join (two narrow shuffles on uniform keys) rather than
+    a global window (which would sort every partition)."""
+    # NULL text is never a duplicate: give it a per-row sentinel key so the
+    # equi semi-join (NULL != NULL) can't drop it
+    with_fp = df.withColumn(
+        "__fp",
+        F.coalesce(fingerprint(F.col(text_col)),
+                   F.concat(F.lit("__null__"), F.col(id_col).cast("string"))))
+    keep = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return with_fp.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
+
+
+# ---------------------------------------------------------------- shingles
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (distinct)."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    # sequence(0, negative) would DESCEND — guard docs shorter than n tokens
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")) \
+            .otherwise(F.array_distinct(grams))
+
+
+def minhash_signature(col: Column, n: int = 3, k: int = 8) -> Column:
+    """Bottom-k sketch: the k lexicographically-smallest md5(shingle) digests.
+    A valid MinHash variant (single hash, bottom-k) — estimator of Jaccard via
+    sketch overlap; deterministic and portable."""
+    hashes = F.array_sort(F.transform(word_shingles(col, n), F.md5))
+    return F.slice(hashes, 1, k)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard) via bottom-k MinHash
+    bucketing + exact Jaccard verification on candidates.
+
+    Plan shape at scale: explode k hashes per doc → self-join on hash (bucket
+    keys are md5 values: uniform, no skew) → distinct candidate pairs →
+    re-join shingle sets → exact Jaccard filter. The only wide ops are the
+    bucket join and the candidate dedupe; both shuffle uniformly-distributed
+    keys."""
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"),
+                word_shingles(F.col(text_col), n).alias("shingles"))
+        .where(F.size("shingles") >= 1)
+        .withColumn("sig", F.slice(F.array_sort(F.transform("shingles", F.md5)),
+                                   1, k))
+    )
+    buckets = base.select("id", F.explode("sig").alias("h"))
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), "h")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = base.select(F.col("id"), F.col("shingles"))
+    joined = (
+        cand
+        .join(sh.withColumnRenamed("id", "id_a")
+                .withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b")
+                .withColumnRenamed("shingles", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / F.nullif(union, F.lit(0))
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    length_bucket: int = 32,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs, blocked by character-length bucket so the
+    self-join is bucket-local (near-dups have near-equal length; docs whose
+    lengths differ by more than one bucket can't clear a high threshold).
+    Compares pairs within the same or adjacent bucket."""
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"),
+                word_shingles(F.col(text_col), n).alias("sh"),
+                (F.floor(F.length(text_col) / length_bucket)).alias("lb"))
+        .where(F.size("sh") >= 1)
+    )
+    # candidate blocks: same bucket or adjacent (explode both buckets)
+    blocked = base.select(
+        "id", "sh", F.explode(F.array(F.col("lb"), F.col("lb") + 1)).alias("blk"))
+    a, b = blocked.alias("a"), base.alias("b")
+    joined = (
+        a.join(b, F.col("a.blk") == F.col("b.lb"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / F.nullif(union, F.lit(0))
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash60(col: Column, band_bits: int = 15) -> Column:
+    """60-bit SimHash over word tokens. Each token's hash = first 15 hex
+    chars of md5 (60 bits, fits a signed bigint via conv). Bit-vote is
+    expressed as a fold over tokens with a 60-slot vote array — all built-in
+    higher-order functions, JVM-side."""
+    toks = F.array_distinct(tokens(col))
+    h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15),
+                                           16, 10).cast("bigint"))
+    # votes[i] = count of tokens with bit i set, minus count without.
+    # shiftright needs a literal bit index, so the 60 bit extracts are a
+    # Python-level loop producing one array expression (still one JVM pass).
+    votes = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0), 60),
+        lambda acc, v: F.zip_with(
+            acc,
+            F.array(*[F.shiftright(v, i).bitwiseAND(F.lit(1)) for i in range(60)]),
+            lambda a, bit: a + F.when(bit == F.lit(1), 1).otherwise(-1),
+        ),
+    )
+    out = F.lit(0).cast("bigint")
+    for i in range(60):
+        out = out + F.when(F.element_at(votes, i + 1) > 0,
+                           F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 60-bit hash into n_bands 15-bit
+    bands; pairs sharing any band are candidates (pigeonhole: hamming ≤
+    n_bands-1 guarantees a shared band); verify with exact popcount."""
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), simhash60(F.col(text_col)).alias("sh"))
+    )
+    band_width = 60 // n_bands
+    bands = base.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"b{i}:"),
+                     F.shiftright(F.col("sh"), i * band_width)
+                      .bitwiseAND(F.lit((1 << band_width) - 1)).cast("string"))
+            for i in range(n_bands)
+        ])).alias("band"),
+    )
+    cand = (
+        bands.alias("a").join(bands.alias("b"), "band")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.select("id_a", "id_b", ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
+
+
+# ------------------------------------------------------------- embeddings
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine over array<float>: cast to double first so accumulation is
+    double-precision and order-stable (left-to-right fold)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / F.nullif(na * nb, F.lit(0.0))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold. Brute-force O(n²/2) — correct
+    baseline for modest n; the scale path is lsh_bucketed_neighbors in
+    functions/similarity.py (random-hyperplane buckets first)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (a.join(b, F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     cosine(F.col("a.v"), F.col("b.v")).alias("cos")))
+    return (pairs.select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+            .where(F.col("cosine") >= threshold))

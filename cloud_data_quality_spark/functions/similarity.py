@@ -1,0 +1,116 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two tiers (SURVEY-mandated training-pipeline component, no CloudDQ
+equivalent):
+
+* brute_force_topk — exact cosine top-k per probe. The probe set is small by
+  construction (queries), so it broadcasts; the corpus streams through one
+  narrow pass. Correctness baseline + oracle-comparable.
+* lsh_bucketed_neighbors — random-hyperplane LSH: sign-bit signature over h
+  fixed deterministic hyperplanes → bucket; only same-bucket candidates are
+  scored. The scale path: at 10^9 vectors the bucket join shuffles uniformly
+  distributed signature keys, candidate scoring is bucket-local. Recall is
+  tunable via n_planes/n_tables (tested vs the brute-force baseline).
+
+Hyperplanes are generated from a seeded PCG64 — deterministic across runs and
+cluster sizes, broadcast to executors as a plain literal array column (a few
+KB; no SparkContext.broadcast ceremony needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud_data_quality_spark.functions.dedup import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact top-k by cosine per probe: broadcast the probes, score the corpus
+    in one pass, take k per probe with a rank window partitioned by probe
+    (bounded partitions: one per probe, each corpus-sized scores but the
+    window only sorts within probe groups — acceptable for probe counts in
+    the thousands; for probe~corpus use lsh_bucketed_neighbors)."""
+    p = probes.select(F.col(probe_id_col).alias("probe_id"),
+                      F.col(vec_col).alias("pv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"))
+    scored = (c.crossJoin(F.broadcast(p))
+              .where(F.col("neighbor_id") != F.col("probe_id"))
+              .select("probe_id", "neighbor_id",
+                      cosine(F.col("pv"), F.col("cv")).alias("cos")))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("probe_id", "neighbor_id", "rank",
+                    F.round("cos", 6).alias("cosine")))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim))
+
+
+def _signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit LSH signature as a compact string key."""
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    bits = []
+    for p in planes:
+        lits = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(F.zip_with(vd, lits, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucketed_neighbors(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN: score only candidates sharing an LSH bucket with the probe in any
+    of n_tables signature tables. Output schema matches brute_force_topk so
+    recall can be measured by direct comparison."""
+    tables = [(t, _hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
+
+    def bucketize(df: DataFrame, idc: str) -> DataFrame:
+        sigs = F.array(*[
+            F.concat(F.lit(f"t{t}:"), _signature(F.col(vec_col), planes))
+            for t, planes in tables
+        ])
+        return df.select(F.col(idc), F.col(vec_col),
+                         F.explode(sigs).alias("bucket"))
+
+    cb = bucketize(corpus, id_col).withColumnRenamed(id_col, "neighbor_id") \
+                                  .withColumnRenamed(vec_col, "cv")
+    pb = bucketize(probes, probe_id_col).withColumnRenamed(probe_id_col, "probe_id") \
+                                        .withColumnRenamed(vec_col, "pv")
+    cand = (cb.join(pb, "bucket")
+            .where(F.col("neighbor_id") != F.col("probe_id"))
+            .select("probe_id", "neighbor_id", "pv", "cv")
+            .dropDuplicates(["probe_id", "neighbor_id"]))
+    scored = cand.select("probe_id", "neighbor_id",
+                         cosine(F.col("pv"), F.col("cv")).alias("cos"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("probe_id", "neighbor_id", "rank",
+                    F.round("cos", 6).alias("cosine")))

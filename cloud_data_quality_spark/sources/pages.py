@@ -27,19 +27,38 @@ from pyspark.sql import DataFrame, SparkSession
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
-_EN_WORDS = ("the of and to in is that it for on with as was at by an be this "
-             "have from or had not are but what all were when we there can "
-             "engine data quality rule table filter spark page content news "
-             "article report story world market science sport culture").split()
-_ES_WORDS = ("el la de que y en los se del las un por con no una su para es "
-             "al lo como más pero sus le ya o este sí porque esta entre "
-             "noticias datos calidad tabla mundo mercado ciencia").split()
-_FR_WORDS = ("le la de et les des en un du une est que dans qui par pour au "
-             "sur plus ne se pas ce sont avec son ses mais comme "
-             "nouvelles données qualité monde marché science").split()
-_DE_WORDS = ("der die und das den von mit ist des ein dem nicht sie auf für "
-             "es im eine auch als an werden aus er hat dass sich nach "
-             "nachrichten daten qualität welt markt wissenschaft").split()
+def _expand(base: list[str], suffixes: tuple[str, ...]) -> list[str]:
+    """Grow a marker-word list with derived content words so generated docs
+    have realistic type/token ratios (a 40-word vocab makes every doc look
+    'repetitive' to quality heuristics)."""
+    out = list(base)
+    for w in base:
+        if len(w) >= 4:
+            out.extend(w + s for s in suffixes)
+    return out
+
+
+_EN_WORDS = _expand(
+    ("the of and to in is that it for on with as was at by an be this "
+     "have from or had not are but what all were when we there can "
+     "engine data quality rule table filter spark page content news "
+     "article report story world market science sport culture").split(),
+    ("s", "ed", "ing"))
+_ES_WORDS = _expand(
+    ("el la de que y en los se del las un por con no una su para es "
+     "al lo como más pero sus le ya o este sí porque esta entre "
+     "noticias datos calidad tabla mundo mercado ciencia").split(),
+    ("s", "es", "ado"))
+_FR_WORDS = _expand(
+    ("le la de et les des en un du une est que dans qui par pour au "
+     "sur plus ne se pas ce sont avec son ses mais comme "
+     "nouvelles données qualité monde marché science").split(),
+    ("s", "es", "ment"))
+_DE_WORDS = _expand(
+    ("der die und das den von mit ist des ein dem nicht sie auf für "
+     "es im eine auch als an werden aus er hat dass sich nach "
+     "nachrichten daten qualität welt markt wissenschaft").split(),
+    ("en", "er", "ung"))
 _ZH_CHARS = "的一是不了人我在有他这中大来上国个到说们为子和你地出道也时年得就那要下以生会自着去之过家学对可她里后"
 _LANG_WORDS = {"en": _EN_WORDS, "es": _ES_WORDS, "fr": _FR_WORDS, "de": _DE_WORDS}
 
@@ -88,34 +107,37 @@ def _make_text(rng: np.random.Generator, lang: str, kind: str) -> str:
     return ""
 
 
-# kind mix: mostly good pages, a deterministic tail of each defect class
-_KINDS = (["good"] * 12 + ["symbol_spam", "repetitive", "short", "pii", "toxic"]
-          + ["good"] * 3)
-_LANGS = ["en"] * 10 + ["es", "fr", "de", "zh"] * 2 + ["en", "es"]
+# kind/lang mixes — drawn independently from the per-row rng (NOT the same
+# modulus: index-correlated mixes would confound language with defect class)
+_KIND_CHOICES = ["good"] * 15 + ["symbol_spam", "repetitive", "short", "pii", "toxic"]
+_LANG_CHOICES = ["en"] * 11 + ["es", "es", "fr", "fr", "de", "de", "zh", "zh", "en"]
+
+
+def _row_lang_kind_text(seed: int, i: int) -> tuple[str, str, str]:
+    """Full deterministic content draw for row i (lang → kind → text, in
+    fixed rng order so any row can be replayed independently)."""
+    rng = _rng_for(seed, i)
+    lang = str(rng.choice(_LANG_CHOICES))
+    kind = str(rng.choice(_KIND_CHOICES))
+    return lang, kind, _make_text(rng, lang, kind)
 
 
 def generate_rows(ids: np.ndarray, seed: int) -> pd.DataFrame:
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for i in ids:
         i = int(i)
-        rng = _rng_for(seed, i)
-        lang = _LANGS[i % len(_LANGS)]
-        kind = _KINDS[i % len(_KINDS)]
+        lang, kind, text = _row_lang_kind_text(seed, i)
         # ~20% of urls land on the hot host → deliberate partition skew
         host = _HOT_HOST if i % 5 == 0 else _HOSTS[i % len(_HOSTS)]
         url = f"https://{host}/{lang}/page-{i}.html"
         # ~4% exact-duplicate text of an earlier row (near-dup fixture)
         if i % 25 == 7 and i > 25:
             src = i - (i % 23) - 2
-            rng_src = _rng_for(seed, src)
-            lang_src = _LANGS[src % len(_LANGS)]
-            text = _make_text(rng_src, lang_src, _KINDS[src % len(_KINDS)])
+            _, _, text = _row_lang_kind_text(seed, src)
         elif i % 97 == 13:
             text = None  # NULL text rows
         elif i % 97 == 31:
             text = ""    # blank text rows
-        else:
-            text = _make_text(rng, lang, kind)
         html = (f"<html><body>{text or ''}</body></html>").encode("utf-8")
         ts = datetime.fromtimestamp(
             _EPOCH_2023 + (i * 37) % (365 * 24 * 3600), tz=timezone.utc)

@@ -1,0 +1,115 @@
+"""Dedup ladder + ANN: correctness on constructed cases, LSH vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_data_quality_spark.functions.dedup import (
+    dedup_exact,
+    embedding_cosine_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+from cloud_data_quality_spark.functions.similarity import (
+    brute_force_topk,
+    lsh_bucketed_neighbors,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "near the warm fire and the birds sing in the tall green trees")
+NEAR = BASE.replace("green trees", "green tree")          # one-token edit
+FAR = ("completely different content about data quality engines running "
+       "on spark clusters with adaptive query execution enabled for scale")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE), (2, BASE),                  # exact dup pair
+        (3, "  " + BASE.upper() + " "),        # normalized dup of 1 (lower+trim)
+        (4, NEAR),                             # near dup of 1
+        (5, FAR), (6, None), (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestExact:
+    def test_exact_duplicates_groups(self, docs):
+        groups = {tuple(r["doc_ids"]): r["dup_count"]
+                  for r in exact_duplicates(docs).collect()}
+        assert ((1, 2, 3) in groups and groups[(1, 2, 3)] == 3)
+
+    def test_dedup_exact_keeps_min_id(self, docs):
+        kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+        # 2,3 dropped as normalized dups of 1; NULL-text row 6 is its own group
+        assert kept == [1, 4, 5, 6, 7]
+
+
+class TestShingleDedup:
+    def test_word_shingles(self, spark):
+        df = spark.createDataFrame([("a b c d",)], "text string")
+        sh = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
+        assert sorted(sh) == ["a b c", "b c d"]
+
+    def test_minhash_finds_near_dup(self, docs):
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 4) in pairs and 0.5 < pairs[(1, 4)] < 1.0
+        assert not any({a, b} == {1, 5} for a, b in pairs)
+
+    def test_ngram_jaccard_exact(self, docs):
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(docs, jaccard_threshold=0.3).collect()}
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 4) in pairs
+
+    def test_simhash_near_dup(self, docs):
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in simhash_pairs(docs, max_hamming=10).collect()}
+        assert pairs[(1, 2)] == 0
+        assert (1, 4) in pairs and pairs[(1, 4)] <= 10
+        assert (1, 5) not in pairs
+
+
+class TestEmbeddings:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_cosine_pairs_symmetric_threshold(self, spark):
+        rows = [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 embedding_cosine_pairs(df, threshold=0.99).collect()}
+        assert pairs == {(1, 2)}
+
+    def test_brute_force_topk_shape(self, emb):
+        probes = (emb.limit(5)
+                  .select(F.col("vec_id").alias("probe_id"), "embedding"))
+        out = brute_force_topk(emb, probes, k=3).collect()
+        assert len(out) == 15
+        by_probe = {}
+        for r in out:
+            by_probe.setdefault(r["probe_id"], []).append(r)
+        for probe, rows in by_probe.items():
+            ranks = sorted(r["rank"] for r in rows)
+            assert ranks == [1, 2, 3]
+            cs = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+            assert cs == sorted(cs, reverse=True)
+            assert all(r["neighbor_id"] != probe for r in rows)
+
+    def test_lsh_recall_vs_brute_force(self, emb):
+        probes = (emb.limit(10)
+                  .select(F.col("vec_id").alias("probe_id"), "embedding"))
+        exact = brute_force_topk(emb, probes, k=5).collect()
+        approx = lsh_bucketed_neighbors(emb, probes, k=5, n_planes=4,
+                                        n_tables=8, dim=64).collect()
+        exact_set = {(r["probe_id"], r["neighbor_id"]) for r in exact}
+        approx_set = {(r["probe_id"], r["neighbor_id"]) for r in approx}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.5, f"LSH recall too low: {recall}"

@@ -1,0 +1,156 @@
+"""Quality-filter pipeline on the generated pages fixture: verdicts, scrub
+invariants, determinism across parallelism, resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_data_quality_spark.engine.incremental import ResumableQualityRun
+from cloud_data_quality_spark.operators.quality_filter import (
+    annotate_quality,
+    quality_summary,
+)
+from cloud_data_quality_spark.sources.pages import generate_pages
+
+
+@pytest.fixture(scope="module")
+def annotated(spark, pages_parquet):
+    df = spark.read.parquet(pages_parquet)
+    return annotate_quality(df, with_perplexity=True).persist()
+
+
+class TestVerdicts:
+    def test_all_rows_have_verdict(self, annotated):
+        assert annotated.where(F.col("keep").isNull()).count() == 0
+
+    def test_null_and_blank_text_dropped(self, annotated):
+        bad = annotated.where(F.col("text").isNull() | (F.col("text") == ""))
+        assert bad.count() > 0
+        assert bad.where(F.col("keep")).count() == 0
+        assert bad.where(F.col("drop_reason") == "words").count() == bad.count()
+
+    def test_symbol_spam_dropped(self, annotated):
+        spam = annotated.where((F.col("alpha_ratio") < 0.3)
+                               & (F.col("lang_pred") != "zh"))
+        assert spam.where(F.col("keep")).count() == 0
+
+    def test_toxic_dropped_with_reason(self, annotated):
+        tox = annotated.where(F.col("has_toxicity"))
+        assert tox.count() > 0
+        assert tox.where(F.col("keep")).count() == 0
+
+    def test_good_english_kept(self, annotated):
+        good = annotated.where(
+            (F.col("lang_pred") == "en") & (F.col("n_words") >= 30)
+            & (F.col("dup_token_frac") < 0.5) & ~F.col("has_toxicity")
+            & (F.col("alpha_ratio") > 0.7))
+        kept_frac = good.where(F.col("keep")).count() / max(good.count(), 1)
+        assert kept_frac > 0.9
+
+    def test_zh_pages_use_cjk_gate(self, annotated):
+        zh = annotated.where(F.col("lang_pred") == "zh")
+        assert zh.count() > 0
+        assert zh.where(F.col("keep")).count() > 0  # not all killed by alpha gate
+
+    def test_keep_rate_sane(self, annotated):
+        rate = annotated.where(F.col("keep")).count() / annotated.count()
+        assert 0.3 < rate < 0.9, f"keep rate {rate}"
+
+
+class TestScrubInvariants:
+    def test_pii_pages_scrubbed(self, annotated):
+        pii = annotated.where(F.col("text").rlike(
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"))
+        assert pii.count() > 0
+        leaked = pii.where(F.col("scrubbed_text").rlike(
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"))
+        assert leaked.count() == 0
+
+    def test_non_pii_text_byte_identical(self, annotated):
+        clean = annotated.where(F.col("text").isNotNull()
+                                & ~F.col("text").rlike("@|[0-9]{3}[-.)]|badword|slur"))
+        diff = clean.where(F.col("scrubbed_text") != F.col("text"))
+        assert diff.count() == 0
+
+
+class TestDeterminism:
+    def test_same_verdicts_at_different_parallelism(self, spark):
+        """North-star invariant: verdict + scrubbed bytes independent of
+        partitioning (proxy for N vs 4N executors)."""
+        a = annotate_quality(generate_pages(spark, 500, seed=7, partitions=2))
+        b = annotate_quality(generate_pages(spark, 500, seed=7, partitions=16))
+        cols = ["url", "keep", "drop_reason", "scrubbed_text", "lang_pred"]
+        assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+        assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+    def test_generator_deterministic(self, spark):
+        x = generate_pages(spark, 200, seed=42).orderBy("url").collect()
+        y = generate_pages(spark, 200, seed=42).orderBy("url").collect()
+        assert [(r["url"], r["text"]) for r in x] == \
+               [(r["url"], r["text"]) for r in y]
+
+
+class TestSummary:
+    def test_quality_summary_rollup(self, annotated):
+        s = quality_summary(annotated).collect()
+        total = sum(r["n_docs"] for r in s)
+        assert total == annotated.count()
+        reasons = {r["drop_reason"] for r in s if not r["keep"]}
+        assert "words" in reasons
+
+
+class TestResume:
+    def test_crash_and_resume_at_partition_granularity(self, spark, pages_parquet,
+                                                       tmp_path):
+        df = spark.read.parquet(pages_parquet)
+        runner = ResumableQualityRun(
+            spark,
+            output_path=str(tmp_path / "out"),
+            lineage_path=str(tmp_path / "lineage"),
+            n_buckets=4,
+        )
+        transform = lambda d: annotate_quality(d).where(F.col("keep"))  # noqa: E731
+
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            runner.run(df, transform, run_id="r1", fail_at_partition=2)
+        committed = runner.committed_partitions("r1")
+        assert committed == {0, 1}
+
+        res = runner.run(df, transform, run_id="r1")
+        assert sorted(res.skipped_partitions) == [0, 1]
+        assert sorted(res.processed_partitions) == [2, 3]
+
+        # output complete & correct vs a single-shot run
+        out = spark.read.parquet(str(tmp_path / "out"))
+        expected = transform(df).count()
+        assert out.count() == expected
+
+    def test_rerun_is_noop(self, spark, pages_parquet, tmp_path):
+        df = spark.read.parquet(pages_parquet).limit(200)
+        runner = ResumableQualityRun(
+            spark, output_path=str(tmp_path / "out2"),
+            lineage_path=str(tmp_path / "lineage2"), n_buckets=2)
+        t = lambda d: annotate_quality(d).where(F.col("keep"))  # noqa: E731
+        runner.run(df, t, run_id="r2")
+        res2 = runner.run(df, t, run_id="r2")
+        assert res2.processed_partitions == []
+        assert sorted(res2.skipped_partitions) == [0, 1]
+
+
+class TestMultimodal:
+    def test_image_metadata_plumbing(self, spark, pages_parquet):
+        from cloud_data_quality_spark.functions.multimodal import image_metadata
+        df = spark.read.parquet(pages_parquet).limit(50)
+        out = image_metadata(df, blob_col="html").collect()
+        assert len(out) == 50
+        assert all(r["content_sha256"] is not None for r in out)
+        assert all(r["format"] == "FAKE" for r in out)  # no codec in container
+
+    def test_frame_sample_stub(self, spark, pages_parquet):
+        from cloud_data_quality_spark.functions.multimodal import frame_sample_stub
+        df = spark.read.parquet(pages_parquet).limit(10)
+        out = frame_sample_stub(df, blob_col="html", every_n_bytes=64)
+        rows = out.collect()
+        assert len(rows) >= 10  # ≥1 frame per non-null blob
+        assert {"frame_no", "frame_sha256"} <= set(out.columns)

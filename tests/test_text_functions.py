@@ -1,0 +1,145 @@
+"""Text heuristics, scrub, langid — Column path vs pandas batch path parity."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_data_quality_spark.functions import text as TX
+from cloud_data_quality_spark.functions.scrub import scrub_pii, scrub_text
+from cloud_data_quality_spark.functions.webtext_rules import (
+    gopher_stats_batch,
+    langid_batch,
+    perplexity_batch,
+    scrub_batch,
+)
+
+SAMPLES = [
+    ("d1", "the quick brown fox jumps over the lazy dog and it runs home to rest"),
+    ("d2", "el perro corre en la casa y los gatos se van de la ciudad"),
+    ("d3", "le chat est dans la maison et les enfants sont dans le jardin"),
+    ("d4", "der hund ist in dem haus und die kinder sind mit der mutter"),
+    ("d5", "这是一个中文网页的内容测试数据质量引擎"),
+    ("d6", "spam spam spam spam spam spam spam spam spam spam spam spam"),
+    ("d7", "#### $$$$ %%%% @@@@ !!!! ^^^^ &&&& **** (((( ))))"),
+    ("d8", ""),
+    ("d9", None),
+    ("d10", "contact me at jane.doe@example.com or 555-123-4567 thanks"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(SAMPLES, "id string, text string")
+
+
+def one_col(df, col, alias="v"):
+    return {r["id"]: r[alias] for r in
+            df.select("id", col.alias(alias)).collect()}
+
+
+class TestColumnHeuristics:
+    def test_word_count(self, docs):
+        wc = one_col(docs, TX.word_count(F.col("text")))
+        assert wc["d1"] == 15
+        assert wc["d8"] == 0
+        assert wc["d9"] is None or wc["d9"] == 0  # NULL text
+
+    def test_mean_word_length_empty_null(self, docs):
+        m = one_col(docs, TX.mean_word_length(F.col("text")))
+        assert m["d8"] is None  # 0 tokens → NULL (nullif)
+        assert m["d1"] == pytest.approx(54 / 15)
+
+    def test_stopword_ratio(self, docs):
+        r = one_col(docs, TX.stopword_ratio(F.col("text")))
+        assert r["d1"] > 0.2
+        assert r["d7"] == 0.0
+
+    def test_alpha_and_cjk(self, docs):
+        a = one_col(docs, TX.alpha_ratio(F.col("text")))
+        assert a["d1"] > 0.75
+        assert a["d7"] == 0.0
+        c = one_col(docs, TX.cjk_ratio(F.col("text")))
+        assert c["d5"] == 1.0
+        assert c["d1"] == 0.0
+
+    def test_duplicate_token_fraction(self, docs):
+        d = one_col(docs, TX.duplicate_token_fraction(F.col("text")))
+        assert d["d6"] == pytest.approx(1 - 1 / 12)
+        assert d["d2"] < 0.4
+
+    def test_langid(self, docs):
+        lang = one_col(docs, TX.langid(F.col("text")))
+        assert lang["d1"] == "en"
+        assert lang["d2"] == "es"
+        assert lang["d3"] == "fr"
+        assert lang["d4"] == "de"
+        assert lang["d5"] == "zh"
+        assert lang["d7"] == "und"
+
+    def test_fingerprint_is_md5(self, docs):
+        import hashlib
+        fp = one_col(docs, TX.fingerprint(F.col("text")))
+        assert fp["d1"] == hashlib.md5(SAMPLES[0][1].encode()).hexdigest()
+
+
+class TestBatchColumnParity:
+    """The pandas batch path and the Column path must agree — they back the
+    same rules at different scales."""
+
+    def test_langid_parity(self, docs):
+        col = one_col(docs, TX.langid(F.col("text")))
+        pdf = pd.Series([t for _, t in SAMPLES], index=[i for i, _ in SAMPLES])
+        batch = langid_batch(pdf)
+        for doc_id in col:
+            if doc_id == "d9":
+                continue
+            assert col[doc_id] == batch[doc_id], doc_id
+
+    def test_scrub_byte_parity(self, docs):
+        col = one_col(docs, scrub_text(F.col("text")))
+        pdf = pd.Series([t for _, t in SAMPLES], index=[i for i, _ in SAMPLES])
+        batch = scrub_batch(pdf)
+        for doc_id in col:
+            if col[doc_id] is None:
+                assert pd.isna(batch[doc_id])
+            else:
+                assert col[doc_id] == batch[doc_id], doc_id
+
+    def test_gopher_stats_match_column_exprs(self, docs):
+        stats = gopher_stats_batch(pd.Series([SAMPLES[0][1]]))
+        assert stats.n_words[0] == 15
+        assert stats.mean_word_len[0] == pytest.approx(54 / 15)
+
+
+class TestScrub:
+    def test_email_and_phone_scrubbed(self, docs):
+        s = one_col(docs, scrub_pii(F.col("text")))
+        assert "<EMAIL>" in s["d10"]
+        assert "jane.doe" not in s["d10"]
+        assert "<PHONE>" in s["d10"]
+
+    def test_deterministic_and_idempotent_tokens(self, spark):
+        df = spark.createDataFrame(
+            [("x", "mail a@b.co and a@b.co twice 10.0.0.1 ssn 123-45-6789")],
+            "id string, text string")
+        s1 = df.select(scrub_text(F.col("text")).alias("s")).collect()[0]["s"]
+        s2 = df.select(scrub_text(F.col("text")).alias("s")).collect()[0]["s"]
+        assert s1 == s2
+        assert s1.count("<EMAIL>") == 2 and "<IP>" in s1 and "<SSN>" in s1
+
+
+class TestPerplexity:
+    def test_english_lower_than_spam(self):
+        ppl = perplexity_batch(pd.Series([
+            "the data quality engine validates each record in the table",
+            "zzqx jkwv qqq xjz wvk zzz qqq xxx jjj zzz",
+            None, "a",
+        ]))
+        assert ppl[0] < ppl[1]
+        assert pd.isna(ppl[2]) and pd.isna(ppl[3])
+
+    def test_deterministic(self):
+        s = pd.Series(["the quick brown fox"])
+        assert perplexity_batch(s)[0] == perplexity_batch(s)[0]
