@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+All queries live in cloud_data_quality_spark/plans/registry.py, where each
+Spark query is paired with a DuckDB oracle generated from the same Python
+constants (stopword lists, thresholds, scrub patterns) so the two sides
+cannot drift. Two queries (simhash_pairs, lsh_ann) intentionally have no
+oracle: SimHash's bit-vote fold isn't reasonably SQL-expressible and LSH ANN
+is approximate by design — both are exactness-tested in pytest instead.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from cloud_data_quality_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CloudDQ-contract validation run (4 rule bindings over
+    customer/orders/events → 6 summary rows) on sf0.001."""
+    from cloud_data_quality_spark.plans.registry import _run_dq
+    return _run_dq(spark, "/root/testdata/sf0.001",
+                   ["RB_CUSTOMER_ACCTBAL", "RB_CUSTOMER_NAME",
+                    "RB_ORDERS_DUP", "RB_EVENTS_WINDOW"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (what the per-round driver runs): executes the headline suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+The headline suite covers the north-star pipeline (quality filter + scrub over
+a generated Common-Crawl-style pages table — the docs/sec metric) plus the
+CloudDQ rule engine, dedup, ANN and text-scoring paths.
+
+--scaling: runs the quality-filter job at two parallelism levels (local[N],
+local[4N]) in fresh subprocesses on the same cached input and writes
+BENCH/BASELINE.md with throughput at both + scaling efficiency — the sandbox
+proxy for the north rule's N vs 4N executors criterion.
+
+--smoke: tiny run at sf0.001 for fast iteration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+PAGES_CACHE = os.environ.get("SPARK_GRAFT_PAGES_CACHE", "/tmp/cdq_pages_cache")
+
+
+def sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def pages_rows_for(sf: float) -> int:
+    return max(2_000, int(1_000_000 * sf))
+
+
+def ensure_pages(spark, sf: float, seed: int = 42) -> str:
+    """Generate the deterministic pages table once per (sf, seed); cache on
+    disk so repeated bench runs (and both scaling subprocesses) share it."""
+    from cloud_data_quality_spark.sources.pages import write_pages_parquet
+    n = pages_rows_for(sf)
+    path = f"{PAGES_CACHE}/pages_{seed}_{n}.parquet"
+    if not (Path(path) / "_SUCCESS").exists():
+        write_pages_parquet(spark, path, n_rows=n, seed=seed)
+    return path
+
+
+def build_suite(spark, sf_dir: str, pages_path: str):
+    """Headline queries: each returns a number when called (forces the full
+    plan, never collects rows to the driver)."""
+    import pyspark.sql.functions as F
+
+    from cloud_data_quality_spark.functions.dedup import minhash_lsh_pairs
+    from cloud_data_quality_spark.functions.similarity import brute_force_topk
+    from cloud_data_quality_spark.operators.quality_filter import (
+        annotate_quality, annotate_quality_arrow)
+    from cloud_data_quality_spark.plans.registry import QUERIES, _run_dq
+
+    pages = spark.read.parquet(pages_path)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def q_quality_filter():
+        ann = annotate_quality_arrow(pages, with_perplexity=True)
+        return ann.where(F.col("keep")).count()
+
+    def q_scrub_bytes():
+        ann = annotate_quality(pages, with_perplexity=False, with_scrub=True)
+        return ann.agg(F.sum(F.length("scrubbed_text"))).collect()[0][0]
+
+    def q_dq_rules():
+        return _run_dq(spark, sf_dir, ["RB_CUSTOMER_ACCTBAL", "RB_CUSTOMER_NAME",
+                                       "RB_ORDERS_DUP", "RB_EVENTS_WINDOW"]).count()
+
+    def q_dedup_minhash_docs():
+        return minhash_lsh_pairs(docs, jaccard_threshold=0.5).count()
+
+    def q_dedup_exact_pages():
+        from cloud_data_quality_spark.functions.dedup import exact_duplicates
+        return exact_duplicates(pages, text_col="text", id_col="url").count()
+
+    def q_ann_topk():
+        probes = (emb.where(F.col("vec_id") < 100)
+                  .select(F.col("vec_id").alias("probe_id"), "embedding"))
+        return brute_force_topk(emb, probes, k=10).count()
+
+    def q_unigram_logprob():
+        return QUERIES["unigram_logprob"](spark, sf_dir).count()
+
+    return {
+        "quality_filter_pages": q_quality_filter,
+        "scrub_pages": q_scrub_bytes,
+        "dq_rules_summary": q_dq_rules,
+        "dedup_minhash_docs": q_dedup_minhash_docs,
+        "dedup_exact_pages": q_dedup_exact_pages,
+        "ann_topk": q_ann_topk,
+        "unigram_logprob_docs": q_unigram_logprob,
+    }
+
+
+def run_suite(master: str, sf_dir: str) -> dict:
+    from cloud_data_quality_spark.sources.session import get_spark
+    spark = get_spark(app_name="cdq_bench", master=master)
+    sf = sf_of(sf_dir)
+    pages_path = ensure_pages(spark, sf)
+    pages_n = spark.read.parquet(pages_path).count()
+    suite = build_suite(spark, sf_dir, pages_path)
+    timings: dict[str, float] = {}
+    for name, fn in suite.items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pages_rows": pages_n,
+        "docs_per_sec": round(pages_n / timings["quality_filter_pages"], 1),
+        "cpus": CPUS,
+        "master": master,
+    }
+
+
+def _scaling_child(master: str, sf_dir: str) -> None:
+    """Subprocess entry: time ONLY the quality-filter job (full pipeline:
+    langid + heuristics + perplexity + scrub + verdict + rollup)."""
+    import pyspark.sql.functions as F
+
+    from cloud_data_quality_spark.operators.quality_filter import (
+        annotate_quality_arrow)
+    from cloud_data_quality_spark.sources.session import get_spark
+
+    spark = get_spark(app_name="cdq_scale", master=master)
+    # 4× the default bench size: at 100k rows fixed overhead (task scheduling,
+    # python worker spin-up, codegen) dominates and parallelism can't show —
+    # scaling evidence needs a compute-bound input
+    n_rows = 4 * pages_rows_for(sf_of(sf_dir))
+    from cloud_data_quality_spark.sources.pages import write_pages_parquet
+    pages_path = f"{PAGES_CACHE}/pages_42_{n_rows}.parquet"
+    if not (Path(pages_path) / "_SUCCESS").exists():
+        write_pages_parquet(spark, pages_path, n_rows=n_rows, seed=42)
+    pages = spark.read.parquet(pages_path)
+    n = pages.count()
+    # warm JIT + python workers on a real slice so timing is steady-state
+    annotate_quality_arrow(pages.sample(0.05, seed=1)).where("keep").count()
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ann = annotate_quality_arrow(pages, with_perplexity=True)
+        kept = ann.where(F.col("keep")).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(json.dumps({"master": master, "rows": n, "kept": kept,
+                      "seconds": round(best, 3),
+                      "docs_per_sec": round(n / best, 1)}))
+
+
+def run_scaling(sf_dir: str, n_low: int = 8, n_high: int = 32) -> dict:
+    results = {}
+    for n in (n_low, n_high):
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", f"local[{n}]", sf_dir],
+            capture_output=True, text=True, timeout=3600,
+            env={**os.environ, "SPARK_GRAFT_CPUS": str(n)})
+        line = out.stdout.strip().splitlines()[-1]
+        results[n] = json.loads(line)
+    tp_low = results[n_low]["docs_per_sec"]
+    tp_high = results[n_high]["docs_per_sec"]
+    eff = (tp_high / tp_low) / (n_high / n_low)
+    summary = {
+        "parallelism_low": n_low, "parallelism_high": n_high,
+        "docs_per_sec_low": tp_low, "docs_per_sec_high": tp_high,
+        "scaling_efficiency": round(eff, 3),
+        "rows": results[n_low]["rows"],
+        "detail": results,
+    }
+    _write_baseline_md(summary, sf_dir)
+    return summary
+
+
+def _write_baseline_md(s: dict, sf_dir: str) -> None:
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "BASELINE.md").write_text(f"""# BENCH/BASELINE — scaling evidence
+
+North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors. Sandbox proxy (no real cluster): the same quality-filter job
+(langid + C4/Gopher heuristics + perplexity + PII scrub + verdict) on the
+same cached input at two local parallelism levels, fresh JVM each.
+
+Input: deterministic synthetic pages table, {s['rows']} rows
+(seed=42, sf_dir={sf_dir}).
+
+| parallelism | docs/sec | wall sec |
+|---|---|---|
+| local[{s['parallelism_low']}] | {s['docs_per_sec_low']} | {s['detail'][s['parallelism_low']]['seconds']} |
+| local[{s['parallelism_high']}] | {s['docs_per_sec_high']} | {s['detail'][s['parallelism_high']]['seconds']} |
+
+**scaling efficiency = ({s['docs_per_sec_high']} / {s['docs_per_sec_low']}) / {s['parallelism_high'] // s['parallelism_low']} = {s['scaling_efficiency']}**
+
+Generated by `python bench.py --scaling`.
+""")
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if args and args[0] == "--scaling-child":
+        _scaling_child(args[1], args[2] if len(args) > 2 else SF_DIR)
+        return
+    if args and args[0] == "--scaling":
+        print(json.dumps(run_scaling(SF_DIR)))
+        return
+    sf_dir = SF_DIR
+    if args and args[0] == "--smoke":
+        sf_dir = "/root/testdata/sf0.001"
+    result = run_suite(f"local[{CPUS}]", sf_dir)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -113,6 +113,11 @@ def minhash_lsh_pairs(
         .where(F.size("shingles") >= 1)
         .withColumn("sig", F.slice(F.array_sort(F.transform("shingles", F.md5)),
                                    1, k))
+        # shingling + k·md5 per doc is the expensive narrow stage and the plan
+        # reads it three times (buckets, both sides of the verify join) —
+        # cache it rather than recompute (at 10^9 docs: checkpoint to a
+        # signatures table instead)
+        .persist()
     )
     buckets = base.select("id", F.explode("sig").alias("h"))
     cand = (

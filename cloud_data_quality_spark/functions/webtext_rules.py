@@ -107,21 +107,42 @@ _BIGRAM_LOGPROB = _build_bigram_logprob()
 _MAX_PPL_CHARS = 1024  # bound per-doc work; perplexity stabilizes long before
 
 
+# codepoint → alphabet-index lookup (ASCII range; everything else invalid)
+_CHAR_LUT = np.full(128, -1, dtype=np.int64)
+for _c, _i in _CHAR_IDX.items():
+    _CHAR_LUT[ord(_c)] = _i
+
+
 def perplexity_batch(texts: pd.Series, params: dict | None = None) -> pd.Series:
     """Char-bigram perplexity: exp(-mean log P(c_i | c_{i-1})) over the
     lowercase [a-z ] projection of the first 1024 chars. NULL/too-short → NaN.
+
+    Fully numpy-vectorized across the Arrow batch: one utf-32 decode of the
+    whole batch, LUT mapping, and a bincount-segmented mean — no per-row
+    Python loop (the loop version was the pipeline's hot spot: ~10 µs/char).
     """
-    out = np.full(len(texts), np.nan)
-    lp = _BIGRAM_LOGPROB
-    for i, text in enumerate(texts.array):
-        if not isinstance(text, str):
-            continue
-        s = text[:_MAX_PPL_CHARS].lower()
-        idx = np.array([_CHAR_IDX.get(c, -1) for c in s], dtype=np.int64)
-        idx = idx[idx >= 0]
-        if len(idx) < 2:
-            continue
-        out[i] = float(np.exp(-lp[idx[:-1], idx[1:]].mean()))
+    n = len(texts)
+    out = np.full(n, np.nan)
+    vals = ["" if not isinstance(t, str) else t[:_MAX_PPL_CHARS].lower()
+            for t in texts.array]
+    lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+    if lens.sum() == 0:
+        return pd.Series(out, index=texts.index)
+    joined = "".join(vals)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    doc = np.repeat(np.arange(n), lens)
+    idx = np.where(codes < 128, _CHAR_LUT[np.minimum(codes, 127)], -1)
+    valid = idx >= 0
+    idx, doc = idx[valid], doc[valid]
+    if len(idx) < 2:
+        return pd.Series(out, index=texts.index)
+    same_doc = doc[:-1] == doc[1:]
+    lps = _BIGRAM_LOGPROB[idx[:-1][same_doc], idx[1:][same_doc]]
+    pair_doc = doc[:-1][same_doc]
+    sums = np.bincount(pair_doc, weights=lps, minlength=n)
+    counts = np.bincount(pair_doc, minlength=n)
+    scorable = counts >= 1
+    out[scorable] = np.exp(-(sums[scorable] / counts[scorable]))
     return pd.Series(out, index=texts.index)
 
 
@@ -192,6 +213,78 @@ _PII_RES = [re.compile(p) for _, p, _ in SCRUB_PATTERNS]
 _SCRUB_STEPS = [(re.compile(p), repl) for _, p, repl in SCRUB_PATTERNS] + [
     (re.compile(rf"\b{w}\b"), "<TOX>") for w in TOXICITY_WORDS
 ]
+
+
+_NONSPACE_RE = re.compile(r"\S")
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def quality_annotations_batch(texts: pd.Series, thresholds=None,
+                              with_perplexity: bool = True) -> pd.DataFrame:
+    """All quality features + verdict for a batch, vectorized.
+
+    Exactly mirrors operators/quality_filter.annotate_quality's Column path
+    (gate set, thresholds, drop-reason priority) — parity is pytest-enforced.
+    This is the pipeline's hot path: one Arrow transfer of the text column,
+    one pandas pass, no Catalyst expression blowup.
+    """
+    from cloud_data_quality_spark.operators.quality_filter import (
+        QualityThresholds,
+    )
+    t = thresholds or QualityThresholds()
+    s = texts.fillna("")
+    n_chars = s.str.len().astype("int64")
+    n_words = s.str.count(_TOKEN_RE).astype("int64")
+    nonspace = s.str.count(_NONSPACE_RE)
+    mean_word_len = nonspace / n_words.replace(0, np.nan)
+    alpha = s.str.count(_ALPHA_RE) / n_chars.replace(0, np.nan)
+    cjk = s.str.count(_CJK_RE) / n_chars.replace(0, np.nan)
+    toks = s.str.split()
+    n_distinct = toks.map(lambda xs: len(set(xs)))
+    dup_token_frac = 1.0 - n_distinct / n_words.replace(0, np.nan)
+    lines = s.str.split("\n")
+    dup_line_frac = 1.0 - (lines.map(lambda xs: len(set(xs)))
+                           / lines.map(len).replace(0, np.nan))
+    tox = s.str.contains(r"\b(?:badword1|badword2|slur1)\b", regex=True)
+    lang = langid_batch(s)
+
+    is_zh = lang == "zh"
+    gates = [
+        ("words", np.where(is_zh,
+                           n_chars.between(t.min_words * 2, t.max_words * 8),
+                           n_words.between(t.min_words, t.max_words))),
+        ("word_len", is_zh | mean_word_len.between(
+            t.min_mean_word_len, t.max_mean_word_len).fillna(False)),
+        ("alpha", np.where(is_zh, (cjk >= t.min_cjk_ratio).fillna(False),
+                           (alpha >= t.min_alpha_ratio).fillna(False))),
+        ("repetition", ((dup_line_frac <= t.max_dup_line_frac)
+                        & (dup_token_frac <= t.max_dup_token_frac)).fillna(False)),
+        ("lang", (lang != "und").fillna(False)),
+        ("toxicity", (~tox).fillna(False)),
+    ]
+    out = {
+        "lang_pred": lang, "n_chars": n_chars, "n_words": n_words,
+        "mean_word_len": mean_word_len, "alpha_ratio": alpha,
+        "cjk_ratio": cjk, "dup_token_frac": dup_token_frac,
+        "dup_line_frac": dup_line_frac, "has_toxicity": tox,
+    }
+    if with_perplexity:
+        ppl = perplexity_batch(texts)
+        out["perplexity"] = ppl
+        gates.append(("perplexity",
+                      np.where(lang == "en",
+                               (ppl <= t.max_perplexity).fillna(False), True)))
+    reason = pd.Series([None] * len(s), index=s.index, dtype="object")
+    decided = pd.Series(False, index=s.index)
+    for name, ok in gates:
+        ok = pd.Series(np.asarray(ok, dtype=bool), index=s.index)
+        fail_here = ~ok & ~decided
+        reason[fail_here] = name
+        decided = decided | fail_here
+    out["drop_reason"] = reason
+    out["keep"] = ~decided
+    out["scrubbed_text"] = scrub_batch(texts)
+    return pd.DataFrame(out, index=texts.index)
 
 
 @register_batch_function("NO_PII")

@@ -56,6 +56,11 @@ class QualityThresholds:
 TOX_PATTERN = r"\b(badword1|badword2|slur1)\b"
 
 
+def _count_in_col(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda w: F.array_contains(arr, w))).cast("bigint")
+
+
 def quality_features(text_col: Column) -> dict[str, Column]:
     return {
         "lang_pred": TX.langid(text_col),
@@ -92,6 +97,54 @@ def gates(feat: dict[str, Column], t: QualityThresholds) -> list[tuple[str, Colu
     return [(name, F.coalesce(cond, F.lit(False))) for name, cond in g]
 
 
+ANNOT_STRUCT = ("lang_pred string, n_chars bigint, n_words bigint, "
+                "mean_word_len double, alpha_ratio double, cjk_ratio double, "
+                "dup_token_frac double, dup_line_frac double, "
+                "has_toxicity boolean, perplexity double, "
+                "drop_reason string, keep boolean, scrubbed_text string")
+
+
+def annotate_quality_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: QualityThresholds | None = None,
+    with_perplexity: bool = True,
+) -> DataFrame:
+    """Arrow-vectorized annotation — the pipeline hot path.
+
+    One pandas UDF takes the text column and returns ALL features + verdict +
+    scrubbed text as a single struct, expanded into columns afterwards. Plan
+    properties: exactly one Arrow transfer of text per row, one Python pass,
+    and a `.where("keep")` lands as a Filter directly above the UDF (the UDF
+    output can't be substituted into the scan), so nothing is computed twice.
+    This avoids the Catalyst behavior that bites the pure-Column path: filter
+    pushdown re-inlines the split()-heavy feature tree into a scan-level
+    Filter and recomputes features above it (measured 110 s vs ~6 s on 100k
+    rows, local[32]).
+
+    Gate semantics are identical to annotate_quality (pytest-enforced); NULL
+    text yields NaN feature values here vs SQL NULLs there — verdict columns
+    (keep/drop_reason/lang_pred/scrubbed_text) are exactly equal.
+    """
+    from cloud_data_quality_spark.functions.webtext_rules import (
+        quality_annotations_batch,
+    )
+    t = thresholds or QualityThresholds()
+
+    @F.pandas_udf(ANNOT_STRUCT)
+    def _annot(s: pd.Series) -> pd.DataFrame:
+        out = quality_annotations_batch(s, thresholds=t,
+                                        with_perplexity=with_perplexity)
+        if "perplexity" not in out:
+            out["perplexity"] = float("nan")
+        return out
+
+    out = df.withColumn("__annot", _annot(F.col(text_col)))
+    for field in [f.split()[0] for f in ANNOT_STRUCT.split(", ")]:
+        out = out.withColumn(field, F.col(f"__annot.{field}"))
+    return out.drop("__annot")
+
+
 def annotate_quality(
     df: DataFrame,
     text_col: str = "text",
@@ -99,14 +152,69 @@ def annotate_quality(
     with_perplexity: bool = False,
     with_scrub: bool = True,
 ) -> DataFrame:
-    """One projection pass adding features + keep verdict + drop_reason
-    (+ scrubbed_text, + perplexity when enabled)."""
+    """Feature + verdict annotation (pure-Column / whole-stage-codegen path —
+    every expression has an exact SQL-oracle twin; use annotate_quality_arrow
+    for the high-throughput pipeline).
+
+    Plan-shape note (measured on 100k pages, local[32]): building each
+    feature Column independently inlines its own `split()` tree, so the
+    collapsed projection re-tokenized every row ~8× and the duplicated tree
+    blew up whole-stage-codegen JIT (cold runs >100 s). Instead, tokenization
+    and the per-language marker counts are materialized as named intermediate
+    columns; Catalyst's CollapseProject declines to inline non-cheap
+    expressions referenced more than once, so each is computed exactly once
+    per row and codegen units stay small (cold run ~4 s, 25× faster).
+    """
     t = thresholds or QualityThresholds()
     col = F.col(text_col)
-    feat = quality_features(col)
-    out = df
+
+    toks, lines = F.col("__toks"), F.col("__lines")
+    # __barrier is non-deterministic, which stops PushDownPredicates from
+    # substituting the feature expressions into a Filter below this projection
+    # (measured: a `.where("keep")` after annotate otherwise gets rewritten
+    # into a scan-level Filter that inlines every split()/regex ~50× AND
+    # duplicates the perplexity Python UDF — 110 s vs 12 s on 100k rows).
+    # The column is dropped before returning; row values never depend on it.
+    out = (df
+           .withColumn("__barrier", F.monotonically_increasing_id())
+           .withColumn("__toks", TX.tokens(col))
+           .withColumn("__lines", F.split(col, "\n"))
+           .withColumn("__s_en", _count_in_col(toks, TX.EN_STOPWORDS))
+           .withColumn("__s_es", _count_in_col(toks, TX.ES_MARKERS))
+           .withColumn("__s_fr", _count_in_col(toks, TX.FR_MARKERS))
+           .withColumn("__s_de", _count_in_col(toks, TX.DE_MARKERS))
+           .withColumn("n_chars", TX.char_count(col))
+           .withColumn("cjk_ratio", TX.cjk_ratio(col)))
+    s_en, s_es = F.col("__s_en"), F.col("__s_es")
+    s_fr, s_de = F.col("__s_fr"), F.col("__s_de")
+    lang_pred = (
+        F.when(F.col("cjk_ratio") > 0.30, F.lit("zh"))
+        .when((s_en >= s_es) & (s_en >= s_fr) & (s_en >= s_de) & (s_en >= 1),
+              F.lit("en"))
+        .when((s_es >= s_fr) & (s_es >= s_de) & (s_es >= 1), F.lit("es"))
+        .when((s_fr >= s_de) & (s_fr >= 1), F.lit("fr"))
+        .when(s_de >= 1, F.lit("de"))
+        .otherwise(F.lit("und")))
+    word_len_sum = F.aggregate(toks, F.lit(0).cast("bigint"),
+                               lambda acc, w: acc + F.length(w))
+    feat = {
+        "lang_pred": lang_pred,
+        "n_words": F.size(toks).cast("bigint"),
+        "mean_word_len": (word_len_sum.cast("double")
+                          / F.nullif(F.size(toks), F.lit(0))).cast("double"),
+        "alpha_ratio": TX.alpha_ratio(col),
+        "dup_token_frac": (F.lit(1.0) - F.size(F.array_distinct(toks))
+                           .cast("double") / F.nullif(F.size(toks), F.lit(0))
+                           ).cast("double"),
+        "dup_line_frac": (F.lit(1.0) - F.size(F.array_distinct(lines))
+                          .cast("double") / F.nullif(F.size(lines), F.lit(0))
+                          ).cast("double"),
+        "has_toxicity": F.coalesce(col.rlike(TOX_PATTERN), F.lit(False)),
+    }
     for name, c in feat.items():
         out = out.withColumn(name, c)
+    feat["n_chars"] = F.col("n_chars")
+    feat["cjk_ratio"] = F.col("cjk_ratio")
     if with_perplexity:
         @F.pandas_udf("double")
         def _ppl(s: pd.Series) -> pd.Series:
@@ -123,18 +231,27 @@ def annotate_quality(
                     F.coalesce(F.col("perplexity") <= t.max_perplexity,
                                F.lit(False))).otherwise(F.lit(True))))
 
-    keep = F.lit(True)
-    for _, cond in gate_list:
-        keep = keep & cond
-    # first failing gate, in order — deterministic drop reason
+    # first failing gate, in order — deterministic drop reason; keep is
+    # derived from it (reason IS NULL) so each gate expression appears in the
+    # plan exactly once: Catalyst inlines every reference when collapsing
+    # projects, and the gate trees are split()-heavy
     reason = F.lit(None).cast("string")
     for name, cond in reversed(gate_list):
         reason = F.when(~cond, F.lit(name)).otherwise(reason)
+    # Fold the barrier in via a branch that can never fire (ids are >= 0):
+    # the column would otherwise be pruned away before the pushdown rule runs,
+    # and a deterministic drop_reason lets `.where(keep)` be rewritten into a
+    # scan-level Filter that re-inlines the whole feature tree (see above).
+    # Values are unaffected; the expression merely loses "deterministic".
+    reason = F.when(F.col("__barrier") < 0, F.lit("__unreachable__")) \
+              .otherwise(reason)
 
-    out = out.withColumn("keep", keep).withColumn("drop_reason", reason)
+    out = out.withColumn("drop_reason", reason)
+    out = out.withColumn("keep", F.col("drop_reason").isNull())
     if with_scrub:
         out = out.withColumn("scrubbed_text", scrub_text(col))
-    return out
+    return out.drop("__barrier", "__toks", "__lines",
+                    "__s_en", "__s_es", "__s_fr", "__s_de")
 
 
 def filter_kept(df: DataFrame, **kw) -> DataFrame:

@@ -1,0 +1,124 @@
+"""DuckDB-SQL fragments mirroring functions/text.py Column builders.
+
+Every heuristic the driver's correctness gate checks has TWO implementations:
+the Spark Column expression (functions/text.py) and the ANSI/DuckDB SQL here.
+To keep them in lockstep, the SQL is *generated from the same Python
+constants* (stopword lists, thresholds) — a drifted list would break parity
+tests immediately.
+
+DuckDB-vs-Spark dialect notes embedded per fragment:
+* split: regexp_split_to_array vs split — both regex, both keep no empties
+  after trim-guard;
+* regexp_replace needs the 'g' flag in DuckDB (Spark replaces all by default);
+* CJK class: DuckDB RE2 wants \\x{4e00}; Spark Java regex accepts the literal
+  range (we use literal chars in Spark, \\x escapes here);
+* integer division: `/` yields double in both (DuckDB `//` is the int one).
+"""
+
+from __future__ import annotations
+
+from cloud_data_quality_spark.functions.text import (
+    DE_MARKERS,
+    EN_STOPWORDS,
+    ES_MARKERS,
+    FR_MARKERS,
+)
+
+def sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def sql_tokens(col: str) -> str:
+    return (f"case when length(trim({col})) = 0 or {col} is null "
+            f"then []::VARCHAR[] "
+            f"else regexp_split_to_array(trim({col}), '\\s+') end")
+
+
+def sql_word_count(col: str) -> str:
+    return f"len({sql_tokens(col)})::BIGINT"
+
+
+def sql_char_count(col: str) -> str:
+    return f"coalesce(length({col}), 0)::BIGINT"
+
+
+def sql_mean_word_len(col: str) -> str:
+    t = sql_tokens(col)
+    return (f"(list_sum(list_transform({t}, w -> length(w)))::DOUBLE"
+            f" / nullif(len({t}), 0))")
+
+
+def sql_marker_count(col: str, words: list[str]) -> str:
+    t = sql_tokens(col)
+    return f"len(list_filter({t}, w -> list_contains({sql_list(words)}, w)))::BIGINT"
+
+
+def sql_stopword_ratio(col: str) -> str:
+    t = sql_tokens(col)
+    return (f"({sql_marker_count(col, EN_STOPWORDS)}::DOUBLE"
+            f" / nullif(len({t}), 0))")
+
+
+def sql_alpha_ratio(col: str) -> str:
+    return (f"(length(regexp_replace({col}, '[^A-Za-z]', '', 'g'))::DOUBLE"
+            f" / nullif(length({col}), 0))")
+
+
+def sql_cjk_ratio(col: str) -> str:
+    return (f"(length(regexp_replace({col}, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))"
+            f"::DOUBLE / nullif(length({col}), 0))")
+
+
+def sql_dup_token_frac(col: str) -> str:
+    t = sql_tokens(col)
+    return (f"(1.0 - len(list_distinct({t}))::DOUBLE / nullif(len({t}), 0))")
+
+
+def sql_dup_line_frac(col: str) -> str:
+    ls = f"string_split({col}, chr(10))"
+    return (f"(1.0 - len(list_distinct({ls}))::DOUBLE / nullif(len({ls}), 0))")
+
+
+def sql_langid(col: str) -> str:
+    """Mirrors functions.text.langid: CJK ratio gate then marker-count argmax
+    with en > es > fr > de priority, 'und' fallback."""
+    s_en = sql_marker_count(col, EN_STOPWORDS)
+    s_es = sql_marker_count(col, ES_MARKERS)
+    s_fr = sql_marker_count(col, FR_MARKERS)
+    s_de = sql_marker_count(col, DE_MARKERS)
+    return f"""case
+      when {sql_cjk_ratio(col)} > 0.30 then 'zh'
+      when {s_en} >= {s_es} and {s_en} >= {s_fr} and {s_en} >= {s_de}
+           and {s_en} >= 1 then 'en'
+      when {s_es} >= {s_fr} and {s_es} >= {s_de} and {s_es} >= 1 then 'es'
+      when {s_fr} >= {s_de} and {s_fr} >= 1 then 'fr'
+      when {s_de} >= 1 then 'de'
+      else 'und' end"""
+
+
+def sql_fingerprint(col: str) -> str:
+    return f"md5(lower(trim({col})))"
+
+
+def sql_word_shingles(col: str, n: int = 3) -> str:
+    t = sql_tokens(col)
+    # starts are 1-based 1..len-n+1; DuckDB range(a, b) is [a, b)
+    return (f"case when len({t}) < {n} then []::VARCHAR[] else "
+            f"list_distinct(list_transform(range(1, len({t}) - {n} + 2), "
+            f"i -> array_to_string(({t})[i:i+{n - 1}], ' '))) end")
+
+
+# scrub chain — same canonical order as functions/scrub.py (generated from
+# the same SCRUB_PATTERNS/TOXICITY_WORDS constants)
+def sql_scrub(col: str) -> str:
+    from cloud_data_quality_spark.functions.scrub import (
+        SCRUB_PATTERNS,
+        TOXICITY_WORDS,
+    )
+    out = col
+    for _, pattern, repl in SCRUB_PATTERNS:
+        p = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    for w in TOXICITY_WORDS:
+        out = f"regexp_replace({out}, '\\b{w}\\b', '<TOX>', 'g')"
+    return out

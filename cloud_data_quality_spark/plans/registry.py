@@ -1,0 +1,685 @@
+"""Query/oracle registry — the driver-contract surface.
+
+Each entry pairs a Spark DataFrame query (built from this package's operators)
+with an exact DuckDB oracle SQL string over the same parquet tables. The
+driver runs both at sf0.01 and compares row count + schema + order-insensitive
+value hash (see __spark_entry__.py). Column names/types are aliased
+identically on both sides; floats are rounded to fixed decimals on both sides.
+
+Conventions:
+* deterministic only — no current_timestamp, no rand, fixed execution_ts
+  for engine runs;
+* counts cast to BIGINT on both sides;
+* queries that are inherently non-SQL-expressible (SimHash bit-votes, LSH
+  ANN with model state) register a query but no oracle → the driver records
+  the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud_data_quality_spark.config.loader import ConfigRegistry
+from cloud_data_quality_spark.config.model import (
+    Entity,
+    ReferenceColumns,
+    RowFilter,
+    Rule,
+    RuleBinding,
+)
+from cloud_data_quality_spark.engine.runner import DqEngine
+from cloud_data_quality_spark.functions import text as TX
+from cloud_data_quality_spark.functions.dedup import (
+    exact_duplicates,
+    embedding_cosine_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cloud_data_quality_spark.functions.scrub import scrub_text
+from cloud_data_quality_spark.functions.similarity import (
+    brute_force_topk,
+    lsh_bucketed_neighbors,
+)
+from cloud_data_quality_spark.operators.quality_filter import annotate_quality
+from cloud_data_quality_spark.plans import oracle_fragments as OF
+
+TS = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# CloudDQ rule-engine queries (compiled + executed through DqEngine)
+# --------------------------------------------------------------------------
+
+def _dq_registry() -> ConfigRegistry:
+    """In-code config set over the testdata tables (table_name templated on
+    {sf_dir}, resolved by DqEngine.table_name_vars)."""
+    reg = ConfigRegistry()
+    reg.entities["CUSTOMER"] = Entity.from_dict("CUSTOMER", {
+        "table_name": "{sf_dir}/customer.parquet",
+        "columns": {
+            "C_CUSTKEY": {"data_type": "INT64"},
+            "C_NAME": {"data_type": "STRING"},
+            "C_NATIONKEY": {"data_type": "INT64"},
+            "C_ACCTBAL": {"data_type": "FLOAT64"},
+            "C_MKTSEGMENT": {"data_type": "STRING"},
+        },
+    })
+    reg.entities["ORDERS"] = Entity.from_dict("ORDERS", {
+        "table_name": "{sf_dir}/orders.parquet",
+        "columns": {
+            "O_ORDERKEY": {"data_type": "INT64"},
+            "O_CUSTKEY": {"data_type": "INT64"},
+            "O_ORDERSTATUS": {"data_type": "STRING"},
+            "O_TOTALPRICE": {"data_type": "FLOAT64"},
+            "O_ORDERDATE": {"data_type": "DATE"},
+            "O_ORDERPRIORITY": {"data_type": "STRING"},
+        },
+    })
+    reg.entities["EVENTS"] = Entity.from_dict("EVENTS", {
+        "table_name": "{sf_dir}/events.parquet",
+        "columns": {
+            "EVENT_ID": {"data_type": "INT64"},
+            "TS": {"data_type": "TIMESTAMP"},
+            "USER_ID": {"data_type": "INT64"},
+            "EVENT_TYPE": {"data_type": "STRING"},
+            "VALUE": {"data_type": "FLOAT64"},
+            "PROPS": {"data_type": "STRING"},
+        },
+    })
+    reg.row_filters["NONE"] = RowFilter.from_dict("NONE", {"filter_sql_expr": "True"})
+    reg.row_filters["BUILDING"] = RowFilter.from_dict(
+        "BUILDING", {"filter_sql_expr": "c_mktsegment = 'BUILDING'"})
+    reg.row_filters["JAN_WINDOW"] = RowFilter.from_dict(
+        "JAN_WINDOW",
+        {"filter_sql_expr":
+         "ts >= timestamp'2024-01-01 00:00:00' and ts < timestamp'2024-01-08 00:00:00'"})
+    reg.rules["ACCTBAL_NOT_NULL"] = Rule.from_dict(
+        "ACCTBAL_NOT_NULL", {"rule_type": "NOT_NULL"})
+    reg.rules["ACCTBAL_NON_NEGATIVE"] = Rule.from_dict(
+        "ACCTBAL_NON_NEGATIVE",
+        {"rule_type": "CUSTOM_SQL_EXPR",
+         "params": {"custom_sql_expr": "$column >= 0"}})
+    reg.rules["NAME_FORMAT"] = Rule.from_dict(
+        "NAME_FORMAT",
+        {"rule_type": "REGEX", "params": {"pattern": "^Customer.[0-9]+$"}})
+    reg.rules["ACCTBAL_BELOW_LIMIT"] = Rule.from_dict(
+        "ACCTBAL_BELOW_LIMIT",
+        {"rule_type": "CUSTOM_SQL_EXPR",
+         "params": {"custom_sql_expr": "$column <= $limit",
+                    "custom_sql_arguments": ["limit"]}})
+    reg.rules["NO_DUP_CUSTKEY"] = Rule.from_dict(
+        "NO_DUP_CUSTKEY",
+        {"rule_type": "CUSTOM_SQL_STATEMENT",
+         "dimension": "duplication",
+         "params": {"custom_sql_statement":
+                    "select a.* from data a inner join (select o_custkey from data "
+                    "group by o_custkey having count(*) > 1) d using (o_custkey)"}})
+    reg.rules["VALUE_NOT_NULL"] = Rule.from_dict(
+        "VALUE_NOT_NULL", {"rule_type": "NOT_NULL"})
+    reg.rule_bindings["RB_CUSTOMER_ACCTBAL"] = RuleBinding.from_dict(
+        "RB_CUSTOMER_ACCTBAL", {
+            "entity_id": "CUSTOMER", "column_id": "C_ACCTBAL",
+            "row_filter_id": "BUILDING",
+            "rule_ids": ["ACCTBAL_NOT_NULL", "ACCTBAL_NON_NEGATIVE",
+                         {"ACCTBAL_BELOW_LIMIT": {"limit": 5000}}],
+        })
+    reg.rule_bindings["RB_CUSTOMER_NAME"] = RuleBinding.from_dict(
+        "RB_CUSTOMER_NAME", {
+            "entity_id": "CUSTOMER", "column_id": "C_NAME",
+            "row_filter_id": "NONE", "rule_ids": ["NAME_FORMAT"],
+        })
+    reg.rule_bindings["RB_ORDERS_DUP"] = RuleBinding.from_dict(
+        "RB_ORDERS_DUP", {
+            "entity_id": "ORDERS", "column_id": "O_CUSTKEY",
+            "row_filter_id": "NONE", "rule_ids": ["NO_DUP_CUSTKEY"],
+        })
+    reg.rule_bindings["RB_EVENTS_WINDOW"] = RuleBinding.from_dict(
+        "RB_EVENTS_WINDOW", {
+            "entity_id": "EVENTS", "column_id": "VALUE",
+            "row_filter_id": "JAN_WINDOW", "rule_ids": ["VALUE_NOT_NULL"],
+        })
+    return reg
+
+
+def _run_dq(spark: SparkSession, sf_dir: str, binding_ids: list[str]) -> DataFrame:
+    eng = DqEngine(spark, _dq_registry(), table_name_vars={"sf_dir": sf_dir})
+    res = eng.run(binding_ids, execution_ts=TS, write_summary=False)
+    return res.summary.select(
+        "rule_binding_id", "rule_id",
+        F.col("rows_validated").cast("bigint").alias("rows_validated"),
+        F.col("success_count").cast("bigint").alias("success_count"),
+        F.col("failed_count").cast("bigint").alias("failed_count"),
+        F.col("null_count").cast("bigint").alias("null_count"),
+        F.col("complex_rule_validation_errors_count").cast("bigint")
+         .alias("errors_count"),
+        F.col("complex_rule_validation_success_flag").alias("success_flag"),
+    )
+
+
+def q_rb_customer_rules(spark, sf_dir):
+    return _run_dq(spark, sf_dir, ["RB_CUSTOMER_ACCTBAL", "RB_CUSTOMER_NAME"])
+
+
+ORACLE_RB_CUSTOMER_RULES = """
+with b as (select * from customer where c_mktsegment = 'BUILDING')
+select 'RB_CUSTOMER_ACCTBAL' as rule_binding_id, 'ACCTBAL_NOT_NULL' as rule_id,
+       count(*)::BIGINT as rows_validated,
+       count_if(c_acctbal is not null)::BIGINT as success_count,
+       count_if(c_acctbal is null)::BIGINT as failed_count,
+       NULL::BIGINT as null_count, NULL::BIGINT as errors_count,
+       NULL::BOOLEAN as success_flag
+from b
+union all
+select 'RB_CUSTOMER_ACCTBAL', 'ACCTBAL_NON_NEGATIVE', count(*)::BIGINT,
+       count_if(c_acctbal is not null and c_acctbal >= 0)::BIGINT,
+       count_if(c_acctbal is not null and c_acctbal < 0)::BIGINT,
+       count_if(c_acctbal is null)::BIGINT, NULL::BIGINT, NULL::BOOLEAN
+from b
+union all
+select 'RB_CUSTOMER_ACCTBAL', 'ACCTBAL_BELOW_LIMIT', count(*)::BIGINT,
+       count_if(c_acctbal is not null and c_acctbal <= 5000)::BIGINT,
+       count_if(c_acctbal is not null and c_acctbal > 5000)::BIGINT,
+       count_if(c_acctbal is null)::BIGINT, NULL::BIGINT, NULL::BOOLEAN
+from b
+union all
+select 'RB_CUSTOMER_NAME', 'NAME_FORMAT', count(*)::BIGINT,
+       count_if(c_name is not null and regexp_matches(c_name, '^Customer.[0-9]+$'))::BIGINT,
+       count_if(c_name is not null and not regexp_matches(c_name, '^Customer.[0-9]+$'))::BIGINT,
+       count_if(c_name is null)::BIGINT, NULL::BIGINT, NULL::BOOLEAN
+from customer
+"""
+
+
+def q_rb_orders_dup_statement(spark, sf_dir):
+    return _run_dq(spark, sf_dir, ["RB_ORDERS_DUP"])
+
+
+ORACLE_RB_ORDERS_DUP = """
+with errs as (
+  select a.* from orders a
+  inner join (select o_custkey from orders group by o_custkey having count(*) > 1) d
+  using (o_custkey))
+select 'RB_ORDERS_DUP' as rule_binding_id, 'NO_DUP_CUSTKEY' as rule_id,
+       (select count(*) from orders)::BIGINT as rows_validated,
+       NULL::BIGINT as success_count, NULL::BIGINT as failed_count,
+       NULL::BIGINT as null_count,
+       (select count(*) from errs)::BIGINT as errors_count,
+       ((select count(*) from errs) = 0) as success_flag
+"""
+
+
+def q_rb_events_window(spark, sf_dir):
+    return _run_dq(spark, sf_dir, ["RB_EVENTS_WINDOW"])
+
+
+ORACLE_RB_EVENTS_WINDOW = """
+with w as (select * from events
+           where ts >= timestamp '2024-01-01 00:00:00'
+             and ts < timestamp '2024-01-08 00:00:00')
+select 'RB_EVENTS_WINDOW' as rule_binding_id, 'VALUE_NOT_NULL' as rule_id,
+       count(*)::BIGINT as rows_validated,
+       count_if(value is not null)::BIGINT as success_count,
+       count_if(value is null)::BIGINT as failed_count,
+       NULL::BIGINT as null_count, NULL::BIGINT as errors_count,
+       NULL::BOOLEAN as success_flag
+from w
+"""
+
+
+def q_failed_records_acctbal(spark, sf_dir):
+    """Failing rows (valid IS FALSE) for the non-negative rule, with
+    reference columns — the failed-records lineage query shape."""
+    from cloud_data_quality_spark.compiler.binding import compile_binding
+    reg = _dq_registry()
+    binding = compile_binding(reg, "RB_CUSTOMER_ACCTBAL")
+    eng = DqEngine(spark, reg, table_name_vars={"sf_dir": sf_dir})
+    df = eng.read_entity(binding)
+    projected = eng.projected_frame(binding, binding.filter_df(df))
+    fr = eng.failed_records_frame(
+        binding, projected, binding.simple_rules,
+        invocation_id="fixed", execution_ts=TS)
+    return fr.select(
+        F.col("_dq_validation_rule_id").alias("rule_id"),
+        F.col("_dq_validation_column_value").cast("double").alias("column_value"),
+    )
+
+
+ORACLE_FAILED_RECORDS_ACCTBAL = """
+with b as (select * from customer where c_mktsegment = 'BUILDING')
+select 'ACCTBAL_NON_NEGATIVE' as rule_id, c_acctbal::DOUBLE as column_value
+from b where c_acctbal is not null and c_acctbal < 0
+union all
+select 'ACCTBAL_BELOW_LIMIT', c_acctbal::DOUBLE
+from b where c_acctbal is not null and c_acctbal > 5000
+union all
+select 'ACCTBAL_NOT_NULL', c_acctbal::DOUBLE from b where c_acctbal is null
+"""
+
+
+# --------------------------------------------------------------------------
+# Web-text analysis queries (documents table)
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.word_count(t).alias("n_words"),
+        TX.char_count(t).alias("n_chars"),
+        F.round(TX.mean_word_length(t), 6).alias("mean_word_len"),
+        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(TX.alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(TX.duplicate_token_fraction(t), 6).alias("dup_token_frac"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+select doc_id,
+       {OF.sql_word_count('text')} as n_words,
+       {OF.sql_char_count('text')} as n_chars,
+       round({OF.sql_mean_word_len('text')}, 6) as mean_word_len,
+       round({OF.sql_stopword_ratio('text')}, 6) as stopword_ratio,
+       round({OF.sql_alpha_ratio('text')}, 6) as alpha_ratio,
+       round({OF.sql_dup_token_frac('text')}, 6) as dup_token_frac
+from documents
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.langid(F.col("text")).alias("lang_pred"))
+
+
+ORACLE_TEXT_LANGID = f"""
+select doc_id, {OF.sql_langid('text')} as lang_pred from documents
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+select doc_id, {OF.sql_fingerprint('text')} as fp from documents
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", scrub_text(F.col("text")).alias("scrubbed_text"))
+
+
+ORACLE_PII_SCRUB = f"""
+select doc_id, {OF.sql_scrub('text')} as scrubbed_text from documents
+"""
+
+
+def q_quality_verdict(spark, sf_dir):
+    ann = annotate_quality(_t(spark, sf_dir, "documents"), text_col="text",
+                           with_perplexity=False, with_scrub=False)
+    return ann.select("doc_id", "lang_pred", "keep", "drop_reason")
+
+
+def _oracle_quality_verdict() -> str:
+    from cloud_data_quality_spark.operators.quality_filter import QualityThresholds
+    t = QualityThresholds()
+    feat = f"""
+select doc_id,
+  {OF.sql_langid('text')} as lang_pred,
+  {OF.sql_char_count('text')} as n_chars,
+  {OF.sql_word_count('text')} as n_words,
+  {OF.sql_mean_word_len('text')} as mean_word_len,
+  {OF.sql_alpha_ratio('text')} as alpha_ratio,
+  {OF.sql_cjk_ratio('text')} as cjk_ratio,
+  {OF.sql_dup_token_frac('text')} as dup_token_frac,
+  {OF.sql_dup_line_frac('text')} as dup_line_frac,
+  coalesce(regexp_matches(text, '\\b(badword1|badword2|slur1)\\b'), false)
+    as has_toxicity
+from documents"""
+    gates = {
+        "words": (f"case when lang_pred = 'zh' "
+                  f"then n_chars between {t.min_words * 2} and {t.max_words * 8} "
+                  f"else n_words between {t.min_words} and {t.max_words} end"),
+        "word_len": (f"(lang_pred = 'zh' or mean_word_len between "
+                     f"{t.min_mean_word_len} and {t.max_mean_word_len})"),
+        "alpha": (f"case when lang_pred = 'zh' then cjk_ratio >= {t.min_cjk_ratio} "
+                  f"else alpha_ratio >= {t.min_alpha_ratio} end"),
+        "repetition": (f"(dup_line_frac <= {t.max_dup_line_frac} and "
+                       f"dup_token_frac <= {t.max_dup_token_frac})"),
+        "lang": "lang_pred != 'und'",
+        "toxicity": "not has_toxicity",
+    }
+    coalesced = {k: f"coalesce({v}, false)" for k, v in gates.items()}
+    keep = " and ".join(coalesced.values())
+    reason = "case " + " ".join(
+        f"when not {coalesced[k]} then '{k}'" for k in coalesced
+    ) + " else NULL end"
+    return (f"with f as ({feat}) "
+            f"select doc_id, lang_pred, ({keep}) as keep, {reason} as drop_reason "
+            f"from f")
+
+
+def q_quality_rollup(spark, sf_dir):
+    ann = annotate_quality(_t(spark, sf_dir, "documents"), text_col="text",
+                           with_perplexity=False, with_scrub=False)
+    return (ann.groupBy("lang_pred", "keep", "drop_reason")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def _oracle_quality_rollup() -> str:
+    return (f"with v as ({_oracle_quality_verdict()}) "
+            f"select lang_pred, keep, drop_reason, count(*)::BIGINT as n_docs "
+            f"from v group by 1, 2, 3")
+
+
+def q_token_count_by_source(spark, sf_dir):
+    t = F.col("text")
+    return (_t(spark, sf_dir, "documents")
+            .groupBy("source")
+            .agg(F.sum(TX.word_count(t)).alias("total_words"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+ORACLE_TOKEN_COUNT_BY_SOURCE = f"""
+select source, sum({OF.sql_word_count('text')})::BIGINT as total_words,
+       count(*)::BIGINT as n_docs
+from documents group by source
+"""
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram negative mean log-prob per doc (KenLM-style scoring
+    with the corpus itself as the model — two passes, both distributed;
+    the n-gram frequency table is broadcast by AQE since it's tiny)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id",
+                       F.explode(TX.tokens(F.col("text"))).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.count()
+    scored = (toks.join(F.broadcast(freq), "w")
+              .groupBy("doc_id")
+              .agg(F.round(F.avg(-F.log(F.col("c") / F.lit(float(total)))), 4)
+                   .alias("nll")))
+    return scored
+
+
+ORACLE_UNIGRAM_LOGPROB = f"""
+with toks as (
+  select doc_id, unnest({OF.sql_tokens('text')}) as w from documents),
+freq as (select w, count(*) c from toks group by w),
+total as (select count(*) n from toks)
+select doc_id, round(avg(-ln(c::DOUBLE / (select n from total))), 4) as nll
+from toks join freq using (w)
+group by doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup / similarity queries
+# --------------------------------------------------------------------------
+
+def q_dedup_exact_prefix(spark, sf_dir):
+    """Exact-dup groups keyed on normalized 40-char prefix fingerprint (the
+    documents corpus has no full-text dups; prefix collisions stand in)."""
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("text"))
+    return exact_duplicates(df, text_col="text", id_col="doc_id").select(
+        "fp", F.col("dup_count").cast("bigint").alias("dup_count"))
+
+
+ORACLE_DEDUP_EXACT_PREFIX = """
+select md5(lower(trim(substr(text, 1, 40)))) as fp, count(*)::BIGINT as dup_count
+from documents group by 1 having count(*) > 1
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                             text_col="text", id_col="doc_id",
+                             n=3, k=8, jaccard_threshold=0.5)
+
+
+ORACLE_MINHASH_PAIRS = f"""
+with d as (
+  select doc_id, {OF.sql_word_shingles('text', 3)} as sh from documents),
+d2 as (select doc_id, sh, (list_sort(list_transform(sh, s -> md5(s))))[1:8] as sig
+       from d where len(sh) >= 1),
+buckets as (select doc_id, unnest(sig) as h from d2),
+cand as (select distinct a.doc_id as id_a, b.doc_id as id_b
+         from buckets a join buckets b using (h) where a.doc_id < b.doc_id),
+joined as (select id_a, id_b, x.sh as sh_a, y.sh as sh_b
+           from cand join d2 x on x.doc_id = id_a join d2 y on y.doc_id = id_b)
+select id_a, id_b,
+       round(len(list_intersect(sh_a, sh_b))::DOUBLE /
+             nullif(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)), 0),
+             6) as jaccard
+from joined
+where round(len(list_intersect(sh_a, sh_b))::DOUBLE /
+            nullif(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)), 0),
+            6) >= 0.5
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                               text_col="text", id_col="doc_id",
+                               n=3, jaccard_threshold=0.3, length_bucket=32)
+
+
+ORACLE_NGRAM_JACCARD_PAIRS = f"""
+with d as (
+  select doc_id, {OF.sql_word_shingles('text', 3)} as sh,
+         floor(length(text) / 32) as lb
+  from documents),
+d2 as (select * from d where len(sh) >= 1),
+cand as (select a.doc_id id_a, b.doc_id id_b, a.sh sh_a, b.sh sh_b
+         from d2 a join d2 b
+           on a.doc_id < b.doc_id and b.lb - a.lb in (0, 1))
+select id_a, id_b,
+       round(len(list_intersect(sh_a, sh_b))::DOUBLE /
+             nullif(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)), 0),
+             6) as jaccard
+from cand
+where round(len(list_intersect(sh_a, sh_b))::DOUBLE /
+            nullif(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)), 0),
+            6) >= 0.3
+"""
+
+
+def q_embedding_pairs(spark, sf_dir):
+    return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"),
+                                  vec_col="embedding", id_col="vec_id",
+                                  threshold=0.4)
+
+
+ORACLE_EMBEDDING_PAIRS = """
+with p as (
+  select a.vec_id id_a, b.vec_id id_b,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         nullif(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])),
+                0) as c
+  from embeddings a join embeddings b on a.vec_id < b.vec_id)
+select id_a, id_b, round(c, 6) as cosine from p where round(c, 6) >= 0.4
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = (emb.where(F.col("vec_id") < 10)
+              .select(F.col("vec_id").alias("probe_id"), "embedding"))
+    return brute_force_topk(emb, probes, k=5)
+
+
+ORACLE_ANN_TOPK = """
+with probes as (select vec_id probe_id, embedding pe from embeddings where vec_id < 10),
+scored as (
+  select probe_id, e.vec_id neighbor_id,
+         list_dot_product(pe::DOUBLE[], e.embedding::DOUBLE[]) /
+         nullif(sqrt(list_dot_product(pe::DOUBLE[], pe::DOUBLE[]))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])),
+                0) as c
+  from probes, embeddings e where e.vec_id != probe_id),
+ranked as (select probe_id, neighbor_id, c,
+                  row_number() over (partition by probe_id
+                                     order by c desc, neighbor_id asc) as rank
+           from scored)
+select probe_id, neighbor_id, rank::INT as rank, round(c, 6) as cosine
+from ranked where rank <= 5
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """No oracle (bit-vote fold isn't reasonably SQL-expressible) — the
+    driver records a rows-only check; exactness is covered by pytest."""
+    return simhash_pairs(_t(spark, sf_dir, "documents"),
+                         text_col="text", id_col="doc_id",
+                         max_hamming=12, n_bands=4)
+
+
+def q_lsh_ann(spark, sf_dir):
+    """Approximate by design → no value oracle; recall vs brute force is
+    asserted in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = (emb.where(F.col("vec_id") < 10)
+              .select(F.col("vec_id").alias("probe_id"), "embedding"))
+    return lsh_bucketed_neighbors(emb, probes, k=5, n_planes=4, n_tables=8)
+
+
+# --------------------------------------------------------------------------
+# Aggregation / timeliness queries (events)
+# --------------------------------------------------------------------------
+
+def q_events_volume_per_day(spark, sf_dir):
+    return (_t(spark, sf_dir, "events")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
+ORACLE_EVENTS_VOLUME_PER_DAY = """
+select ts::DATE as day, count(*)::BIGINT as n_events,
+       round(sum(value), 4) as total_value
+from events group by 1
+"""
+
+
+def q_accuracy_distribution_events(spark, sf_dir):
+    """A8-style distribution check: per-type share of total (countif ratio)."""
+    ev = _t(spark, sf_dir, "events")
+    total = ev.count()
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.count(F.lit(1)) / F.lit(float(total)), 6)
+                  .alias("share")))
+
+
+ORACLE_ACCURACY_DISTRIBUTION_EVENTS = """
+select event_type, count(*)::BIGINT as n,
+       round(count(*)::DOUBLE / (select count(*) from events), 6) as share
+from events group by event_type
+"""
+
+
+def q_integrity_lineitem_part(spark, sf_dir):
+    """J4 referential integrity: semi/anti counts of lineitem vs part."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    matched = li.join(F.broadcast(part), li.l_partkey == part.p_partkey,
+                      "left_semi").count()
+    orphans = li.join(F.broadcast(part), li.l_partkey == part.p_partkey,
+                      "left_anti").count()
+    return spark.createDataFrame(
+        [(int(matched), int(orphans))], "n_matched bigint, n_orphans bigint")
+
+
+ORACLE_INTEGRITY_LINEITEM_PART = """
+select
+  (select count(*) from lineitem where l_partkey in
+     (select p_partkey from part))::BIGINT as n_matched,
+  (select count(*) from lineitem where l_partkey not in
+     (select p_partkey from part))::BIGINT as n_orphans
+"""
+
+
+def q_timeliness_recent_events(spark, sf_dir):
+    """A9-style delayed-ingestion check anchored at max(ts) (deterministic
+    stand-in for current_timestamp)."""
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    recent = ev.where(F.col("ts") >= F.lit(anchor) - F.expr("INTERVAL 24 HOURS"))
+    return recent.agg(
+        F.count(F.lit(1)).alias("n_recent"),
+        F.lit(True).alias("ingestion_ok"))
+
+
+ORACLE_TIMELINESS_RECENT_EVENTS = """
+with anchor as (select max(ts) m from events)
+select count(*)::BIGINT as n_recent, true as ingestion_ok
+from events where ts >= (select m - interval 24 hours from anchor)
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "rb_customer_rules": q_rb_customer_rules,
+    "rb_orders_dup_statement": q_rb_orders_dup_statement,
+    "rb_events_window": q_rb_events_window,
+    "failed_records_acctbal": q_failed_records_acctbal,
+    "text_stats": q_text_stats,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "pii_scrub": q_pii_scrub,
+    "quality_verdict": q_quality_verdict,
+    "quality_rollup": q_quality_rollup,
+    "token_count_by_source": q_token_count_by_source,
+    "unigram_logprob": q_unigram_logprob,
+    "dedup_exact_prefix": q_dedup_exact_prefix,
+    "minhash_pairs": q_minhash_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_pairs": q_embedding_pairs,
+    "ann_topk": q_ann_topk,
+    "simhash_pairs": q_simhash_pairs,
+    "lsh_ann": q_lsh_ann,
+    "events_volume_per_day": q_events_volume_per_day,
+    "accuracy_distribution_events": q_accuracy_distribution_events,
+    "integrity_lineitem_part": q_integrity_lineitem_part,
+    "timeliness_recent_events": q_timeliness_recent_events,
+}
+
+ORACLES = {
+    "rb_customer_rules": ORACLE_RB_CUSTOMER_RULES,
+    "rb_orders_dup_statement": ORACLE_RB_ORDERS_DUP,
+    "rb_events_window": ORACLE_RB_EVENTS_WINDOW,
+    "failed_records_acctbal": ORACLE_FAILED_RECORDS_ACCTBAL,
+    "text_stats": ORACLE_TEXT_STATS,
+    "text_langid": ORACLE_TEXT_LANGID,
+    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "pii_scrub": ORACLE_PII_SCRUB,
+    "quality_verdict": _oracle_quality_verdict(),
+    "quality_rollup": _oracle_quality_rollup(),
+    "token_count_by_source": ORACLE_TOKEN_COUNT_BY_SOURCE,
+    "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "dedup_exact_prefix": ORACLE_DEDUP_EXACT_PREFIX,
+    "minhash_pairs": ORACLE_MINHASH_PAIRS,
+    "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
+    "embedding_pairs": ORACLE_EMBEDDING_PAIRS,
+    "ann_topk": ORACLE_ANN_TOPK,
+    # simhash_pairs, lsh_ann: intentionally no oracle (see docstrings)
+    "events_volume_per_day": ORACLE_EVENTS_VOLUME_PER_DAY,
+    "accuracy_distribution_events": ORACLE_ACCURACY_DISTRIBUTION_EVENTS,
+    "integrity_lineitem_part": ORACLE_INTEGRITY_LINEITEM_PART,
+    "timeliness_recent_events": ORACLE_TIMELINESS_RECENT_EVENTS,
+}

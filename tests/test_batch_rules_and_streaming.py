@@ -1,0 +1,136 @@
+"""CUSTOM_PANDAS_BATCH rules through the engine + streaming quality filter."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_data_quality_spark.config.loader import ConfigRegistry
+from cloud_data_quality_spark.config.model import Entity, RowFilter, Rule, RuleBinding
+from cloud_data_quality_spark.engine.runner import DqEngine
+
+TS = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def webtext_registry(pages_parquet):
+    reg = ConfigRegistry()
+    reg.entities["PAGES"] = Entity.from_dict("PAGES", {
+        "table_name": pages_parquet,
+        "columns": {
+            "URL": {"data_type": "STRING"},
+            "WARC_TS": {"data_type": "TIMESTAMP"},
+            "HTML": {"data_type": "BYTES"},
+            "TEXT": {"data_type": "STRING"},
+            "LANG": {"data_type": "STRING"},
+        },
+    })
+    reg.row_filters["NONE"] = RowFilter.from_dict("NONE", {"filter_sql_expr": "True"})
+    reg.rules["IS_ENGLISH"] = Rule.from_dict("IS_ENGLISH", {
+        "rule_type": "CUSTOM_PANDAS_BATCH",
+        "params": {"function": "LANGID_IS", "lang": "en"}})
+    reg.rules["GOPHER_OK"] = Rule.from_dict("GOPHER_OK", {
+        "rule_type": "CUSTOM_PANDAS_BATCH",
+        "params": {"function": "GOPHER_QUALITY"}})
+    reg.rules["LOW_PERPLEXITY"] = Rule.from_dict("LOW_PERPLEXITY", {
+        "rule_type": "CUSTOM_PANDAS_BATCH",
+        "params": {"function": "PERPLEXITY_BELOW", "threshold": 30.0}})
+    reg.rules["PII_FREE"] = Rule.from_dict("PII_FREE", {
+        "rule_type": "CUSTOM_PANDAS_BATCH",
+        "params": {"function": "NO_PII"}})
+    reg.rules["TEXT_NOT_NULL"] = Rule.from_dict("TEXT_NOT_NULL",
+                                                {"rule_type": "NOT_NULL"})
+    reg.rule_bindings["RB_WEBTEXT"] = RuleBinding.from_dict("RB_WEBTEXT", {
+        "entity_id": "PAGES", "column_id": "TEXT", "row_filter_id": "NONE",
+        "rule_ids": ["TEXT_NOT_NULL", "IS_ENGLISH", "GOPHER_OK",
+                     "LOW_PERPLEXITY", "PII_FREE"],
+    })
+    return reg
+
+
+class TestPandasBatchRules:
+    def test_webtext_rules_through_engine(self, spark, webtext_registry,
+                                          pages_parquet):
+        """The north-star rule types (langid / gopher / perplexity / PII)
+        compile into the same single-pass summary as SQL rules, with mixed
+        SQL + Arrow validity columns in one projection."""
+        eng = DqEngine(spark, webtext_registry)
+        res = eng.run(["RB_WEBTEXT"], execution_ts=TS, write_summary=False)
+        rows = {r["rule_id"]: r.asDict() for r in res.summary.collect()}
+        assert set(rows) == {"TEXT_NOT_NULL", "IS_ENGLISH", "GOPHER_OK",
+                             "LOW_PERPLEXITY", "PII_FREE"}
+        n = rows["TEXT_NOT_NULL"]["rows_validated"]
+        assert n == spark.read.parquet(pages_parquet).count()
+        # NULL-text rows count as null for batch rules (tri-valued semantics)
+        n_null_text = spark.read.parquet(pages_parquet) \
+            .where(F.col("text").isNull()).count()
+        assert rows["IS_ENGLISH"]["null_count"] == n_null_text
+        for rid in ("IS_ENGLISH", "GOPHER_OK", "LOW_PERPLEXITY", "PII_FREE"):
+            r = rows[rid]
+            assert r["success_count"] + r["failed_count"] + r["null_count"] == n
+            assert 0 < r["success_count"] < n, rid
+        # PII pages exist in the fixture → PII_FREE must fail some rows
+        assert rows["PII_FREE"]["failed_count"] > 0
+
+    def test_batch_rule_agrees_with_direct_function(self, spark,
+                                                    webtext_registry,
+                                                    pages_parquet):
+        import pandas as pd
+
+        from cloud_data_quality_spark.functions.webtext_rules import langid_batch
+        pdf = spark.read.parquet(pages_parquet).select("text").toPandas()
+        expected_en = (langid_batch(pdf["text"]) == "en")[pdf["text"].notna()].sum()
+        eng = DqEngine(spark, webtext_registry)
+        res = eng.run(["RB_WEBTEXT"], execution_ts=TS, write_summary=False)
+        row = {r["rule_id"]: r for r in res.summary.collect()}["IS_ENGLISH"]
+        assert row["success_count"] == expected_en
+
+    def test_unknown_batch_function_rejected(self):
+        from cloud_data_quality_spark.config.model import Rule
+        from cloud_data_quality_spark.compiler.binding import compile_rule
+        rule = Rule.from_dict("R", {"rule_type": "CUSTOM_PANDAS_BATCH",
+                                    "params": {"function": "NOPE"}})
+        with pytest.raises(KeyError, match="NOPE"):
+            compile_rule(rule, "TEXT", {})
+
+
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, pages_parquet, tmp_path):
+        """availableNow file stream through the annotator == batch output."""
+        from cloud_data_quality_spark.streaming.quality_stream import (
+            run_stream_to_parquet,
+        )
+        from cloud_data_quality_spark.operators.quality_filter import (
+            annotate_quality_arrow,
+        )
+        out = str(tmp_path / "out")
+        q = run_stream_to_parquet(
+            spark, pages_parquet, out, str(tmp_path / "ckpt"))
+        q.awaitTermination(300)
+        batch = annotate_quality_arrow(spark.read.parquet(pages_parquet)) \
+            .where(F.col("keep"))
+        got = spark.read.parquet(out)
+        assert got.count() == batch.count()
+        cols = ["url", "drop_reason", "scrubbed_text"]
+        assert got.select(cols).exceptAll(batch.select(cols)).count() == 0
+
+    def test_windowed_summary_stream(self, spark, pages_parquet):
+        from cloud_data_quality_spark.streaming.quality_stream import (
+            windowed_quality_summary,
+        )
+        schema = ("url string, warc_ts timestamp, html binary, "
+                  "text string, lang string")
+        stream = spark.readStream.schema(schema).parquet(pages_parquet)
+        agg = windowed_quality_summary(stream, window="24 hours",
+                                       watermark="48 hours")
+        # complete mode for the bounded test source: append would hold back
+        # windows the watermark hasn't passed when the stream ends
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName("qsum").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        rows = spark.sql("select * from qsum").collect()
+        assert len(rows) > 0
+        total = sum(r["n_docs"] for r in rows)
+        assert total == spark.read.parquet(pages_parquet).count()

@@ -91,6 +91,21 @@ class TestDeterminism:
                [(r["url"], r["text"]) for r in y]
 
 
+class TestArrowColumnParity:
+    def test_verdicts_identical_between_engines(self, spark, pages_parquet):
+        """The Arrow pipeline path and the Column/SQL-oracle path must agree
+        byte-for-byte on verdict + scrub output."""
+        from cloud_data_quality_spark.operators.quality_filter import (
+            annotate_quality_arrow,
+        )
+        df = spark.read.parquet(pages_parquet)
+        cols = ["url", "keep", "drop_reason", "lang_pred", "scrubbed_text"]
+        a = annotate_quality_arrow(df).select(cols)
+        b = annotate_quality(df, with_perplexity=True).select(cols)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+
 class TestSummary:
     def test_quality_summary_rollup(self, annotated):
         s = quality_summary(annotated).collect()
