@@ -1,0 +1,4 @@
+from cloud_data_quality_spark.cli import main
+
+if __name__ == "__main__":
+    raise SystemExit(main())

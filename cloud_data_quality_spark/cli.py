@@ -1,0 +1,115 @@
+"""spark-submit entry point.
+
+The reference ships a Dataproc driver that uses Spark only as a scheduler and
+shells out to its CLI (clouddq/integration/clouddq_pyspark_driver.py:75-104).
+Here the driver IS a Spark program:
+
+  spark-submit --py-files cdq_spark.zip -m cloud_data_quality_spark.cli \\
+      validate --configs ./configs --rule-binding-ids RB_A,RB_B \\
+      --summary-path s3://.../dq_summary --failed-records-path ...
+
+  spark-submit ... quality-filter --input /data/pages --output /data/kept \\
+      --lineage /data/lineage --run-id nightly-2026-08-16 --buckets 256
+
+Subcommands:
+  validate        run rule bindings → dq_summary (+ failed records)
+  quality-filter  resumable web-text filter pipeline (annotate → keep →
+                  scrubbed output) with per-partition lineage
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _validate(args) -> int:
+    from cloud_data_quality_spark.config.loader import load_configs
+    from cloud_data_quality_spark.engine.runner import DqEngine
+    from cloud_data_quality_spark.sources.session import get_spark
+
+    spark = get_spark(app_name="cdq_validate", master=args.master)
+    registry = load_configs(args.configs)
+    table_vars = dict(kv.split("=", 1) for kv in (args.table_var or []))
+    engine = DqEngine(spark, registry,
+                      summary_path=args.summary_path,
+                      failed_records_path=args.failed_records_path,
+                      table_name_vars=table_vars)
+    binding_ids = (args.rule_binding_ids.split(",")
+                   if args.rule_binding_ids != "ALL"
+                   else sorted(registry.rule_bindings))
+    result = engine.run(
+        binding_ids,
+        incremental=args.incremental,
+        write_failed_records=args.failed_records_path is not None,
+        write_summary=args.summary_path is not None,
+    )
+    rows = [r.asDict() for r in result.summary.collect()]
+    for row in rows:
+        print(json.dumps({k: str(v) for k, v in row.items()}, sort_keys=True))
+    failed = [r for r in rows
+              if (r["failed_count"] or 0) > 0
+              or r["complex_rule_validation_success_flag"] is False]
+    print(f"-- {len(rows)} summary rows, {len(failed)} with failures "
+          f"(invocation {result.invocation_id})", file=sys.stderr)
+    return 1 if (args.fail_on_error and failed) else 0
+
+
+def _quality_filter(args) -> int:
+    from pyspark.sql import functions as F
+
+    from cloud_data_quality_spark.engine.incremental import ResumableQualityRun
+    from cloud_data_quality_spark.operators.quality_filter import (
+        annotate_quality_arrow,
+    )
+    from cloud_data_quality_spark.sources.session import get_spark
+
+    spark = get_spark(app_name="cdq_quality_filter", master=args.master)
+    df = spark.read.parquet(args.input)
+    runner = ResumableQualityRun(
+        spark, output_path=args.output, lineage_path=args.lineage,
+        n_buckets=args.buckets)
+    transform = lambda d: (annotate_quality_arrow(d)  # noqa: E731
+                           .where(F.col("keep")))
+    res = runner.run(df, transform, run_id=args.run_id)
+    print(json.dumps({
+        "run_id": res.run_id,
+        "processed_partitions": len(res.processed_partitions),
+        "skipped_partitions": len(res.skipped_partitions),
+        "rows_in": res.rows_in, "rows_kept": res.rows_kept,
+    }))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cloud_data_quality_spark")
+    p.add_argument("--master", default=None,
+                   help="Spark master (default: env/local)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="run rule bindings → dq_summary")
+    v.add_argument("--configs", required=True)
+    v.add_argument("--rule-binding-ids", default="ALL",
+                   help="comma-separated ids or ALL")
+    v.add_argument("--summary-path")
+    v.add_argument("--failed-records-path")
+    v.add_argument("--incremental", action="store_true")
+    v.add_argument("--fail-on-error", action="store_true")
+    v.add_argument("--table-var", action="append",
+                   help="KEY=VALUE substituted into entity table_name")
+
+    q = sub.add_parser("quality-filter", help="resumable web-text filter")
+    q.add_argument("--input", required=True)
+    q.add_argument("--output", required=True)
+    q.add_argument("--lineage", required=True)
+    q.add_argument("--run-id", required=True)
+    q.add_argument("--buckets", type=int, default=64)
+
+    args = p.parse_args(argv)
+    args.master = getattr(args, "master", None)
+    return {"validate": _validate, "quality-filter": _quality_filter}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

