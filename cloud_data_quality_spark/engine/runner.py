@@ -103,6 +103,47 @@ class DqEngine:
             return reader.orc(name)
         return reader.parquet(name)
 
+    def register_entity_views(self) -> None:
+        """Expose every configured entity as a temp view named by its
+        entity_id, so CUSTOM_SQL_EXPR rules can use IN/EXISTS subqueries
+        against reference tables (R6 — integrity_reference_data.yaml shape;
+        Spark supports these subqueries in DataFrame expressions natively)."""
+        from cloud_data_quality_spark.compiler.binding import CompiledBinding
+        for entity in self.registry.entities.values():
+            df = self.read_entity(CompiledBinding(
+                rule_binding_id="", entity_id=entity.entity_id,
+                table_name=entity.table_name, source_format=entity.source_format,
+                column_id="", filter_sql="true", partition_null_guards=(),
+                incremental_column=None, reference_columns=(),
+                simple_rules=(), statement_rules=(), batch_rules=(),
+                metadata={}, configs_hashsum=""))
+            df.createOrReplaceTempView(entity.entity_id)
+
+    def entity_last_modified(self, binding: CompiledBinding) -> datetime | None:
+        """S4: table last-modified — the reference reads __TABLES__
+        (create_rule_binding_view.sql:78-83); for file sources use the newest
+        file mtime, for catalog tables this would be Iceberg's snapshot
+        committed_at."""
+        if binding.source_format == "table":
+            return None
+        path = Path(binding.table_name.format(**self.table_name_vars))
+        if not path.exists():
+            return None
+        files = list(path.glob("**/*")) if path.is_dir() else [path]
+        mtimes = [f.stat().st_mtime for f in files if f.is_file()]
+        if not mtimes:
+            return None
+        return datetime.fromtimestamp(max(mtimes), tz=timezone.utc)
+
+    def publish_to_target(self, target_path: str, invocation_id: str) -> int:
+        """S6: copy this invocation's summary rows to the user-facing target
+        table (reference: dq_target_table_utils.py:41-106 filters by
+        invocation_id + partition date and WRITE_APPENDs)."""
+        summary = self.read_summary(deduped=True)
+        rows = summary.where(F.col("invocation_id") == invocation_id)
+        rows.write.mode("append").parquet(target_path)
+        return rows.count()
+
     # ---------- watermark (reference: clouddq/lib.py:274-306) ----------
 
     def high_watermark(self, binding: CompiledBinding) -> datetime:
@@ -311,6 +352,7 @@ class DqEngine:
     ) -> RunResult:
         execution_ts = execution_ts or datetime.now(timezone.utc)
         invocation_id = invocation_id or uuid.uuid4().hex
+        self.register_entity_views()
         rows: list[dict] = []
         # group bindings by entity so a shared scan is read once per entity
         by_entity: dict[str, list[CompiledBinding]] = {}
@@ -328,6 +370,7 @@ class DqEngine:
                     progress_watermark=progress_watermark,
                     incremental=incremental,
                     write_failed_records=write_failed_records,
+                    last_modified=self.entity_last_modified(binding),
                 ))
         summary = self.spark.createDataFrame(
             pd.DataFrame(rows, columns=[f.name for f in SUMMARY_SCHEMA.fields]),
