@@ -89,19 +89,40 @@ class DqEngine:
 
     # ---------- sources ----------
 
-    def read_entity(self, binding: CompiledBinding) -> DataFrame:
+    def read_entity(self, binding: CompiledBinding,
+                    validate_schema: bool = True) -> DataFrame:
         name = binding.table_name.format(**self.table_name_vars)
         fmt = binding.source_format
         if fmt == "table":
-            return self.spark.table(name)
-        reader = self.spark.read
-        if fmt == "csv":
-            return reader.csv(name, header=True, inferSchema=True)
-        if fmt == "json":
-            return reader.json(name)
-        if fmt == "orc":
-            return reader.orc(name)
-        return reader.parquet(name)
+            df = self.spark.table(name)
+        elif fmt == "csv":
+            df = self.spark.read.csv(name, header=True, inferSchema=True)
+        elif fmt == "json":
+            df = self.spark.read.json(name)
+        elif fmt == "orc":
+            df = self.spark.read.orc(name)
+        else:
+            df = self.spark.read.parquet(name)
+        if validate_schema:
+            self._validate_entity_schema(binding.entity_id, name, df)
+        return df
+
+    def _validate_entity_schema(self, entity_id: str, name: str,
+                                df: DataFrame) -> None:
+        """S8 parity: declared entity columns must exist in the actual table
+        (the reference hard-errors on unknown column ids,
+        dq_entity.py:116-133; we additionally check declaration vs reality
+        at read time — the moment a catalog fetch would happen)."""
+        entity = self.registry.entities.get(entity_id)
+        if entity is None or not entity.columns:
+            return
+        actual = {c.upper() for c in df.columns}
+        missing = sorted(set(entity.columns) - actual)
+        if missing:
+            from cloud_data_quality_spark.config.model import ConfigError
+            raise ConfigError(
+                f"Entity {entity_id}: declared columns {missing} not present "
+                f"in {name} (actual: {sorted(actual)})")
 
     def register_entity_views(self) -> None:
         """Expose every configured entity as a temp view named by its

@@ -36,6 +36,18 @@ from pyspark.sql import functions as F
 from cloud_data_quality_spark.functions.text import fingerprint, tokens
 
 
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Small inputs often arrive as one parquet file → one partition, which
+    serializes the expensive narrow stages (per-doc shingling + k·md5).
+    Repartition up to the session's parallelism when under-partitioned; the
+    round-robin shuffle of raw rows is far cheaper than single-threading the
+    shingle stage."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------- exact
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -107,7 +119,7 @@ def minhash_lsh_pairs(
     bucket join and the candidate dedupe; both shuffle uniformly-distributed
     keys."""
     base = (
-        df.where(F.col(text_col).isNotNull())
+        ensure_min_partitions(df.where(F.col(text_col).isNotNull()))
         .select(F.col(id_col).alias("id"),
                 word_shingles(F.col(text_col), n).alias("shingles"))
         .where(F.size("shingles") >= 1)
@@ -157,7 +169,7 @@ def ngram_jaccard_pairs(
     lengths differ by more than one bucket can't clear a high threshold).
     Compares pairs within the same or adjacent bucket."""
     base = (
-        df.where(F.col(text_col).isNotNull())
+        ensure_min_partitions(df.where(F.col(text_col).isNotNull()))
         .select(F.col(id_col).alias("id"),
                 word_shingles(F.col(text_col), n).alias("sh"),
                 (F.floor(F.length(text_col) / length_bucket)).alias("lb"))
@@ -223,7 +235,7 @@ def simhash_pairs(
     bands; pairs sharing any band are candidates (pigeonhole: hamming ≤
     n_bands-1 guarantees a shared band); verify with exact popcount."""
     base = (
-        df.where(F.col(text_col).isNotNull())
+        ensure_min_partitions(df.where(F.col(text_col).isNotNull()))
         .select(F.col(id_col).alias("id"), simhash60(F.col(text_col)).alias("sh"))
     )
     band_width = 60 // n_bands
