@@ -140,6 +140,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh = base.select(F.col("id"), F.col("shingles"))
+    # candidate verification joins: AQE underestimates the size of cached
+    # array columns, so hint broadcast explicitly for small corpora (two
+    # shuffle exchanges saved); at 10^9 docs the shuffle join is correct and
+    # the hint is skipped
+    if base.count() <= 200_000:
+        sh = F.broadcast(sh)
     joined = (
         cand
         .join(sh.withColumnRenamed("id", "id_a")

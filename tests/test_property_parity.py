@@ -1,0 +1,88 @@
+"""Property-based parity: the pandas batch path and the Column path must
+agree on arbitrary text — unicode, weird whitespace, emptiness, punctuation.
+
+Strategy: hypothesis generates a small corpus per case; we compare verdict
+columns between annotate_quality (Column) and quality_annotations_batch
+(pandas) driver-side (no Spark per example — the Column semantics are
+checked against Spark once via the sampled-corpus test at the end)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from cloud_data_quality_spark.functions.webtext_rules import (
+    langid_batch,
+    quality_annotations_batch,
+    scrub_batch,
+)
+
+text_strategy = st.one_of(
+    st.none(),
+    st.text(max_size=200),
+    st.text(alphabet="abcdefghij @.-\n\t0123456789", max_size=300),
+    st.sampled_from([
+        "", " ", "\n\n", "the the the", "a@b.co", "555-123-4567",
+        "这是中文", "der hund und die katze", "el la de que y en",
+        "word " * 50, "#" * 40,
+    ]),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(text_strategy, min_size=1, max_size=8))
+def test_batch_annotator_never_crashes_and_is_deterministic(texts):
+    s = pd.Series(texts, dtype="object")
+    a = quality_annotations_batch(s, with_perplexity=True)
+    b = quality_annotations_batch(s, with_perplexity=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["keep"].notna().all()
+    # NULL/empty text never kept
+    for i, t in enumerate(texts):
+        if t is None or (isinstance(t, str) and not t.strip()):
+            assert not a["keep"].iloc[i]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(text_strategy, min_size=1, max_size=8))
+def test_scrub_idempotent_and_null_preserving(texts):
+    s = pd.Series(texts, dtype="object")
+    once = scrub_batch(s)
+    twice = scrub_batch(once)
+    pd.testing.assert_series_equal(once, twice)
+    for i, t in enumerate(texts):
+        assert (once.iloc[i] is None or isinstance(once.iloc[i], str)) \
+            if t is None or isinstance(t, str) else True
+        if t is None:
+            assert once.iloc[i] is None or pd.isna(once.iloc[i])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(text_strategy, min_size=1, max_size=8))
+def test_langid_stable_under_batch_composition(texts):
+    """Per-row function: splitting the batch must not change any answer."""
+    s = pd.Series(texts, dtype="object")
+    whole = langid_batch(s)
+    parts = pd.concat([langid_batch(s.iloc[[i]]) for i in range(len(s))])
+    assert list(whole) == list(parts)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_spark_column_vs_batch_on_fuzzed_corpus(spark, seed):
+    """Bridge to Spark: run both engines over a generated corpus slice and
+    require identical verdict columns (the hypothesis tests above cover the
+    pandas side broadly; this pins the Column path to it)."""
+    from pyspark.sql import functions as F
+
+    from cloud_data_quality_spark.operators.quality_filter import (
+        annotate_quality,
+        annotate_quality_arrow,
+    )
+    from cloud_data_quality_spark.sources.pages import generate_pages
+    df = generate_pages(spark, 300, seed=seed)
+    cols = ["url", "keep", "drop_reason", "lang_pred", "scrubbed_text"]
+    a = annotate_quality_arrow(df).select(cols)
+    b = annotate_quality(df, with_perplexity=True).select(cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
