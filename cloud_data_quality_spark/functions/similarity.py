@@ -73,6 +73,41 @@ def _signature(vec: Column, planes: np.ndarray) -> Column:
     return F.concat(*bits)
 
 
+def embedding_lsh_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate PAIRS by cosine ≥ threshold — the scale path for
+    dedup.embedding_cosine_pairs (which is O(n²)). Random-hyperplane buckets
+    per table; docs sharing any bucket are candidates; exact cosine verifies.
+    With p = 1 - θ/π per plane, P(candidate | cos=θ) = 1-(1-p^planes)^tables
+    — high-threshold pairs are caught with near-certainty, and the bucket
+    join shuffles uniform signature keys (no skew). Output schema matches
+    embedding_cosine_pairs for recall measurement."""
+    tables = [(t, _hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
+    sigs = F.array(*[
+        F.concat(F.lit(f"t{t}:"), _signature(F.col(vec_col), planes))
+        for t, planes in tables
+    ])
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     F.explode(sigs).alias("bucket"))
+    cand = (base.alias("a").join(base.alias("b"), "bucket")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    scored = cand.select("id_a", "id_b",
+                         F.round(cosine(F.col("va"), F.col("vb")), 6)
+                          .alias("cosine"))
+    return scored.where(F.col("cosine") >= threshold)
+
+
 def lsh_bucketed_neighbors(
     corpus: DataFrame,
     probes: DataFrame,

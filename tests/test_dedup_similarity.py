@@ -103,6 +103,35 @@ class TestEmbeddings:
             assert cs == sorted(cs, reverse=True)
             assert all(r["neighbor_id"] != probe for r in rows)
 
+    def test_embedding_lsh_pairs_catch_high_cosine(self, spark):
+        """Scale-path near-dup pairs: planted near-duplicates must be found
+        by the bucketed variant; recall vs brute force on true near-dups."""
+        import numpy as np
+
+        from cloud_data_quality_spark.functions.similarity import (
+            embedding_lsh_pairs,
+        )
+        from cloud_data_quality_spark.functions.dedup import (
+            embedding_cosine_pairs,
+        )
+        rng = np.random.Generator(np.random.PCG64(5))
+        base = rng.standard_normal((50, 16))
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((i, [float(x) for x in v]))
+            if i < 10:  # planted near-dups: tiny perturbation
+                rows.append((1000 + i, [float(x) for x in
+                                        v + rng.standard_normal(16) * 0.01]))
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        exact = {(r["id_a"], r["id_b"]) for r in
+                 embedding_cosine_pairs(df, threshold=0.95).collect()}
+        approx = {(r["id_a"], r["id_b"]) for r in
+                  embedding_lsh_pairs(df, threshold=0.95, n_planes=8,
+                                      n_tables=6, dim=16).collect()}
+        assert exact, "fixture must contain near-dup pairs"
+        assert len(exact & approx) / len(exact) >= 0.9
+        assert approx <= exact  # verification step: no false positives
+
     def test_lsh_recall_vs_brute_force(self, emb):
         probes = (emb.limit(10)
                   .select(F.col("vec_id").alias("probe_id"), "embedding"))
