@@ -704,6 +704,67 @@ from documents
 """
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization: per-user sessions split on >30-minute gaps (lag +
+    cumulative-sum-of-gap-flags window pattern). Windows partition by
+    user_id — bounded keys, no global window. Output: per-user session
+    count + max session length."""
+    from pyspark.sql.window import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ needs 2 hops
+    gap = epoch - F.lag(epoch).over(w)
+    sess = (ev
+            .withColumn("new_sess",
+                        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .withColumn("sess_id", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"))
+    return (per_sess.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.max("n_events").cast("bigint").alias("max_session_events")))
+
+
+ORACLE_SESSIONIZE_EVENTS = """
+with ordered as (
+  select user_id, event_id, ts,
+         case when epoch(ts) - lag(epoch(ts)) over
+                (partition by user_id order by ts, event_id) > 1800
+              or lag(ts) over (partition by user_id order by ts, event_id)
+                is null
+              then 1 else 0 end as new_sess
+  from events),
+sess as (
+  select user_id,
+         sum(new_sess) over (partition by user_id order by ts, event_id
+                             rows between unbounded preceding and current row)
+           as sess_id
+  from ordered),
+per_sess as (select user_id, sess_id, count(*)::BIGINT n_events
+             from sess group by 1, 2)
+select user_id, count(*)::BIGINT as n_sessions,
+       max(n_events)::BIGINT as max_session_events
+from per_sess group by user_id
+"""
+
+
+def q_rollup_quality(spark, sf_dir):
+    """ROLLUP aggregation over the verdict dimensions (subtotals + grand
+    total) — multi-level summary reporting in one pass."""
+    ann = annotate_quality(_t(spark, sf_dir, "documents"), text_col="text",
+                           with_perplexity=False, with_scrub=False)
+    return (ann.rollup("lang_pred", "keep")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select("lang_pred", "keep", "n_docs"))
+
+
+def _oracle_rollup_quality() -> str:
+    return (f"with v as ({_oracle_quality_verdict()}) "
+            f"select lang_pred, keep, count(*)::BIGINT as n_docs "
+            f"from v group by rollup(lang_pred, keep)")
+
+
 def q_topk_docs_per_lang(spark, sf_dir):
     """Top-3 docs per language by size — rank window partitioned by a
     bounded key (deterministic tie-break on doc_id)."""
@@ -754,6 +815,8 @@ QUERIES = {
     "accuracy_distribution_true": q_accuracy_distribution_true,
     "json_field_threshold": q_json_field_threshold,
     "array_aggregate_rule": q_array_aggregate_rule,
+    "sessionize_events": q_sessionize_events,
+    "rollup_quality": q_rollup_quality,
     "topk_docs_per_lang": q_topk_docs_per_lang,
     "integrity_lineitem_part": q_integrity_lineitem_part,
     "timeliness_recent_events": q_timeliness_recent_events,
@@ -783,6 +846,8 @@ ORACLES = {
     "accuracy_distribution_true": ORACLE_ACCURACY_DISTRIBUTION_TRUE,
     "json_field_threshold": ORACLE_JSON_FIELD_THRESHOLD,
     "array_aggregate_rule": ORACLE_ARRAY_AGGREGATE_RULE,
+    "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
+    "rollup_quality": _oracle_rollup_quality(),
     "topk_docs_per_lang": ORACLE_TOPK_DOCS_PER_LANG,
     "integrity_lineitem_part": ORACLE_INTEGRITY_LINEITEM_PART,
     "timeliness_recent_events": ORACLE_TIMELINESS_RECENT_EVENTS,
