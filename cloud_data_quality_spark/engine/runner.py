@@ -393,8 +393,12 @@ class DqEngine:
                     write_failed_records=write_failed_records,
                     last_modified=self.entity_last_modified(binding),
                 ))
+        # plain tuples, NOT a pandas frame: pandas coerces None in integer
+        # columns to NaN, which createDataFrame rejects for LongType when the
+        # session doesn't have Arrow enabled (the driver's session may not)
+        field_names = [f.name for f in SUMMARY_SCHEMA.fields]
         summary = self.spark.createDataFrame(
-            pd.DataFrame(rows, columns=[f.name for f in SUMMARY_SCHEMA.fields]),
+            [tuple(r[k] for k in field_names) for r in rows],
             schema=SUMMARY_SCHEMA,
         ) if rows else self.spark.createDataFrame([], schema=SUMMARY_SCHEMA)
         if write_summary and self.summary_path:

@@ -100,7 +100,7 @@ def _dq_registry() -> ConfigRegistry:
     reg.row_filters["JAN_WINDOW"] = RowFilter.from_dict(
         "JAN_WINDOW",
         {"filter_sql_expr":
-         "ts >= timestamp'2024-01-01 00:00:00' and ts < timestamp'2024-01-08 00:00:00'"})
+         "ts >= timestamp_ntz'2024-01-01 00:00:00' and ts < timestamp_ntz'2024-01-08 00:00:00'"})
     reg.rules["ACCTBAL_NOT_NULL"] = Rule.from_dict(
         "ACCTBAL_NOT_NULL", {"rule_type": "NOT_NULL"})
     reg.rules["ACCTBAL_NON_NEGATIVE"] = Rule.from_dict(
@@ -613,10 +613,13 @@ select
 
 def q_timeliness_recent_events(spark, sf_dir):
     """A9-style delayed-ingestion check anchored at max(ts) (deterministic
-    stand-in for current_timestamp)."""
+    stand-in for current_timestamp). The anchor stays inside the plan as a
+    broadcast scalar — collecting it to a Python datetime and re-injecting
+    via F.lit would convert NTZ through the session timezone."""
     ev = _t(spark, sf_dir, "events")
-    anchor = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
-    recent = ev.where(F.col("ts") >= F.lit(anchor) - F.expr("INTERVAL 24 HOURS"))
+    anchor = ev.agg(F.max("ts").alias("m"))
+    recent = (ev.crossJoin(F.broadcast(anchor))
+              .where(F.col("ts") >= F.col("m") - F.expr("INTERVAL 24 HOURS")))
     return recent.agg(
         F.count(F.lit(1)).alias("n_recent"),
         F.lit(True).alias("ingestion_ok"))
@@ -712,11 +715,15 @@ def q_sessionize_events(spark, sf_dir):
     from pyspark.sql.window import Window
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ needs 2 hops
-    gap = epoch - F.lag(epoch).over(w)
+    # NTZ-subtraction yields an interval: TZ-independent (an epoch cast
+    # would depend on the session timezone, which the driver's session may
+    # not pin to UTC)
+    gap = F.col("ts") - F.lag(F.col("ts")).over(w)
     sess = (ev
             .withColumn("new_sess",
-                        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+                        F.when(gap.isNull()
+                               | (gap > F.expr("INTERVAL 30 MINUTES")),
+                               1).otherwise(0))
             .withColumn("sess_id", F.sum("new_sess").over(
                 w.rowsBetween(Window.unboundedPreceding, 0))))
     per_sess = sess.groupBy("user_id", "sess_id").agg(
@@ -729,8 +736,9 @@ def q_sessionize_events(spark, sf_dir):
 ORACLE_SESSIONIZE_EVENTS = """
 with ordered as (
   select user_id, event_id, ts,
-         case when epoch(ts) - lag(epoch(ts)) over
-                (partition by user_id order by ts, event_id) > 1800
+         case when ts - lag(ts) over
+                (partition by user_id order by ts, event_id)
+                > interval 30 minutes
               or lag(ts) over (partition by user_id order by ts, event_id)
                 is null
               then 1 else 0 end as new_sess
