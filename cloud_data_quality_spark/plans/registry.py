@@ -10,9 +10,9 @@ Conventions:
 * deterministic only — no current_timestamp, no rand, fixed execution_ts
   for engine runs;
 * counts cast to BIGINT on both sides;
-* queries that are inherently non-SQL-expressible (SimHash bit-votes, LSH
-  ANN with model state) register a query but no oracle → the driver records
-  the weaker rows-only check.
+* one query (lsh_ann) is approximate by design and registers no oracle →
+  the driver records the weaker rows-only check; its recall is asserted
+  against the exact baseline in pytest instead.
 """
 
 from __future__ import annotations
@@ -539,11 +539,36 @@ from ranked where rank <= 5
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """No oracle (bit-vote fold isn't reasonably SQL-expressible) — the
-    driver records a rows-only check; exactness is covered by pytest."""
+    """60-bit SimHash near-dup pairs (banded candidates, exact hamming
+    verify). The oracle replays the full bit-vote in SQL: hex→BIGINT via
+    '0x' cast, per-bit votes over distinct tokens, band-share predicate,
+    bit_count(xor) hamming."""
     return simhash_pairs(_t(spark, sf_dir, "documents"),
                          text_col="text", id_col="doc_id",
                          max_hamming=12, n_bands=4)
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+with d as (select doc_id, list_distinct({OF.sql_tokens('text')}) as toks
+           from documents where text is not null),
+tok as (select doc_id, unnest(toks) as w from d),
+h as (select doc_id,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT as hv from tok),
+bits as (select doc_id, i,
+                sum(case when (hv >> i) & 1 = 1 then 1 else -1 end) as vote
+         from h, range(0, 60) t(i) group by 1, 2),
+sh as (select doc_id,
+              sum(case when vote > 0 then (1::BIGINT << i) else 0 end) as sh
+       from bits group by 1)
+select a.doc_id as id_a, b.doc_id as id_b,
+       bit_count(xor(a.sh, b.sh))::INT as hamming
+from sh a join sh b on a.doc_id < b.doc_id
+where (((a.sh >> 0) & 32767) = ((b.sh >> 0) & 32767)
+    or ((a.sh >> 15) & 32767) = ((b.sh >> 15) & 32767)
+    or ((a.sh >> 30) & 32767) = ((b.sh >> 30) & 32767)
+    or ((a.sh >> 45) & 32767) = ((b.sh >> 45) & 32767))
+  and bit_count(xor(a.sh, b.sh)) <= 12
+"""
 
 
 def q_lsh_ann(spark, sf_dir):
@@ -848,7 +873,8 @@ ORACLES = {
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
     "embedding_pairs": ORACLE_EMBEDDING_PAIRS,
     "ann_topk": ORACLE_ANN_TOPK,
-    # simhash_pairs, lsh_ann: intentionally no oracle (see docstrings)
+    "simhash_pairs": ORACLE_SIMHASH_PAIRS,
+    # lsh_ann: intentionally no oracle (approximate by design; see docstring)
     "events_volume_per_day": ORACLE_EVENTS_VOLUME_PER_DAY,
     "accuracy_distribution_events": ORACLE_ACCURACY_DISTRIBUTION_EVENTS,
     "accuracy_distribution_true": ORACLE_ACCURACY_DISTRIBUTION_TRUE,
