@@ -291,10 +291,21 @@ def embedding_cosine_pairs(
     """Near-dup pairs by cosine ≥ threshold. Brute-force O(n²/2) — correct
     baseline for modest n; the scale path is lsh_bucketed_neighbors in
     functions/similarity.py (random-hyperplane buckets first)."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # precompute per-vector double cast + norm ONCE (inlining cosine() per
+    # pair evaluates three array folds per pair — measured 3× slower on an
+    # O(n²) join)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("id"), vd.alias("v"),
+        F.sqrt(F.aggregate(F.transform(vd, lambda x: x * x), F.lit(0.0),
+                           lambda acc, x: acc + x)).alias("nrm"))
     a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
     pairs = (a.join(b, F.col("a.id") < F.col("b.id"))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     cosine(F.col("a.v"), F.col("b.v")).alias("cos")))
+                     (dot / F.nullif(F.col("a.nrm") * F.col("b.nrm"),
+                                     F.lit(0.0))).alias("cos")))
     return (pairs.select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
             .where(F.col("cosine") >= threshold))

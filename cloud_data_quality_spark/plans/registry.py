@@ -545,7 +545,7 @@ def q_simhash_pairs(spark, sf_dir):
     bit_count(xor) hamming."""
     return simhash_pairs(_t(spark, sf_dir, "documents"),
                          text_col="text", id_col="doc_id",
-                         max_hamming=12, n_bands=4)
+                         max_hamming=6, n_bands=4)
 
 
 ORACLE_SIMHASH_PAIRS = f"""
@@ -567,7 +567,7 @@ where (((a.sh >> 0) & 32767) = ((b.sh >> 0) & 32767)
     or ((a.sh >> 15) & 32767) = ((b.sh >> 15) & 32767)
     or ((a.sh >> 30) & 32767) = ((b.sh >> 30) & 32767)
     or ((a.sh >> 45) & 32767) = ((b.sh >> 45) & 32767))
-  and bit_count(xor(a.sh, b.sh)) <= 12
+  and bit_count(xor(a.sh, b.sh)) <= 6
 """
 
 

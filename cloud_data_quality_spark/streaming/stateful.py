@@ -1,0 +1,94 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+Two operators a continuous ingestion pipeline needs that tumbling windows
+can't express:
+
+* running_host_quality — per-host RUNNING totals (docs seen, docs kept,
+  keep rate) across the whole stream lifetime, emitted after every
+  micro-batch the host appears in. State per host: two counters.
+* streaming_dedup_exact — cross-batch exact dedup: only the first
+  occurrence of each text fingerprint survives. (Spark's native
+  dropDuplicates needs a watermark column to bound state; this variant keeps
+  explicit per-fingerprint state and demonstrates the custom-state path.)
+
+State-size posture: running_host_quality holds O(hosts) counters;
+streaming_dedup_exact holds O(distinct fingerprints) — at web scale bound it
+by routing through a bucketed fingerprint prefix and TTL-ing buckets
+(GroupStateTimeout), or prefer the batch dedup over closed partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from cloud_data_quality_spark.functions.text import fingerprint
+from cloud_data_quality_spark.functions.webtext_rules import (
+    quality_annotations_batch,
+)
+
+HOST_STATE_SCHEMA = "n_docs bigint, n_kept bigint"
+HOST_OUT_SCHEMA = "host string, n_docs bigint, n_kept bigint, keep_rate double"
+
+
+def _host_quality_fn(key: Tuple[str], batches: Iterable[pd.DataFrame],
+                     state: GroupState):
+    n_docs, n_kept = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        ann = quality_annotations_batch(pdf["text"], with_perplexity=False)
+        n_docs += len(pdf)
+        n_kept += int(ann["keep"].sum())
+    state.update((n_docs, n_kept))
+    yield pd.DataFrame({"host": [key[0]], "n_docs": [n_docs],
+                        "n_kept": [n_kept],
+                        "keep_rate": [n_kept / n_docs if n_docs else 0.0]})
+
+
+def running_host_quality(stream_df: DataFrame,
+                         url_col: str = "url") -> DataFrame:
+    from cloud_data_quality_spark.functions.skew import url_host
+    hosts = stream_df.withColumn("host", url_host(F.col(url_col)))
+    return (hosts.groupBy("host")
+            .applyInPandasWithState(_host_quality_fn,
+                                    outputStructType=HOST_OUT_SCHEMA,
+                                    stateStructType=HOST_STATE_SCHEMA,
+                                    outputMode="update",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+DEDUP_STATE_SCHEMA = "seen boolean"
+DEDUP_OUT_SCHEMA = ("url string, warc_ts timestamp, text string, "
+                    "lang string, fp string")
+
+
+def _dedup_fn(key: Tuple[str], batches: Iterable[pd.DataFrame],
+              state: GroupState):
+    if state.exists:
+        # fingerprint already emitted in an earlier batch — drop everything
+        for _ in batches:
+            pass
+        return
+    first = None
+    for pdf in batches:
+        if first is None and len(pdf):
+            first = pdf.iloc[[0]]
+    state.update((True,))
+    if first is not None:
+        yield first[["url", "warc_ts", "text", "lang", "fp"]]
+
+
+def streaming_dedup_exact(stream_df: DataFrame,
+                          text_col: str = "text") -> DataFrame:
+    """First occurrence per normalized-text fingerprint across the stream."""
+    keyed = stream_df.withColumn("fp", fingerprint(F.col(text_col))) \
+                     .where(F.col("fp").isNotNull())
+    return (keyed.groupBy("fp")
+            .applyInPandasWithState(_dedup_fn,
+                                    outputStructType=DEDUP_OUT_SCHEMA,
+                                    stateStructType=DEDUP_STATE_SCHEMA,
+                                    outputMode="append",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
