@@ -153,6 +153,13 @@ def minhash_lsh_pairs(
         .join(sh.withColumnRenamed("id", "id_b")
                 .withColumnRenamed("shingles", "sh_b"), "id_b")
     )
+    # cheap size-bound prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so
+    # pairs failing the ratio can't reach the threshold — skip their
+    # array_intersect entirely (identical result set, big constant win)
+    size_ok = (F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+               / F.greatest(F.size("sh_a"), F.size("sh_b"))
+               >= jaccard_threshold)
+    joined = joined.where(size_ok)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / F.nullif(union, F.lit(0))
@@ -192,6 +199,13 @@ def ngram_jaccard_pairs(
                 F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # cheap size-bound prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so
+    # pairs failing the ratio can't reach the threshold — skip their
+    # array_intersect entirely (identical result set, big constant win)
+    size_ok = (F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+               / F.greatest(F.size("sh_a"), F.size("sh_b"))
+               >= jaccard_threshold)
+    joined = joined.where(size_ok)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / F.nullif(union, F.lit(0))
