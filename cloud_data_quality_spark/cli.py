@@ -69,7 +69,8 @@ def _quality_filter(args) -> int:
     df = spark.read.parquet(args.input)
     runner = ResumableQualityRun(
         spark, output_path=args.output, lineage_path=args.lineage,
-        n_buckets=args.buckets)
+        n_buckets=args.buckets,
+        partitions_per_commit=args.partitions_per_commit)
     transform = lambda d: (annotate_quality_arrow(d)  # noqa: E731
                            .where(F.col("keep")))
     res = runner.run(df, transform, run_id=args.run_id)
@@ -105,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--lineage", required=True)
     q.add_argument("--run-id", required=True)
     q.add_argument("--buckets", type=int, default=64)
+    q.add_argument("--partitions-per-commit", type=int, default=None,
+                   help="buckets per lineage commit; default = all remaining "
+                        "in one single-scan wave (extra waves re-scan unless "
+                        "the partition expr is aligned with physical layout)")
 
     args = p.parse_args(argv)
     args.master = getattr(args, "master", None)

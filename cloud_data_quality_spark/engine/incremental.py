@@ -10,27 +10,41 @@ Mechanism (works on plain parquet; maps 1:1 onto Iceberg):
 * the input is split into logical partitions by a partition expression
   (default: pmod(xxhash64(url), n_buckets) — at 100 TB you'd use the table's
   physical partitions, e.g. days(warc_ts), instead);
-* each partition is processed independently: output written to
-  `out/part_key=K/` via dynamic partition overwrite (idempotent retry), then
-  a lineage row (run_id, part_key, status, n_in, n_kept, finished_ts) is
-  appended to the lineage table;
-* on restart with the same run_id, committed part_keys are loaded and
-  skipped (the anti-join happens at plan time, so skipped partitions are
-  never scanned — with a partition-aligned key the scan prunes them too).
+* all not-yet-committed partitions are processed in ONE pass: a single
+  ``partitionBy("part_key")`` dynamic-overwrite write covers every remaining
+  bucket, so the input is scanned exactly once per wave regardless of bucket
+  count (round-1 shape re-scanned the input once per bucket — 64 buckets =
+  64 full scans of a 100 TB table);
+* per-partition row counts come from ``Observation`` metrics (one
+  ``count_if(part_key = k)`` per bucket on both the input and output side of
+  the transform), collected during the same write job — zero extra scans;
+* after the write commits, one lineage row per bucket
+  (run_id, part_key, status, n_in, n_kept, finished_ts) is appended;
+* on restart with the same run_id, committed part_keys are excluded at plan
+  time (``~part_key.isin(done)``) — with a partition-aligned key the scan
+  prunes them physically too.
+
+Commit granularity vs scan count is an explicit dial:
+``partitions_per_commit=None`` (default) commits everything in one wave —
+one scan, lineage lands only when the whole wave finishes.
+``partitions_per_commit=k`` trades extra scans (⌈remaining/k⌉) for
+finer-grained restart points; only worth it when the partition expression is
+aligned with the table's physical layout so each wave's ``.isin`` filter
+prunes the scan instead of re-reading everything.
 
 Atomicity note: parquet gives write-then-commit ordering (output before
-lineage append), so a crash between the two re-processes one partition —
-idempotent because the output write is an overwrite of exactly that
-partition directory. On Iceberg both writes share one transaction.
+lineage append), so a crash mid-wave re-processes that wave's partitions —
+idempotent because dynamic partition overwrite replaces exactly the
+directories it rewrites. On Iceberg both writes share one transaction.
 """
 
 from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from typing import Callable
+from typing import Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = ("run_id string, part_key int, status string, n_in bigint, "
@@ -54,12 +68,14 @@ class ResumableQualityRun:
         lineage_path: str,
         n_buckets: int = 16,
         partition_expr: str | None = None,
+        partitions_per_commit: int | None = None,
     ):
         self.spark = spark
         self.output_path = output_path
         self.lineage_path = lineage_path
         self.n_buckets = n_buckets
         self.partition_expr = partition_expr or f"pmod(xxhash64(url), {n_buckets})"
+        self.partitions_per_commit = partitions_per_commit
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def committed_partitions(self, run_id: str) -> set[int]:
@@ -72,12 +88,59 @@ class ResumableQualityRun:
                 .select("part_key").distinct().collect())
         return {r["part_key"] for r in rows}
 
-    def _append_lineage(self, row: dict) -> None:
-        self.spark.createDataFrame([tuple(row[k] for k in
-                                          ("run_id", "part_key", "status",
-                                           "n_in", "n_kept", "finished_ts"))],
-                                   schema=LINEAGE_SCHEMA) \
-            .write.mode("append").parquet(self.lineage_path)
+    def _append_lineage(self, rows: list[dict]) -> None:
+        self.spark.createDataFrame(
+            [tuple(row[k] for k in ("run_id", "part_key", "status",
+                                    "n_in", "n_kept", "finished_ts"))
+             for row in rows],
+            schema=LINEAGE_SCHEMA,
+        ).write.mode("append").parquet(self.lineage_path)
+
+    def _keyed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("part_key", F.expr(self.partition_expr).cast("int"))
+
+    def wave_plan(
+        self,
+        df: DataFrame,
+        transform: Callable[[DataFrame], DataFrame],
+        wave: Sequence[int],
+    ) -> tuple[DataFrame, Observation, Observation]:
+        """Build the single-scan plan for one wave of partitions.
+
+        Input-side and output-side per-bucket counts are attached as
+        Observations so lineage needs no extra jobs. Exposed (not just
+        inlined in run) so plan tests can assert the one-scan shape.
+        """
+        keyed = self._keyed(df).where(F.col("part_key").isin(list(wave)))
+        obs_in, obs_out = Observation(), Observation()
+        keyed = keyed.observe(
+            obs_in, *[F.count_if(F.col("part_key") == k).alias(f"n_{k}")
+                      for k in wave])
+        out = transform(keyed)
+        out = out.observe(
+            obs_out, *[F.count_if(F.col("part_key") == k).alias(f"n_{k}")
+                       for k in wave])
+        return out, obs_in, obs_out
+
+    def _run_wave(
+        self,
+        df: DataFrame,
+        transform: Callable[[DataFrame], DataFrame],
+        run_id: str,
+        wave: Sequence[int],
+    ) -> tuple[int, int]:
+        out, obs_in, obs_out = self.wave_plan(df, transform, wave)
+        (out.write.mode("overwrite")
+         .partitionBy("part_key").parquet(self.output_path))
+        n_in, n_kept = obs_in.get, obs_out.get
+        ts = time.time()
+        self._append_lineage([
+            {"run_id": run_id, "part_key": k, "status": "committed",
+             "n_in": n_in[f"n_{k}"], "n_kept": n_kept[f"n_{k}"],
+             "finished_ts": ts}
+            for k in wave
+        ])
+        return sum(n_in.values()), sum(n_kept.values())
 
     def run(
         self,
@@ -87,28 +150,25 @@ class ResumableQualityRun:
         fail_at_partition: int | None = None,  # test hook: simulate a crash
     ) -> ResumableResult:
         done = self.committed_partitions(run_id)
-        keyed = df.withColumn("part_key", F.expr(self.partition_expr).cast("int"))
-        processed, skipped = [], []
+        remaining = [p for p in range(self.n_buckets) if p not in done]
+        skipped = sorted(done & set(range(self.n_buckets)))
         rows_in = rows_kept = 0
-        for part in range(self.n_buckets):
-            if part in done:
-                skipped.append(part)
-                continue
-            if fail_at_partition is not None and part == fail_at_partition:
-                raise RuntimeError(f"simulated crash before partition {part}")
-            part_df = keyed.where(F.col("part_key") == part)
-            out = transform(part_df)
-            n_in = part_df.count()
-            out_cached = out.persist()
-            n_kept = out_cached.count()
-            (out_cached.write.mode("overwrite")
-             .partitionBy("part_key").parquet(self.output_path))
-            out_cached.unpersist()
-            self._append_lineage({
-                "run_id": run_id, "part_key": part, "status": "committed",
-                "n_in": n_in, "n_kept": n_kept, "finished_ts": time.time(),
-            })
-            processed.append(part)
+        processed: list[int] = []
+
+        if fail_at_partition is not None and fail_at_partition in remaining:
+            # Simulated crash: commit everything strictly before the crash
+            # point (one wave), then die — exercises partition-granular resume.
+            pre = [p for p in remaining if p < fail_at_partition]
+            if pre:
+                rows_in, rows_kept = self._run_wave(df, transform, run_id, pre)
+            raise RuntimeError(
+                f"simulated crash before partition {fail_at_partition}")
+
+        chunk = self.partitions_per_commit or len(remaining) or 1
+        for i in range(0, len(remaining), chunk):
+            wave = remaining[i:i + chunk]
+            n_in, n_kept = self._run_wave(df, transform, run_id, wave)
             rows_in += n_in
             rows_kept += n_kept
+            processed.extend(wave)
         return ResumableResult(run_id, processed, skipped, rows_in, rows_kept)

@@ -141,6 +141,33 @@ class TestResume:
         expected = transform(df).count()
         assert out.count() == expected
 
+    def test_multi_bucket_run_scans_input_once(self, spark, pages_parquet,
+                                               tmp_path):
+        """Scale posture: the resumable write covers ALL remaining buckets in
+        one partitionBy pass — the input parquet appears exactly once in the
+        plan, not once per bucket (round-1 shape = 64 scans at 64 buckets)."""
+        df = spark.read.parquet(pages_parquet)
+        runner = ResumableQualityRun(
+            spark, output_path=str(tmp_path / "out_plan"),
+            lineage_path=str(tmp_path / "lineage_plan"), n_buckets=8)
+        t = lambda d: annotate_quality(d).where(F.col("keep"))  # noqa: E731
+        out, _, _ = runner.wave_plan(df, t, list(range(8)))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1
+
+        # and the counts the single pass reports match per-bucket reality
+        res = runner.run(df, t, run_id="rplan")
+        lineage = spark.read.parquet(str(tmp_path / "lineage_plan"))
+        keyed = df.withColumn(
+            "part_key", F.expr(runner.partition_expr).cast("int"))
+        expect_in = {r["part_key"]: r["count"] for r in
+                     keyed.groupBy("part_key").count().collect()}
+        got_in = {r["part_key"]: r["n_in"] for r in lineage.collect()}
+        assert got_in == expect_in
+        assert res.rows_in == sum(expect_in.values())
+        out_rows = spark.read.parquet(str(tmp_path / "out_plan")).count()
+        assert res.rows_kept == out_rows == t(keyed).count()
+
     def test_rerun_is_noop(self, spark, pages_parquet, tmp_path):
         df = spark.read.parquet(pages_parquet).limit(200)
         runner = ResumableQualityRun(
