@@ -8,9 +8,9 @@ value-hash → CORRECTNESS_r{N}.json).
 All queries live in cloud_data_quality_spark/plans/registry.py, where each
 Spark query is paired with a DuckDB oracle generated from the same Python
 constants (stopword lists, thresholds, scrub patterns) so the two sides
-cannot drift. Two queries (simhash_pairs, lsh_ann) intentionally have no
-oracle: SimHash's bit-vote fold isn't reasonably SQL-expressible and LSH ANN
-is approximate by design — both are exactness-tested in pytest instead.
+cannot drift. One query (lsh_ann) intentionally has no oracle: LSH ANN is
+approximate by design — recall vs the brute-force baseline is asserted in
+pytest instead. (simhash_pairs gained a full bit-vote DuckDB oracle.)
 """
 
 from __future__ import annotations

@@ -87,7 +87,8 @@ def build_suite(spark, sf_dir: str, pages_path: str):
                                        "RB_ORDERS_DUP", "RB_EVENTS_WINDOW"]).count()
 
     def q_dedup_minhash_docs():
-        return minhash_lsh_pairs(docs, jaccard_threshold=0.5).count()
+        return minhash_lsh_pairs(docs, jaccard_threshold=0.5,
+                                 broadcast_verify=True).count()
 
     def q_dedup_exact_pages():
         from cloud_data_quality_spark.functions.dedup import exact_duplicates

@@ -50,6 +50,7 @@ from cloud_data_quality_spark.compiler.binding import (
     compile_binding,
 )
 from cloud_data_quality_spark.config.loader import ConfigRegistry
+from cloud_data_quality_spark.config.model import RuleType
 from cloud_data_quality_spark.engine.summary import (
     SUMMARY_SCHEMA,
     RuleCounts,
@@ -306,14 +307,21 @@ class DqEngine:
     def _failed_records_sql(self, binding: CompiledBinding, rule: CompiledRule) -> str:
         """Human-runnable Spark SQL selecting this rule's failing rows — the
         reference stores an equivalent BigQuery string per summary row
-        (failed_records_query.sql:36-116)."""
+        (failed_records_query.sql:36-116, which filters row_is_valid IS
+        FALSE). Per-rule-type failure predicate: a NOT_NULL rule fails on
+        NULL rows, so conjoining `col IS NOT NULL AND NOT (col IS NOT NULL)`
+        would be a contradiction returning 0 rows; every other simple rule's
+        tri-valued validity is FALSE only on non-NULL rows."""
         table = binding.table_name.format(**self.table_name_vars)
-        pred = rule.predicate_sql or f"/* batch rule {rule.batch_function} */ NULL"
         ref = ", ".join(binding.reference_columns) or binding.column_id
+        if rule.rule_type == RuleType.NOT_NULL:
+            fail = f"{binding.column_id} IS NULL"
+        else:
+            pred = rule.predicate_sql or f"/* batch rule {rule.batch_function} */ NULL"
+            fail = f"{binding.column_id} IS NOT NULL AND NOT ({pred})"
         return (
             f"SELECT {ref}, {binding.column_id} AS column_value "
-            f"FROM `{table}` data WHERE ({binding.filter_sql}) "
-            f"AND {binding.column_id} IS NOT NULL AND NOT ({pred})"
+            f"FROM `{table}` data WHERE ({binding.filter_sql}) AND {fail}"
         )
 
     def failed_records_frame(

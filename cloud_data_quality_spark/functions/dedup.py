@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from cloud_data_quality_spark.functions.text import fingerprint, tokens
 
@@ -109,6 +110,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     k: int = 8,
     jaccard_threshold: float = 0.5,
+    broadcast_verify: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via bottom-k MinHash
     bucketing + exact Jaccard verification on candidates.
@@ -117,7 +119,12 @@ def minhash_lsh_pairs(
     keys are md5 values: uniform, no skew) → distinct candidate pairs →
     re-join shingle sets → exact Jaccard filter. The only wide ops are the
     bucket join and the candidate dedupe; both shuffle uniformly-distributed
-    keys."""
+    keys.
+
+    broadcast_verify: hint the shingle table broadcast into the verify joins.
+    AQE underestimates cached array columns, so small corpora benefit (two
+    shuffle exchanges saved); leave False at scale — the decision is the
+    caller's (a plan-time count() here would trigger an extra job per call)."""
     base = (
         ensure_min_partitions(df.where(F.col(text_col).isNotNull()))
         .select(F.col(id_col).alias("id"),
@@ -125,12 +132,15 @@ def minhash_lsh_pairs(
         .where(F.size("shingles") >= 1)
         .withColumn("sig", F.slice(F.array_sort(F.transform("shingles", F.md5)),
                                    1, k))
-        # shingling + k·md5 per doc is the expensive narrow stage and the plan
-        # reads it three times (buckets, both sides of the verify join) —
-        # cache it rather than recompute (at 10^9 docs: checkpoint to a
-        # signatures table instead)
-        .persist()
     )
+    # shingling + k·md5 per doc is the expensive narrow stage and the plan
+    # reads it three times (buckets, both sides of the verify join) — cache
+    # it rather than recompute (at 10^9 docs: checkpoint to a signatures
+    # table instead). storageLevel consults the CacheManager by plan, so a
+    # repeat call skips the persist instead of logging "already cached"
+    # warnings and re-pinning.
+    if base.storageLevel == StorageLevel.NONE:
+        base = base.persist()
     buckets = base.select("id", F.explode("sig").alias("h"))
     cand = (
         buckets.alias("a")
@@ -140,11 +150,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh = base.select(F.col("id"), F.col("shingles"))
-    # candidate verification joins: AQE underestimates the size of cached
-    # array columns, so hint broadcast explicitly for small corpora (two
-    # shuffle exchanges saved); at 10^9 docs the shuffle join is correct and
-    # the hint is skipped
-    if base.count() <= 200_000:
+    if broadcast_verify:
         sh = F.broadcast(sh)
     joined = (
         cand
@@ -180,7 +186,10 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard pairs, blocked by character-length bucket so the
     self-join is bucket-local (near-dups have near-equal length; docs whose
     lengths differ by more than one bucket can't clear a high threshold).
-    Compares pairs within the same or adjacent bucket."""
+    Compares pairs within the same or adjacent bucket, SYMMETRICALLY: the
+    exploded side covers lb-1/lb/lb+1, so a pair is compared whenever
+    |lb_a - lb_b| <= 1 regardless of which doc has the lower id (the
+    two-bucket explode only caught the higher-id doc being same-or-longer)."""
     base = (
         ensure_min_partitions(df.where(F.col(text_col).isNotNull()))
         .select(F.col(id_col).alias("id"),
@@ -188,9 +197,11 @@ def ngram_jaccard_pairs(
                 (F.floor(F.length(text_col) / length_bucket)).alias("lb"))
         .where(F.size("sh") >= 1)
     )
-    # candidate blocks: same bucket or adjacent (explode both buckets)
+    # candidate blocks: |Δbucket| ≤ 1 in either direction
     blocked = base.select(
-        "id", "sh", F.explode(F.array(F.col("lb"), F.col("lb") + 1)).alias("blk"))
+        "id", "sh",
+        F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1))
+         .alias("blk"))
     a, b = blocked.alias("a"), base.alias("b")
     joined = (
         a.join(b, F.col("a.blk") == F.col("b.lb"))
@@ -244,28 +255,50 @@ def simhash60(col: Column, band_bits: int = 15) -> Column:
     return out
 
 
+def simhash_bands(n_bands: int, bits: int = 60) -> list[tuple[int, int]]:
+    """(bit_offset, width) per band, splitting `bits` as evenly as possible
+    (first bits % n_bands bands get one extra bit). Shared between the Spark
+    plan and the generated DuckDB oracle so the band layout can't drift."""
+    w, r = divmod(bits, n_bands)
+    out, off = [], 0
+    for i in range(n_bands):
+        width = w + (1 if i < r else 0)
+        out.append((off, width))
+        off += width
+    return out
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 4,
-    n_bands: int = 4,
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 60-bit hash into n_bands 15-bit
-    bands; pairs sharing any band are candidates (pigeonhole: hamming ≤
-    n_bands-1 guarantees a shared band); verify with exact popcount."""
+    """Near-dup pairs by SimHash: band the 60-bit hash; pairs sharing any
+    band are candidates; verify with exact popcount.
+
+    Pigeonhole completeness: a pair with hamming ≤ n_bands-1 must share at
+    least one band, so n_bands defaults to max_hamming+1 — EVERY pair within
+    max_hamming is emitted. An explicit n_bands < max_hamming+1 would
+    silently miss pairs and is rejected."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"n_bands={n_bands} only guarantees pairs up to hamming "
+            f"{n_bands - 1}; need n_bands >= max_hamming+1 = {max_hamming + 1}")
     base = (
         ensure_min_partitions(df.where(F.col(text_col).isNotNull()))
         .select(F.col(id_col).alias("id"), simhash60(F.col(text_col)).alias("sh"))
     )
-    band_width = 60 // n_bands
     bands = base.select(
         "id", "sh",
         F.explode(F.array(*[
             F.concat(F.lit(f"b{i}:"),
-                     F.shiftright(F.col("sh"), i * band_width)
-                      .bitwiseAND(F.lit((1 << band_width) - 1)).cast("string"))
-            for i in range(n_bands)
+                     F.shiftright(F.col("sh"), off)
+                      .bitwiseAND(F.lit((1 << width) - 1)).cast("string"))
+            for i, (off, width) in enumerate(simhash_bands(n_bands))
         ])).alias("band"),
     )
     cand = (

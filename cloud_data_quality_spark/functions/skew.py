@@ -27,15 +27,26 @@ def url_host(col: Column) -> Column:
 
 
 def salted_repartition(df: DataFrame, key_col: str, n_salts: int = 16,
-                       num_partitions: int | None = None) -> DataFrame:
+                       num_partitions: int | None = None,
+                       salt_col: str | None = None) -> DataFrame:
     """Repartition by (key, deterministic salt): a key that would land on one
     partition spreads over n_salts. Downstream per-key aggregations must be
     algebraic (partial per salt → final combine) — the standard two-phase
-    pattern."""
-    salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(key_col), F.col("url")
-                                    if "url" in df.columns else F.col(key_col)),
-                         F.lit(n_salts)))
+    pattern.
+
+    The salt must vary WITHIN a hot key or the whole function is a no-op
+    (a salt that is a pure function of the key sends every row of the key to
+    the same partition). Salt source, in order: the caller-named per-row
+    column, else ``url`` (per-row distinct in web corpora), else a hash over
+    ALL columns — deterministic across re-runs (required for resumable
+    lineage) yet row-distinct whenever rows are."""
+    if salt_col is not None:
+        src = [F.col(salt_col)]
+    elif "url" in df.columns:
+        src = [F.col("url")]
+    else:
+        src = [F.col(c) for c in df.columns]
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(*src), F.lit(n_salts)))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
     return salted.repartition(n, F.col(key_col), F.col("__salt"))
 

@@ -37,6 +37,7 @@ from cloud_data_quality_spark.functions.dedup import (
     embedding_cosine_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_bands,
     simhash_pairs,
 )
 from cloud_data_quality_spark.functions.scrub import scrub_text
@@ -398,16 +399,23 @@ from documents group by source
 
 def q_unigram_logprob(spark, sf_dir):
     """Corpus-unigram negative mean log-prob per doc (KenLM-style scoring
-    with the corpus itself as the model — two passes, both distributed;
-    the n-gram frequency table is broadcast by AQE since it's tiny)."""
+    with the corpus itself as the model — two passes, both distributed).
+
+    Scale posture: the token TOTAL comes from summing the freq table (one
+    tiny agg over the vocab) rather than a third full tokenize+count pass,
+    attached as a broadcast scalar cross-join. The freq table itself is NOT
+    hint-broadcast — at web scale distinct tokens are 10^8+ and a forced
+    broadcast OOMs; AQE picks broadcast when it actually fits. For bounded
+    executor memory use q_unigram_logprob_topk."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id",
                        F.explode(TX.tokens(F.col("text"))).alias("w"))
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.count()
-    scored = (toks.join(F.broadcast(freq), "w")
+    total = freq.agg(F.sum("c").cast("double").alias("__total"))
+    scored = (toks.join(freq, "w")
+              .crossJoin(F.broadcast(total))
               .groupBy("doc_id")
-              .agg(F.round(F.avg(-F.log(F.col("c") / F.lit(float(total)))), 4)
+              .agg(F.round(F.avg(-F.log(F.col("c") / F.col("__total"))), 4)
                    .alias("nll")))
     return scored
 
@@ -419,6 +427,43 @@ freq as (select w, count(*) c from toks group by w),
 total as (select count(*) n from toks)
 select doc_id, round(avg(-ln(c::DOUBLE / (select n from total))), 4) as nll
 from toks join freq using (w)
+group by doc_id
+"""
+
+_UNIGRAM_TOPK = 500
+
+
+def q_unigram_logprob_topk(spark, sf_dir):
+    """Bounded-memory variant: model = top-K vocabulary (deterministic
+    tie-break on the token) + OOV floor count of 1. The K-row model is the
+    ONLY thing broadcast — executor memory stays O(K) no matter how large
+    the corpus vocabulary grows; orderBy().limit(K) is a per-partition
+    top-K then single small reduce, not a global sort."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id",
+                       F.explode(TX.tokens(F.col("text"))).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("__total"))
+    topk = freq.orderBy(F.col("c").desc(), F.col("w")).limit(_UNIGRAM_TOPK)
+    scored = (toks.join(F.broadcast(topk), "w", "left")
+              .crossJoin(F.broadcast(total))
+              .groupBy("doc_id")
+              .agg(F.round(F.avg(-F.log(F.coalesce(F.col("c"), F.lit(1))
+                                        / F.col("__total"))), 4)
+                   .alias("nll")))
+    return scored
+
+
+ORACLE_UNIGRAM_LOGPROB_TOPK = f"""
+with toks as (
+  select doc_id, unnest({OF.sql_tokens('text')}) as w from documents),
+freq as (select w, count(*) c from toks group by w),
+total as (select count(*) n from toks),
+topk as (select w, c from freq order by c desc, w limit {_UNIGRAM_TOPK})
+select doc_id,
+       round(avg(-ln(coalesce(t.c, 1)::DOUBLE / (select n from total))), 4)
+         as nll
+from toks left join topk t using (w)
 group by doc_id
 """
 
@@ -443,9 +488,12 @@ from documents group by 1 having count(*) > 1
 
 
 def q_minhash_pairs(spark, sf_dir):
+    # broadcast_verify: test-scale corpora fit comfortably; at 10^9 docs the
+    # caller leaves it False and the verify join shuffles
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
                              text_col="text", id_col="doc_id",
-                             n=3, k=8, jaccard_threshold=0.5)
+                             n=3, k=8, jaccard_threshold=0.5,
+                             broadcast_verify=True)
 
 
 ORACLE_MINHASH_PAIRS = f"""
@@ -483,7 +531,7 @@ with d as (
 d2 as (select * from d where len(sh) >= 1),
 cand as (select a.doc_id id_a, b.doc_id id_b, a.sh sh_a, b.sh sh_b
          from d2 a join d2 b
-           on a.doc_id < b.doc_id and b.lb - a.lb in (0, 1))
+           on a.doc_id < b.doc_id and abs(a.lb - b.lb) <= 1)
 select id_a, id_b,
        round(len(list_intersect(sh_a, sh_b))::DOUBLE /
              nullif(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)), 0),
@@ -538,14 +586,24 @@ from ranked where rank <= 5
 """
 
 
+_SIMHASH_MAX_HAMMING = 6
+# band layout derived exactly as simhash_pairs derives it (n_bands =
+# max_hamming+1 → pigeonhole-complete); generated into the oracle predicate
+# from the same helper so Spark and DuckDB can't drift
+_SIMHASH_BAND_PRED = "\n    or ".join(
+    f"((a.sh >> {off}) & {(1 << w) - 1}) = ((b.sh >> {off}) & {(1 << w) - 1})"
+    for off, w in simhash_bands(_SIMHASH_MAX_HAMMING + 1))
+
+
 def q_simhash_pairs(spark, sf_dir):
     """60-bit SimHash near-dup pairs (banded candidates, exact hamming
-    verify). The oracle replays the full bit-vote in SQL: hex→BIGINT via
-    '0x' cast, per-bit votes over distinct tokens, band-share predicate,
-    bit_count(xor) hamming."""
+    verify; n_bands derived = max_hamming+1 so the candidate set is
+    pigeonhole-complete). The oracle replays the full bit-vote in SQL:
+    hex→BIGINT via '0x' cast, per-bit votes over distinct tokens, the SAME
+    generated band-share predicate, bit_count(xor) hamming."""
     return simhash_pairs(_t(spark, sf_dir, "documents"),
                          text_col="text", id_col="doc_id",
-                         max_hamming=6, n_bands=4)
+                         max_hamming=_SIMHASH_MAX_HAMMING)
 
 
 ORACLE_SIMHASH_PAIRS = f"""
@@ -563,11 +621,8 @@ sh as (select doc_id,
 select a.doc_id as id_a, b.doc_id as id_b,
        bit_count(xor(a.sh, b.sh))::INT as hamming
 from sh a join sh b on a.doc_id < b.doc_id
-where (((a.sh >> 0) & 32767) = ((b.sh >> 0) & 32767)
-    or ((a.sh >> 15) & 32767) = ((b.sh >> 15) & 32767)
-    or ((a.sh >> 30) & 32767) = ((b.sh >> 30) & 32767)
-    or ((a.sh >> 45) & 32767) = ((b.sh >> 45) & 32767))
-  and bit_count(xor(a.sh, b.sh)) <= 6
+where ({_SIMHASH_BAND_PRED})
+  and bit_count(xor(a.sh, b.sh)) <= {_SIMHASH_MAX_HAMMING}
 """
 
 
@@ -599,13 +654,16 @@ from events group by 1
 
 
 def q_accuracy_distribution_events(spark, sf_dir):
-    """A8-style distribution check: per-type share of total (countif ratio)."""
+    """A8-style distribution check: per-type share of total (countif ratio).
+    Total attached as a broadcast scalar cross-join (same pattern as
+    q_accuracy_distribution_true) — no driver-side count() round trip."""
     ev = _t(spark, sf_dir, "events")
-    total = ev.count()
+    total = ev.agg(F.count(F.lit(1)).cast("double").alias("__total"))
     return (ev.groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.count(F.lit(1)) / F.lit(float(total)), 6)
-                  .alias("share")))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(F.broadcast(total))
+            .select("event_type", "n",
+                    F.round(F.col("n") / F.col("__total"), 6).alias("share")))
 
 
 ORACLE_ACCURACY_DISTRIBUTION_EVENTS = """
@@ -836,6 +894,7 @@ QUERIES = {
     "quality_rollup": q_quality_rollup,
     "token_count_by_source": q_token_count_by_source,
     "unigram_logprob": q_unigram_logprob,
+    "unigram_logprob_topk": q_unigram_logprob_topk,
     "dedup_exact_prefix": q_dedup_exact_prefix,
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -868,6 +927,7 @@ ORACLES = {
     "quality_rollup": _oracle_quality_rollup(),
     "token_count_by_source": ORACLE_TOKEN_COUNT_BY_SOURCE,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "unigram_logprob_topk": ORACLE_UNIGRAM_LOGPROB_TOPK,
     "dedup_exact_prefix": ORACLE_DEDUP_EXACT_PREFIX,
     "minhash_pairs": ORACLE_MINHASH_PAIRS,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,

@@ -75,6 +75,32 @@ class TestShingleDedup:
         assert (1, 4) in pairs and pairs[(1, 4)] <= 10
         assert (1, 5) not in pairs
 
+    def test_simhash_bands_pigeonhole(self, docs):
+        """n_bands must cover max_hamming (pigeonhole: hamming ≤ n_bands-1
+        guarantees a shared band); too few bands is an error, and the
+        derived layout always splits all 60 bits."""
+        from cloud_data_quality_spark.functions.dedup import simhash_bands
+        for nb in (4, 7, 11):
+            bands = simhash_bands(nb)
+            assert sum(w for _, w in bands) == 60
+            assert [off for off, _ in bands] == sorted(off for off, _ in bands)
+        with pytest.raises(ValueError, match="n_bands"):
+            simhash_pairs(docs, max_hamming=6, n_bands=4)
+
+    def test_ngram_jaccard_blocking_symmetric(self, spark):
+        """A higher-id doc one length-bucket SHORTER than its near-dup must
+        still be compared (the old one-directional explode only covered the
+        higher-id doc being same-or-longer)."""
+        words = [c * 5 for c in "abcdefghijkl"]
+        long_text = " ".join(words)        # 71 chars → bucket 2
+        short_text = " ".join(words[:10])  # 59 chars → bucket 1
+        assert len(long_text) // 32 == len(short_text) // 32 + 1
+        df = spark.createDataFrame(
+            [(1, long_text), (2, short_text)], "doc_id bigint, text string")
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(df, jaccard_threshold=0.3).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 0.3
+
 
 class TestEmbeddings:
     @pytest.fixture(scope="class")

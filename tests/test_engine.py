@@ -118,6 +118,26 @@ class TestFailedRecords:
         # reference columns echoed as JSON for joinback
         assert '"ROW_ID"' in sample["_dq_validation_reference_columns_json"]
 
+    def test_failed_records_sql_per_rule_type(self, engine, spark,
+                                              contact_registry, contact_details):
+        """The stored failed_records_query must actually return the failing
+        rows when run. NOT_NULL fails on NULL rows — conjoining
+        `col IS NOT NULL AND NOT (col IS NOT NULL)` would be a contradiction
+        returning 0 rows (reference failed_records_query.sql filters
+        row_is_valid IS FALSE, which includes the NULLs for NOT_NULL)."""
+        b = compile_binding(contact_registry, "T2_EMAIL")
+        rules = {r.rule_id: r for r in b.simple_rules}
+        spark.read.parquet(contact_details).createOrReplaceTempView("cd_view")
+
+        nn_sql = engine._failed_records_sql(b, rules["NOT_NULL_SIMPLE"])
+        rows = spark.sql(nn_sql.replace(f"`{b.table_name}`", "cd_view")).collect()
+        assert len(rows) == 1 and rows[0]["column_value"] is None
+
+        rx_sql = engine._failed_records_sql(b, rules["REGEX_VALID_EMAIL"])
+        vals = {r["column_value"] for r in
+                spark.sql(rx_sql.replace(f"`{b.table_name}`", "cd_view")).collect()}
+        assert vals == {"", "not-an-email"}  # non-NULL failures only
+
 
 class TestSummarySink:
     def test_append_and_merge_dedupe(self, engine, spark):

@@ -165,6 +165,19 @@ class TestSkew:
                 .groupBy("pid").count().collect())
         assert len(dist) >= 4  # hot host spread across several partitions
 
+    def test_salted_repartition_without_url_column(self, spark):
+        """No `url` column → salt falls back to a hash over ALL columns.
+        (The old fallback hashed only the key, so every row of a hot key
+        got the same salt — a silent no-op.)"""
+        from cloud_data_quality_spark.functions.skew import salted_repartition
+        import pyspark.sql.functions as SF
+        df = spark.range(0, 2000).select(
+            F.lit("hot").alias("k"), F.col("id"))
+        salted = salted_repartition(df, "k", n_salts=8, num_partitions=16)
+        dist = (salted.withColumn("pid", SF.spark_partition_id())
+                .groupBy("pid").count().collect())
+        assert len(dist) >= 4
+
 
 class TestKeepDropF1:
     def test_f1_vs_reference_semantics_labels(self, spark, pages_parquet):

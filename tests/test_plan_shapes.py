@@ -95,6 +95,23 @@ class TestSinglePassExecution:
         before_exchange = plan.split("Exchange")[-1]
         assert "HashAggregate" in before_exchange  # partial agg below shuffle
 
+    def test_unigram_vocab_not_hint_broadcast(self, spark):
+        """The corpus vocabulary is 10^8+ distinct tokens at web scale — it
+        must never be FORCED broadcast. Allowed hints: the single-row total
+        scalar (both variants) and the bounded top-K model (topk variant);
+        AQE remains free to broadcast the vocab when it actually fits."""
+        from cloud_data_quality_spark.plans.registry import (
+            q_unigram_logprob,
+            q_unigram_logprob_topk,
+        )
+        sf = "/root/testdata/sf0.001"
+        plain = q_unigram_logprob(spark, sf)._jdf.queryExecution() \
+            .analyzed().toString()
+        assert plain.count("ResolvedHint") == 1  # __total scalar only
+        topk = q_unigram_logprob_topk(spark, sf)._jdf.queryExecution() \
+            .analyzed().toString()
+        assert topk.count("ResolvedHint") == 2  # top-K model + __total
+
     def test_whole_stage_codegen_active(self, spark):
         from cloud_data_quality_spark.functions import text as TX
         docs = spark.read.parquet(f"{SF}/documents.parquet")
