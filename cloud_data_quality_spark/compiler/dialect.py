@@ -13,7 +13,8 @@ IFNULL → coalesce (Spark has ifnull but coalesce is canonical),
 PARSE_DATE('%Y%m', x) → to_date(x,'yyyyMM'), PARSE_TIMESTAMP,
 TIMESTAMP_SUB/DATE_SUB(…, INTERVAL n unit) → interval arithmetic,
 TIMESTAMP_TRUNC/DATE_TRUNC argument order, CAST('inf' AS FLOAT64),
-FLOAT64/INT64 type names.
+FLOAT64/INT64 type names, UNNEST (three forms — see _rewrite_unnest),
+`dotted.table.names` quoted whole → per-part backtick quoting.
 
 Regex-dialect caveat (SURVEY.md hard-part #2): BQ regexes are RE2, Spark's
 are java.util.regex. Common classes (\\d \\w \\s, character classes,
@@ -80,9 +81,79 @@ _RULES: list[tuple[re.Pattern, object]] = [
 ]
 
 
+_UNNEST_OPEN = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
+# words that can follow `unnest(...)` without being its alias
+_NOT_ALIAS = {"inner", "join", "left", "right", "full", "cross", "on",
+              "where", "group", "order", "having", "union", "limit",
+              "lateral", "and", "or", "between", "not", "is", "in", "then",
+              "else", "end", "when", "from", "select"}
+_ALIAS = re.compile(r"\s*(?:as\s+)?([A-Za-z_]\w*)", re.IGNORECASE)
+
+
+def _rewrite_unnest(sql: str) -> str:
+    """BQ `unnest(expr) [as] alias` → Spark.
+
+    Two positions, two targets (both verified against Spark 4.1):
+    * after FROM (incl. inside correlated EXISTS / scalar subqueries):
+      `from unnest(X) t`  →  `from explode(X) AS __unnest_t(t)` — Spark's
+      explode() table-valued function supports outer references, so the
+      reference's correlated `exists (select 1 from unnest($column) t join
+      ref ...)` (integrity_subquery.yaml:90-99) and `(select sum(...) from
+      unnest(...) s)` (correctness_complex_rule.yaml:64-69) run as-is;
+    * after a comma join (`from data d, unnest(d.arr) t`): Spark's comma
+      join can't correlate a TVF, so it becomes
+      `from data d lateral view explode(d.arr) __unnest_t as t`.
+
+    The array expression is paren-balance scanned (regexes can't nest)."""
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _UNNEST_OPEN.search(sql, pos)
+        if not m:
+            break
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        expr = sql[m.end():i - 1]
+        am = _ALIAS.match(sql, i)
+        alias = am.group(1) if am and am.group(1).lower() not in _NOT_ALIAS \
+            else None
+        end = am.end() if alias else i
+        before = sql[pos:m.start()]
+        comma = before.rstrip().endswith(",")
+        if comma:
+            before = before.rstrip()[:-1]
+            a = alias or "col"
+            repl = f" lateral view explode({expr}) __unnest_{a} as {a}"
+        elif alias:
+            repl = f"explode({expr}) AS __unnest_{alias}({alias})"
+        else:
+            repl = f"explode({expr}) AS __unnest_t(col)"
+        out.append(before)
+        out.append(repl)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+# BQ quotes whole dotted names as one identifier (`dataset.table`,
+# `project.dataset.table`); Spark needs each part quoted separately so the
+# name resolves through the catalog (e.g. `global_temp`.`ref_view`).
+_DOTTED_IDENT = re.compile(r"`([A-Za-z_][\w$-]*(?:\.[A-Za-z_][\w$-]*)+)`")
+
+
+def _split_dotted(m: re.Match) -> str:
+    return ".".join(f"`{part}`" for part in m.group(1).split("."))
+
+
 def bq_to_spark_sql(sql: str) -> str:
     """Rewrite the BQ-SQL subset used by the reference rule library to Spark SQL."""
-    out = sql
+    out = _rewrite_unnest(sql)
+    out = _DOTTED_IDENT.sub(_split_dotted, out)
     for pat, repl in _RULES:
         out = pat.sub(repl, out)  # type: ignore[arg-type]
     return out

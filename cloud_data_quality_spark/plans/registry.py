@@ -150,8 +150,10 @@ def _dq_registry() -> ConfigRegistry:
     return reg
 
 
-def _run_dq(spark: SparkSession, sf_dir: str, binding_ids: list[str]) -> DataFrame:
-    eng = DqEngine(spark, _dq_registry(), table_name_vars={"sf_dir": sf_dir})
+def _run_dq(spark: SparkSession, sf_dir: str, binding_ids: list[str],
+            registry: ConfigRegistry | None = None) -> DataFrame:
+    eng = DqEngine(spark, registry or _dq_registry(),
+                   table_name_vars={"sf_dir": sf_dir})
     res = eng.run(binding_ids, execution_ts=TS, write_summary=False)
     return res.summary.select(
         "rule_binding_id", "rule_id",
@@ -694,6 +696,148 @@ select
 """
 
 
+# --------------------------------------------------------------------------
+# UNNEST rules, verbatim from the reference rule library (dialect-shim path)
+# --------------------------------------------------------------------------
+
+# Copied byte-for-byte from the reference YAMLs; tests/test_dialect.py parses
+# those files and asserts equality, so "runs unchanged" is pinned:
+#   docs/examples/advanced_rules/integrity_subquery.yaml:99
+REF_UNNEST_INTEGRITY_EXPR = (
+    "exists (select 1 from unnest($column) t inner join "
+    "`$ref_data_dataset.$ref_data_table_id` r on t.iq = r.id and "
+    "t.type = r.type and t.qyty = r.data)")
+#   docs/examples/advanced_rules/correctness_complex_rule.yaml:64-69
+REF_UNNEST_SUM_EXPR = (
+    "(select\n"
+    "    sum(SaleLine.dItemTotalNetAmount) + sum(SaleLine.dVatAmount)\n"
+    "  from\n"
+    "    unnest(SaleLineList.SaleLine) as SaleLine\n"
+    ") between $column - $error_margin and $column + $error_margin")
+
+
+def _unnest_registry() -> ConfigRegistry:
+    reg = ConfigRegistry()
+    reg.entities["SALES_ORDERS"] = Entity.from_dict("SALES_ORDERS", {
+        "table_name": "cdq_sales_unnest", "source_format": "table",
+        "columns": {"O_ORDERKEY": {"data_type": "INT64"},
+                    "SALE_LINE_LIST": {"data_type": "RECORD"}}})
+    reg.entities["INVOICES"] = Entity.from_dict("INVOICES", {
+        "table_name": "cdq_invoices_unnest", "source_format": "table",
+        "columns": {"O_ORDERKEY": {"data_type": "INT64"},
+                    "SALELINELIST": {"data_type": "RECORD"},
+                    "INVOICE_GROSS_TOTAL_AMOUNT": {"data_type": "FLOAT64"}}})
+    reg.row_filters["NONE"] = RowFilter.from_dict("NONE",
+                                                  {"filter_sql_expr": "True"})
+    reg.rules["NO_REFERENTIAL_INTEGRITY_VIOLATION_SUBQUERY2"] = Rule.from_dict(
+        "NO_REFERENTIAL_INTEGRITY_VIOLATION_SUBQUERY2",
+        {"rule_type": "CUSTOM_SQL_EXPR", "dimension": "integrity",
+         "params": {
+             "custom_sql_arguments": ["ref_data_dataset", "ref_data_table_id"],
+             "custom_sql_expr": REF_UNNEST_INTEGRITY_EXPR}})
+    reg.rules["NO_COMPLEX_RULES_MISMATCH"] = Rule.from_dict(
+        "NO_COMPLEX_RULES_MISMATCH",
+        {"rule_type": "CUSTOM_SQL_EXPR", "dimension": "correctness",
+         "params": {"custom_sql_arguments": ["error_margin"],
+                    "custom_sql_expr": REF_UNNEST_SUM_EXPR}})
+    reg.rule_bindings["RB_UNNEST_INTEGRITY"] = RuleBinding.from_dict(
+        "RB_UNNEST_INTEGRITY", {
+            "entity_id": "SALES_ORDERS", "column_id": "SALE_LINE_LIST",
+            "row_filter_id": "NONE",
+            "rule_ids": [{"NO_REFERENTIAL_INTEGRITY_VIOLATION_SUBQUERY2": {
+                "ref_data_dataset": "global_temp",
+                "ref_data_table_id": "cdq_ref_items"}}]})
+    reg.rule_bindings["RB_INVOICE_UNNEST_SUM"] = RuleBinding.from_dict(
+        "RB_INVOICE_UNNEST_SUM", {
+            "entity_id": "INVOICES", "column_id": "INVOICE_GROSS_TOTAL_AMOUNT",
+            "row_filter_id": "NONE",
+            "rule_ids": [{"NO_COMPLEX_RULES_MISMATCH": {
+                "error_margin": "0.03"}}]})
+    return reg
+
+
+def _register_unnest_views(spark: SparkSession, sf_dir: str) -> None:
+    """Synthesize the array-of-struct entities the reference rules expect
+    from the flat TPC-H lineitem table (deterministic: per-order arrays
+    sorted by linenumber-first struct order)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sale_struct = F.struct(
+        F.col("l_linenumber").alias("ln"), F.col("l_partkey").alias("iq"),
+        F.col("l_returnflag").alias("type"), F.col("l_quantity").alias("qyty"))
+    (li.groupBy("l_orderkey")
+     .agg(F.array_sort(F.collect_list(sale_struct)).alias("raw"))
+     .select(F.col("l_orderkey").alias("o_orderkey"),
+             F.transform("raw", lambda x: F.struct(
+                 x["iq"].alias("iq"), x["type"].alias("type"),
+                 x["qyty"].alias("qyty"))).alias("sale_line_list"))
+     .createOrReplaceTempView("cdq_sales_unnest"))
+    (li.where(F.col("l_quantity") <= 25)
+     .select(F.col("l_partkey").alias("id"),
+             F.col("l_returnflag").alias("type"),
+             F.col("l_quantity").alias("data")).distinct()
+     .createOrReplaceGlobalTempView("cdq_ref_items"))
+    inv_struct = F.struct(
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_extendedprice").alias("dItemTotalNetAmount"),
+        F.col("l_tax").alias("dVatAmount"))
+    (li.groupBy("l_orderkey")
+     .agg(F.array_sort(F.collect_list(inv_struct)).alias("raw"),
+          F.sum("l_extendedprice").alias("s"), F.sum("l_tax").alias("v"))
+     .select(F.col("l_orderkey").alias("o_orderkey"),
+             F.struct(F.transform("raw", lambda x: F.struct(
+                 x["dItemTotalNetAmount"].alias("dItemTotalNetAmount"),
+                 x["dVatAmount"].alias("dVatAmount"))).alias("SaleLine"))
+              .alias("salelinelist"),
+             # 1/3 of invoices get +1.0 → fail the ±0.03 margin check
+             (F.round(F.col("s") + F.col("v"), 2)
+              + F.when(F.col("l_orderkey") % 3 == 0, F.lit(1.0))
+                 .otherwise(F.lit(0.0)))
+             .alias("invoice_gross_total_amount"))
+     .createOrReplaceTempView("cdq_invoices_unnest"))
+
+
+def q_integrity_unnest_join(spark, sf_dir):
+    """The reference's UNNEST rule SQL, byte-identical, through the dialect
+    shim: correlated `exists(select 1 from unnest($column) t join ref)` and
+    the correlated scalar `(select sum(...) from unnest(...))` aggregate.
+    The oracle derives the same verdicts from the FLAT lineitem table
+    (independent derivation — no nested arrays needed in DuckDB)."""
+    _register_unnest_views(spark, sf_dir)
+    return _run_dq(spark, sf_dir,
+                   ["RB_UNNEST_INTEGRITY", "RB_INVOICE_UNNEST_SUM"],
+                   registry=_unnest_registry())
+
+
+ORACLE_INTEGRITY_UNNEST_JOIN = """
+with ok1 as (
+  -- a line's (partkey, returnflag, quantity) triple appears in the qty<=25
+  -- reference subset iff the line's own quantity is <=25 (the triple embeds
+  -- the quantity), so the exists-join collapses to this per-line test
+  select l_orderkey, max(case when l_quantity <= 25 then 1 else 0 end) ok
+  from lineitem group by l_orderkey),
+inv as (select l_orderkey, sum(l_extendedprice) s, sum(l_tax) v
+        from lineitem group by l_orderkey),
+ok2 as (select l_orderkey,
+               case when (s + v) between total - 0.03 and total + 0.03
+                    then 1 else 0 end ok
+        from (select *, round(s + v, 2)
+                        + case when l_orderkey % 3 = 0 then 1.0 else 0.0 end
+                          as total
+              from inv))
+select 'RB_UNNEST_INTEGRITY' as rule_binding_id,
+       'NO_REFERENTIAL_INTEGRITY_VIOLATION_SUBQUERY2' as rule_id,
+       count(*)::BIGINT as rows_validated, sum(ok)::BIGINT as success_count,
+       (count(*) - sum(ok))::BIGINT as failed_count, 0::BIGINT as null_count,
+       NULL::BIGINT as errors_count, NULL::BOOLEAN as success_flag
+from ok1
+union all
+select 'RB_INVOICE_UNNEST_SUM', 'NO_COMPLEX_RULES_MISMATCH',
+       count(*)::BIGINT, sum(ok)::BIGINT, (count(*) - sum(ok))::BIGINT,
+       0::BIGINT, NULL::BIGINT, NULL::BOOLEAN
+from ok2
+"""
+
+
 def q_timeliness_recent_events(spark, sf_dir):
     """A9-style delayed-ingestion check anchored at max(ts) (deterministic
     stand-in for current_timestamp). The anchor stays inside the plan as a
@@ -911,6 +1055,7 @@ QUERIES = {
     "rollup_quality": q_rollup_quality,
     "topk_docs_per_lang": q_topk_docs_per_lang,
     "integrity_lineitem_part": q_integrity_lineitem_part,
+    "integrity_unnest_join": q_integrity_unnest_join,
     "timeliness_recent_events": q_timeliness_recent_events,
 }
 
@@ -944,5 +1089,6 @@ ORACLES = {
     "rollup_quality": _oracle_rollup_quality(),
     "topk_docs_per_lang": ORACLE_TOPK_DOCS_PER_LANG,
     "integrity_lineitem_part": ORACLE_INTEGRITY_LINEITEM_PART,
+    "integrity_unnest_join": ORACLE_INTEGRITY_UNNEST_JOIN,
     "timeliness_recent_events": ORACLE_TIMELINESS_RECENT_EVENTS,
 }

@@ -33,3 +33,54 @@ def test_date_sub_and_trunc():
 
 def test_int64_cast():
     assert bq_to_spark_sql("cast(x as int64)") == "cast(x as BIGINT)"
+
+
+def test_unnest_from_tvf():
+    assert bq_to_spark_sql(
+        "exists (select 1 from unnest(items) t inner join `ds.ref` r on t.a = r.b)"
+    ) == ("exists (select 1 from explode(items) AS __unnest_t(t) "
+          "inner join `ds`.`ref` r on t.a = r.b)")
+
+
+def test_unnest_scalar_subquery_with_as():
+    assert bq_to_spark_sql(
+        "(select sum(sl.x) from unnest(rec.lines) as sl) between a and b"
+    ) == ("(select sum(sl.x) from explode(rec.lines) AS __unnest_sl(sl)) "
+          "between a and b")
+
+
+def test_unnest_comma_join_becomes_lateral_view():
+    assert bq_to_spark_sql(
+        "select a.* from data a, unnest(a.items) it where it.x > 0"
+    ) == ("select a.* from data a lateral view explode(a.items) "
+          "__unnest_it as it where it.x > 0")
+
+
+def test_unnest_nested_parens_and_keyword_not_alias():
+    # paren-balanced expr; `inner` after unnest() is a keyword, not an alias
+    out = bq_to_spark_sql("from unnest(split(x, ',')) inner join t on 1=1")
+    assert out.startswith("from explode(split(x, ',')) AS __unnest_t(col) inner join")
+
+
+def test_dotted_backtick_identifier_split():
+    assert bq_to_spark_sql("select * from `proj.ds.tbl`") == \
+        "select * from `proj`.`ds`.`tbl`"
+
+
+def test_reference_unnest_rules_are_verbatim():
+    """The registry's UNNEST rule SQL must be byte-identical to the reference
+    YAML — this is what 'reference configs run unchanged' means."""
+    import yaml
+
+    from cloud_data_quality_spark.plans.registry import (
+        REF_UNNEST_INTEGRITY_EXPR,
+        REF_UNNEST_SUM_EXPR,
+    )
+    base = "/root/reference/docs/examples/advanced_rules"
+    integ = yaml.safe_load(open(f"{base}/integrity_subquery.yaml"))
+    assert REF_UNNEST_INTEGRITY_EXPR == integ["rules"][
+        "NO_REFERENTIAL_INTEGRITY_VIOLATION_SUBQUERY2"]["params"][
+        "custom_sql_expr"]
+    comp = yaml.safe_load(open(f"{base}/correctness_complex_rule.yaml"))
+    assert REF_UNNEST_SUM_EXPR == comp["rules"][
+        "NO_COMPLEX_RULES_MISMATCH"]["params"]["custom_sql_expr"]
