@@ -106,6 +106,124 @@ def langid_is(texts: pd.Series, params: dict) -> pd.Series:
     return pred.where(texts.notna(), other=pd.NA)
 
 
+# ----------------------------------------- hashed n-gram language ID
+# fastText-mechanism inference (char 1-3-gram → hashed bucket → per-language
+# linear weights → argmax), per BASELINE.json's "fastText language-ID". The
+# weights are a deterministic embedded stand-in trained at import from the
+# profile paragraphs below (same posture as the KenLM stand-in: mechanism
+# real, artifact tiny); swapping in real fastText weights = replacing
+# _LANGID_W with a loaded matrix of the same shape.
+
+_LANGID_BUCKETS = 4096
+_LANGID_LANGS = ["en", "es", "fr", "de", "zh"]  # index order = tie-break
+_HASH_P = np.uint64(1_000_003)
+
+_LANGID_PROFILES = {
+    "en": ("the quick brown fox jumps over the lazy dog and it was not "
+           "there when we came back for all of this that is what they "
+           "said about the world market and science news from an engine "
+           "that can have data quality rules on each table page content "
+           "article report story sport culture by with as at be or had "
+           "are but what were when there can this have from reading"),
+    "es": ("el rápido zorro marrón salta sobre el perro perezoso y no "
+           "estaba allí cuando volvimos por todo esto que es lo que "
+           "dijeron sobre el mundo mercado y ciencia noticias de los "
+           "datos calidad tabla de la que y en los se del las un por "
+           "con no una su para es al como más pero sus le ya este sí "
+           "porque esta entre había mucho siempre también después"),
+    "fr": ("le rapide renard brun saute par dessus le chien paresseux et "
+           "il était pas là quand nous sommes revenus pour tout cela qui "
+           "est ce que ils ont dit sur le monde marché et science "
+           "nouvelles des données qualité la de et les des en un du une "
+           "est que dans qui par pour au sur plus ne se pas ce sont avec "
+           "son ses mais comme toujours aussi après beaucoup très"),
+    "de": ("der schnelle braune fuchs springt über den faulen hund und "
+           "er war nicht da als wir für all das zurück kamen was sie "
+           "über die welt markt und wissenschaft nachrichten von daten "
+           "qualität gesagt haben die und das den von mit ist des ein "
+           "dem nicht sie auf für es im eine auch als an werden aus er "
+           "hat dass sich nach immer viele sehr dann wieder zwischen"),
+    "zh": ("的一是不了人我在有他这中大来上国个到说们为子和你地出道也时"
+           "年得就那要下以生会自着去之过家学对可她里后的一是不了人我在"
+           "有他这中大来上国个到说们为子和你地出道也时年得就那要下以生"),
+}
+
+
+def _gram_buckets(codes: np.ndarray, doc: np.ndarray,
+                  n_buckets: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, doc) pairs for every char 1/2/3-gram, via a rolling
+    polynomial hash over codepoints — fully vectorized, no string hashing.
+    Gram orders get distinct additive salts so '1-gram c' and '2-gram
+    starting c' land in independent buckets."""
+    nb = np.uint64(n_buckets)
+    c = codes.astype(np.uint64)
+    outs, docs = [c % nb], [doc]
+    if len(c) >= 2:
+        h2 = c[:-1] * _HASH_P + c[1:]
+        m2 = doc[:-1] == doc[1:]
+        outs.append((h2[m2] + np.uint64(0x9E3779B9)) % nb)
+        docs.append(doc[:-1][m2])
+        if len(c) >= 3:
+            h3 = h2[:-1] * _HASH_P + c[2:]
+            m3 = m2[:-1] & (doc[1:-1] == doc[2:])
+            outs.append((h3[m3] + np.uint64(0x85EBCA6B)) % nb)
+            docs.append(doc[:-2][m3])
+    return (np.concatenate(outs).astype(np.int64),
+            np.concatenate(docs).astype(np.int64))
+
+
+def _train_langid_weights() -> np.ndarray:
+    """Per-language bucket log-probabilities (naive-Bayes-trained linear
+    model in the hashed feature space — the shape fastText inference uses)."""
+    W = np.zeros((len(_LANGID_LANGS), _LANGID_BUCKETS), dtype=np.float64)
+    for li, lang in enumerate(_LANGID_LANGS):
+        text = _LANGID_PROFILES[lang].lower()
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        bkt, _ = _gram_buckets(codes, np.zeros(len(codes), dtype=np.int64),
+                               _LANGID_BUCKETS)
+        cnt = np.bincount(bkt, minlength=_LANGID_BUCKETS).astype(np.float64)
+        W[li] = np.log((cnt + 0.1) / (cnt.sum() + 0.1 * _LANGID_BUCKETS))
+    return W.astype(np.float32)
+
+
+_LANGID_W = _train_langid_weights()
+_LANGID_MIN_GRAMS = 3  # fewer grams than this → "und"
+
+
+def hashed_ngram_langid_batch(texts: pd.Series,
+                              params: dict | None = None) -> pd.Series:
+    """fastText-style language ID: hash the doc's char 1-3-grams, sum each
+    language's bucket weights, argmax. NULL text → None; < 3 grams → 'und'.
+    One codepoint decode + L bincounts per Arrow batch — no per-row Python."""
+    n = len(texts)
+    t = texts.fillna("").str.lower().str.replace(r"\s+", " ", regex=True)
+    codes, doc, _ = _codepoints(list(t.array), n)
+    out = np.full(n, "und", dtype=object)
+    if len(codes):
+        bkt, bdoc = _gram_buckets(codes, doc.astype(np.int64), _LANGID_BUCKETS)
+        scores = np.zeros((len(_LANGID_LANGS), n))
+        for li in range(len(_LANGID_LANGS)):
+            scores[li] = np.bincount(bdoc, weights=_LANGID_W[li][bkt],
+                                     minlength=n)
+        counts = np.bincount(bdoc, minlength=n)
+        best = np.argmax(scores, axis=0)  # first index wins ties → lang order
+        langs = np.asarray(_LANGID_LANGS, dtype=object)
+        scored = counts >= _LANGID_MIN_GRAMS
+        out[scored] = langs[best[scored]]
+    res = pd.Series(out, index=texts.index)
+    res[texts.isna()] = None
+    return res
+
+
+@register_batch_function("LANGID_HASHED_IS")
+def langid_hashed_is(texts: pd.Series, params: dict) -> pd.Series:
+    """Validity rule: hashed-n-gram model predicts params['lang'].
+    NULL text → NULL."""
+    want = str(params.get("lang", "en")).lower()
+    pred = hashed_ngram_langid_batch(texts) == want
+    return pred.where(texts.notna(), other=pd.NA)
+
+
 # ------------------------------------------------------------- perplexity
 
 # Embedded English character-bigram profile (KenLM stand-in). Deterministic:

@@ -143,3 +143,55 @@ class TestPerplexity:
     def test_deterministic(self):
         s = pd.Series(["the quick brown fox"])
         assert perplexity_batch(s)[0] == perplexity_batch(s)[0]
+
+
+class TestHashedNgramLangid:
+    """fastText-mechanism language ID: char 1-3-gram hash → bucket weights →
+    argmax, deterministic embedded weights (BASELINE.json north-star item)."""
+
+    def test_known_sentences(self):
+        from cloud_data_quality_spark.functions.webtext_rules import (
+            hashed_ngram_langid_batch,
+        )
+        s = pd.Series([
+            "The cat is on the table and we have all of this for the world",
+            "el mundo de los datos y la calidad para este mercado es grande",
+            "les données sur le marché sont dans la science pour le monde",
+            "die daten und die qualität sind für die welt nicht ohne wissenschaft",
+            "的一是不了人我在有他这中大来上国个",
+            None, "",
+        ])
+        got = list(hashed_ngram_langid_batch(s))
+        assert got == ["en", "es", "fr", "de", "zh", None, "und"]
+
+    def test_accuracy_gate_on_pages_fixture(self):
+        """≥0.99 on rows with a reliable label (≥5 words, excluding the
+        generator's cross-language duplicate-text injections, whose `lang`
+        column describes the ORIGINAL row, not the copied text)."""
+        import numpy as np
+
+        from cloud_data_quality_spark.functions.webtext_rules import (
+            hashed_ngram_langid_batch,
+        )
+        from cloud_data_quality_spark.sources.pages import generate_rows
+        ids = np.arange(3000)
+        pdf = generate_rows(ids, seed=42)
+        dup = (ids % 25 == 7) & (ids > 25)
+        mask = pdf.text.notna() & (pdf.text.str.split().str.len() >= 5) & ~dup
+        pred = hashed_ngram_langid_batch(pdf.text)
+        acc = (pred[mask] == pdf.lang[mask]).mean()
+        assert acc >= 0.99, acc
+
+    def test_batch_rule_registered(self):
+        from cloud_data_quality_spark.functions.batch_registry import (
+            get_batch_function,
+        )
+        fn = get_batch_function("LANGID_HASHED_IS")
+        out = fn(pd.Series(["the cat is on the table and all of this", None]),
+                 {"lang": "en"})
+        assert bool(out[0]) is True and out[1] is pd.NA
+
+    def test_deterministic_weights(self):
+        from cloud_data_quality_spark.functions import webtext_rules as W
+        assert float(W._LANGID_W.sum()) == float(
+            W._train_langid_weights().sum())
