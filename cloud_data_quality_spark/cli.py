@@ -35,7 +35,8 @@ def _validate(args) -> int:
     engine = DqEngine(spark, registry,
                       summary_path=args.summary_path,
                       failed_records_path=args.failed_records_path,
-                      table_name_vars=table_vars)
+                      table_name_vars=table_vars,
+                      environment_target=args.environment_target)
     binding_ids = (args.rule_binding_ids.split(",")
                    if args.rule_binding_ids != "ALL"
                    else sorted(registry.rule_bindings))
@@ -99,6 +100,8 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--fail-on-error", action="store_true")
     v.add_argument("--table-var", action="append",
                    help="KEY=VALUE substituted into entity table_name")
+    v.add_argument("--environment-target", default=None,
+                   help="select entities' environment_override mapping")
 
     q = sub.add_parser("quality-filter", help="resumable web-text filter")
     q.add_argument("--input", required=True)

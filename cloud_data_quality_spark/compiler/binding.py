@@ -137,12 +137,21 @@ def compile_rule(rule: Rule, column_id: str, binding_arguments: dict) -> Compile
         substitute_column(sql_template, column_id)), **base)
 
 
-def compile_binding(registry: ConfigRegistry, rule_binding_id: str) -> CompiledBinding:
+def compile_binding(registry: ConfigRegistry, rule_binding_id: str,
+                    environment_target: str | None = None) -> CompiledBinding:
     rb: RuleBinding = registry.get_rule_binding(rule_binding_id)
-    entity = registry.get_entity(rb.entity_id)
-    entity.resolve_column(rb.column_id)  # unknown column id → hard error
+    if rb.entity_uri is not None:
+        # late binding (dq_entity_uri.py semantics): schema comes from the
+        # live table at read time, so no declared-column checks here
+        from cloud_data_quality_spark.config.model import EntityUri
+        entity = EntityUri.parse(rb.entity_uri).to_entity()
+    else:
+        entity = registry.get_entity(rb.entity_id).for_environment(
+            environment_target)
+    if entity.columns:
+        entity.resolve_column(rb.column_id)  # unknown column id → hard error
     row_filter = registry.get_row_filter(rb.row_filter_id)
-    if rb.incremental_time_filter_column_id:
+    if rb.incremental_time_filter_column_id and entity.columns:
         inc_col = entity.resolve_column(rb.incremental_time_filter_column_id)
         if inc_col.data_type not in ("timestamp", "timestamp_ntz", "date"):
             from cloud_data_quality_spark.config.model import ConfigError

@@ -101,7 +101,11 @@ class ConfigRegistry:
     def resolved_binding_dict(self, rbid: str) -> dict[str, Any]:
         """Fully-resolved binding config (for hashing / golden tests)."""
         rb = self.get_rule_binding(rbid)
-        entity = self.get_entity(rb.entity_id)
+        if rb.entity_uri is not None:
+            from cloud_data_quality_spark.config.model import EntityUri
+            entity = EntityUri.parse(rb.entity_uri).to_entity()
+        else:
+            entity = self.get_entity(rb.entity_id)
         if entity.columns:
             entity.resolve_column(rb.column_id)
             if rb.incremental_time_filter_column_id:

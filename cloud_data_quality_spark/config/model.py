@@ -253,6 +253,11 @@ class Entity:
     columns: dict[str, EntityColumn]
     source_format: str = "parquet"   # parquet|table|csv|json|orc
     partition_fields: tuple[str, ...] = ()
+    # env name (upper) → {"table_name": ..., "source_format": ...} — the
+    # reference's per-environment remapping (dq_entity.py:211-257 validates
+    # instance/database/table overrides; table_name/source_format are the
+    # Spark analogues of that triple)
+    environment_override: dict[str, dict[str, str]] = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, entity_id: str, kwargs: dict) -> "Entity":
@@ -269,8 +274,62 @@ class Entity:
         if fmt not in ("parquet", "table", "csv", "json", "orc"):
             raise ConfigError(f"Entity {entity_id}: unsupported source_format {fmt!r}")
         parts = tuple(str(x) for x in (kwargs.get("PARTITION_FIELDS") or []))
+        env_override = cls._parse_environment_override(
+            entity_id, kwargs.get("ENVIRONMENT_OVERRIDE"))
         return cls(entity_id=entity_id.upper(), table_name=str(table_name),
-                   columns=columns, source_format=fmt, partition_fields=parts)
+                   columns=columns, source_format=fmt, partition_fields=parts,
+                   environment_override=env_override)
+
+    @staticmethod
+    def _parse_environment_override(entity_id: str,
+                                    raw: Any) -> dict[str, dict[str, str]]:
+        """Reference contract (dq_entity.py:211-257): each key names an
+        environment; the value must echo it under `environment` (guard
+        against copy-paste mismatches) and carry an `override` mapping;
+        a missing table_name override falls back to the base table_name."""
+        if not raw:
+            return {}
+        if not isinstance(raw, dict):
+            raise ConfigError(
+                f"Entity {entity_id}: environment_override must be a mapping")
+        out: dict[str, dict[str, str]] = {}
+        for env, value in raw.items():
+            if not isinstance(value, dict):
+                raise ConfigError(
+                    f"Entity {entity_id}: environment_override[{env!r}] must "
+                    f"be a mapping")
+            v = {str(k).lower(): val for k, val in value.items()}
+            declared = v.get("environment")
+            if declared is None or str(declared).lower() != str(env).lower():
+                raise ConfigError(
+                    f"Entity {entity_id}: environment target key {env!r} must "
+                    f"match value.environment ({declared!r})")
+            override = v.get("override")
+            if not isinstance(override, dict) or not override:
+                raise ConfigError(
+                    f"Entity {entity_id}: environment_override[{env!r}] needs "
+                    f"a non-empty `override` mapping")
+            ov = {str(k).lower(): str(val) for k, val in override.items()}
+            unknown = set(ov) - {"table_name", "source_format"}
+            if unknown:
+                raise ConfigError(
+                    f"Entity {entity_id}: unsupported override keys {sorted(unknown)} "
+                    f"(allowed: table_name, source_format)")
+            out[str(env).upper()] = ov
+        return out
+
+    def for_environment(self, environment_target: str | None) -> "Entity":
+        """Resolve per-environment remapping; unknown/None target → self."""
+        if not environment_target:
+            return self
+        ov = self.environment_override.get(environment_target.upper())
+        if not ov:
+            return self
+        import dataclasses
+        return dataclasses.replace(
+            self,
+            table_name=ov.get("table_name", self.table_name),
+            source_format=ov.get("source_format", self.source_format))
 
     def resolve_column(self, column_id: str) -> EntityColumn:
         col = self.columns.get(column_id.upper())
@@ -280,6 +339,45 @@ class Entity:
                 f"(declared: {sorted(self.columns)})"
             )
         return col
+
+
+@dataclass(frozen=True)
+class EntityUri:
+    """Late-binding entity reference — the Spark analogue of the reference's
+    `bigquery://…` / `dataplex://…` URIs (dq_entity_uri.py:35-158): the
+    schema is fetched from the live table at run time instead of being
+    declared in YAML.
+
+    Schemes: catalog://db.table (resolved via spark.table), and
+    parquet://, csv://, json://, orc:// followed by a path."""
+
+    scheme: str
+    path: str
+
+    SCHEMES = ("catalog", "parquet", "csv", "json", "orc")
+
+    @classmethod
+    def parse(cls, uri: str) -> "EntityUri":
+        if "://" not in uri:
+            raise ConfigError(
+                f"Invalid entity_uri {uri!r} — expected "
+                f"<scheme>://<table-or-path> with scheme in {cls.SCHEMES}")
+        scheme, path = uri.split("://", 1)
+        scheme = scheme.lower()
+        if scheme not in cls.SCHEMES:
+            raise ConfigError(
+                f"Invalid entity_uri scheme {scheme!r} (allowed: {cls.SCHEMES})")
+        if not path:
+            raise ConfigError(f"Invalid entity_uri {uri!r}: empty table/path")
+        return cls(scheme=scheme, path=path)
+
+    def to_entity(self) -> Entity:
+        eid = re.sub(r"\W+", "_", self.path).strip("_").upper()
+        fmt = "table" if self.scheme == "catalog" else self.scheme
+        # columns empty → schema is late-bound: validated against the live
+        # table when the scan is created, not at config-load time
+        return Entity(entity_id=eid, table_name=self.path, columns={},
+                      source_format=fmt)
 
 
 @dataclass(frozen=True)
@@ -300,8 +398,9 @@ class ReferenceColumns:
     def resolve(self, entity: Entity) -> list[str]:
         if self.include_reference_columns == ("*",):
             return [c.name for c in entity.columns.values()]
-        for c in self.include_reference_columns:
-            entity.resolve_column(c)
+        if entity.columns:  # URI entities are late-bound: skip declared check
+            for c in self.include_reference_columns:
+                entity.resolve_column(c)
         return [c.upper() for c in self.include_reference_columns]
 
 
@@ -317,12 +416,25 @@ class RuleBinding:
     incremental_time_filter_column_id: str | None = None
     reference_columns_id: str | None = None
     metadata: dict[str, Any] = field(default_factory=dict)
+    # late-binding alternative to entity_id (reference dq_rule_binding.py
+    # accepts entity_uri XOR entity_id); parsed/validated at config load
+    entity_uri: str | None = None
 
     @classmethod
     def from_dict(cls, rbid: str, kwargs: dict) -> "RuleBinding":
         kwargs = {str(k).upper(): v for k, v in kwargs.items()}
-        entity_id = assert_not_empty(kwargs.get("ENTITY_ID"),
-                                     f"RuleBinding {rbid}: missing entity_id")
+        entity_uri = kwargs.get("ENTITY_URI")
+        if entity_uri is not None:
+            if kwargs.get("ENTITY_ID") is not None:
+                raise ConfigError(
+                    f"RuleBinding {rbid}: specify entity_id OR entity_uri, "
+                    f"not both")
+            EntityUri.parse(str(entity_uri))  # fail at load, not at run
+            entity_id = EntityUri.parse(str(entity_uri)).to_entity().entity_id
+        else:
+            entity_id = assert_not_empty(
+                kwargs.get("ENTITY_ID"),
+                f"RuleBinding {rbid}: missing entity_id (or entity_uri)")
         column_id = assert_not_empty(kwargs.get("COLUMN_ID"),
                                      f"RuleBinding {rbid}: missing column_id")
         row_filter_id = assert_not_empty(kwargs.get("ROW_FILTER_ID"),
@@ -355,6 +467,7 @@ class RuleBinding:
             incremental_time_filter_column_id=str(inc).upper() if inc else None,
             reference_columns_id=str(refc).upper() if refc else None,
             metadata={str(k): v for k, v in metadata.items()},
+            entity_uri=str(entity_uri) if entity_uri is not None else None,
         )
 
     def iter_rule_refs(self):

@@ -81,12 +81,21 @@ class DqEngine:
         summary_path: str | None = None,
         failed_records_path: str | None = None,
         table_name_vars: dict[str, str] | None = None,
+        summary_sink=None,
+        environment_target: str | None = None,
     ):
         self.spark = spark
         self.registry = registry
         self.summary_path = summary_path
         self.failed_records_path = failed_records_path
         self.table_name_vars = table_name_vars or {}
+        # reference: per-environment entity remapping selected at run time
+        # (dq_entity.py:211-257); applied wherever an entity is resolved
+        self.environment_target = environment_target
+        if summary_sink is None and summary_path:
+            from cloud_data_quality_spark.engine.sinks import ParquetAppendSink
+            summary_sink = ParquetAppendSink(summary_path)
+        self.summary_sink = summary_sink
 
     # ---------- sources ----------
 
@@ -132,6 +141,7 @@ class DqEngine:
         Spark supports these subqueries in DataFrame expressions natively)."""
         from cloud_data_quality_spark.compiler.binding import CompiledBinding
         for entity in self.registry.entities.values():
+            entity = entity.for_environment(self.environment_target)
             df = self.read_entity(CompiledBinding(
                 rule_binding_id="", entity_id=entity.entity_id,
                 table_name=entity.table_name, source_format=entity.source_format,
@@ -386,7 +396,8 @@ class DqEngine:
         # group bindings by entity so a shared scan is read once per entity
         by_entity: dict[str, list[CompiledBinding]] = {}
         for rbid in rule_binding_ids:
-            b = compile_binding(self.registry, rbid)
+            b = compile_binding(self.registry, rbid,
+                                environment_target=self.environment_target)
             by_entity.setdefault(b.table_name + "|" + b.source_format, []).append(b)
         for bindings in by_entity.values():
             df = self.read_entity(bindings[0])
@@ -409,20 +420,16 @@ class DqEngine:
             [tuple(r[k] for k in field_names) for r in rows],
             schema=SUMMARY_SCHEMA,
         ) if rows else self.spark.createDataFrame([], schema=SUMMARY_SCHEMA)
-        if write_summary and self.summary_path:
-            summary.write.mode("append").parquet(self.summary_path)
+        if write_summary and self.summary_sink is not None:
+            self.summary_sink.write(summary)
         return RunResult(invocation_id=invocation_id, summary=summary,
                          stats={"bindings": len(rule_binding_ids),
                                 "summary_rows": len(rows)})
 
     def read_summary(self, deduped: bool = True) -> DataFrame:
-        """Read the metrics table. With deduped=True, emulate the reference's
-        incremental MERGE on dq_run_id (dq_summary.sql:15-26): keep the
-        latest row per dq_run_id so re-runs are idempotent."""
-        df = self.spark.read.parquet(self.summary_path)
-        if not deduped:
-            return df
-        from pyspark.sql.window import Window
-        w = Window.partitionBy("dq_run_id").orderBy(F.col("execution_ts").desc())
-        return (df.withColumn("__rn", F.row_number().over(w))
-                  .where(F.col("__rn") == 1).drop("__rn"))
+        """Read the metrics table through the configured sink. With
+        deduped=True the result has one logical row per dq_run_id — the
+        reference's incremental-MERGE contract (dq_summary.sql:15-26) —
+        whether the sink achieves that physically (MERGE INTO / compaction)
+        or on read (append sink)."""
+        return self.summary_sink.read(self.spark, deduped=deduped)

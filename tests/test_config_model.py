@@ -169,3 +169,142 @@ rule_bindings:
         h1 = contact_registry.configs_hashsum("T2_EMAIL")
         h2 = contact_registry.configs_hashsum("T2_EMAIL")
         assert h1 == h2 and len(h1) == 64
+
+
+class TestEnvironmentOverride:
+    """Ports the reference's environment_override test intents
+    (dq_entity.py:211-257 / tests/unit/test_classes.py)."""
+
+    BASE = {
+        "table_name": "/data/base.parquet",
+        "columns": {"X": {"data_type": "STRING"}},
+    }
+
+    def test_mismatched_env_key_rejected(self):
+        from cloud_data_quality_spark.config.model import ConfigError, Entity
+        with pytest.raises(ConfigError, match="must match value.environment"):
+            Entity.from_dict("E", {
+                **self.BASE,
+                "environment_override": {
+                    "TEST": {"environment": "prod",
+                             "override": {"table_name": "/other"}}}})
+
+    def test_missing_override_mapping_rejected(self):
+        from cloud_data_quality_spark.config.model import ConfigError, Entity
+        with pytest.raises(ConfigError, match="override"):
+            Entity.from_dict("E", {
+                **self.BASE,
+                "environment_override": {"TEST": {"environment": "test"}}})
+
+    def test_unsupported_override_key_rejected(self):
+        from cloud_data_quality_spark.config.model import ConfigError, Entity
+        with pytest.raises(ConfigError, match="unsupported override keys"):
+            Entity.from_dict("E", {
+                **self.BASE,
+                "environment_override": {
+                    "TEST": {"environment": "test",
+                             "override": {"instance_name": "gcp-proj"}}}})
+
+    def test_override_resolves_and_unknown_env_is_identity(self):
+        from cloud_data_quality_spark.config.model import Entity
+        e = Entity.from_dict("E", {
+            **self.BASE,
+            "environment_override": {
+                "TEST": {"environment": "test",
+                         "override": {"table_name": "/data/test.parquet"}}}})
+        assert e.for_environment("test").table_name == "/data/test.parquet"
+        assert e.for_environment("TEST").source_format == "parquet"  # inherited
+        assert e.for_environment("PROD") is e
+        assert e.for_environment(None) is e
+
+
+class TestEntityUri:
+    def test_parse_validates(self):
+        from cloud_data_quality_spark.config.model import ConfigError, EntityUri
+        with pytest.raises(ConfigError, match="Invalid entity_uri"):
+            EntityUri.parse("no-scheme-here")
+        with pytest.raises(ConfigError, match="scheme"):
+            EntityUri.parse("bigquery://proj.ds.t")  # GCP scheme not mapped
+        u = EntityUri.parse("catalog://db.contacts")
+        assert u.scheme == "catalog" and u.path == "db.contacts"
+        ent = u.to_entity()
+        assert ent.source_format == "table"
+        assert ent.table_name == "db.contacts"
+        assert ent.columns == {}  # late-bound schema
+
+    def test_binding_rejects_both_id_and_uri(self):
+        from cloud_data_quality_spark.config.model import (
+            ConfigError,
+            RuleBinding,
+        )
+        with pytest.raises(ConfigError, match="not both"):
+            RuleBinding.from_dict("RB", {
+                "entity_id": "E", "entity_uri": "catalog://t",
+                "column_id": "C", "row_filter_id": "NONE",
+                "rule_ids": ["R"]})
+
+
+class TestEnvironmentAndUriThroughEngine:
+    def test_environment_override_switches_table(self, spark, tmp_path):
+        """One binding, two environments → two different physical tables."""
+        from cloud_data_quality_spark.config.loader import ConfigRegistry
+        from cloud_data_quality_spark.config.model import (
+            Entity,
+            RowFilter,
+            Rule,
+            RuleBinding,
+        )
+        from cloud_data_quality_spark.engine.runner import DqEngine
+        base, test = str(tmp_path / "base.pq"), str(tmp_path / "test.pq")
+        spark.createDataFrame([("a",), ("b",)], "v string") \
+            .write.parquet(base)
+        spark.createDataFrame([("a",), (None,), (None,)], "v string") \
+            .write.parquet(test)
+        reg = ConfigRegistry()
+        reg.entities["T"] = Entity.from_dict("T", {
+            "table_name": base, "columns": {"V": {"data_type": "STRING"}},
+            "environment_override": {
+                "TEST": {"environment": "test",
+                         "override": {"table_name": test}}}})
+        reg.row_filters["NONE"] = RowFilter.from_dict(
+            "NONE", {"filter_sql_expr": "True"})
+        reg.rules["NN"] = Rule.from_dict("NN", {"rule_type": "NOT_NULL"})
+        reg.rule_bindings["RB"] = RuleBinding.from_dict("RB", {
+            "entity_id": "T", "column_id": "V", "row_filter_id": "NONE",
+            "rule_ids": ["NN"]})
+        from datetime import datetime, timezone
+        ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        r_base = DqEngine(spark, reg).run(["RB"], execution_ts=ts,
+                                          write_summary=False)
+        r_test = DqEngine(spark, reg, environment_target="test").run(
+            ["RB"], execution_ts=ts, write_summary=False)
+        assert r_base.summary.collect()[0]["failed_count"] == 0
+        assert r_test.summary.collect()[0]["failed_count"] == 2
+
+    def test_catalog_uri_binding_end_to_end(self, spark, contact_details):
+        """entity_uri: catalog://view — schema late-bound from spark.table."""
+        from cloud_data_quality_spark.config.loader import ConfigRegistry
+        from cloud_data_quality_spark.config.model import (
+            RowFilter,
+            Rule,
+            RuleBinding,
+        )
+        from cloud_data_quality_spark.engine.runner import DqEngine
+        spark.read.parquet(contact_details) \
+            .createOrReplaceTempView("cdq_uri_contacts")
+        reg = ConfigRegistry()
+        reg.row_filters["NONE"] = RowFilter.from_dict(
+            "NONE", {"filter_sql_expr": "True"})
+        reg.rules["NN"] = Rule.from_dict("NN", {"rule_type": "NOT_NULL"})
+        reg.rule_bindings["RB_URI"] = RuleBinding.from_dict("RB_URI", {
+            "entity_uri": "catalog://cdq_uri_contacts",
+            "column_id": "VALUE", "row_filter_id": "NONE",
+            "rule_ids": ["NN"]})
+        from datetime import datetime, timezone
+        ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        res = DqEngine(spark, reg).run(["RB_URI"], execution_ts=ts,
+                                       write_summary=False)
+        row = res.summary.collect()[0]
+        assert row["rows_validated"] == 9
+        assert row["failed_count"] == 2  # the two NULL values
+        assert row["table_id"] == "cdq_uri_contacts"
