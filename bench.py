@@ -65,7 +65,7 @@ def build_suite(spark, sf_dir: str, pages_path: str):
     import pyspark.sql.functions as F
 
     from cloud_data_quality_spark.functions.dedup import minhash_lsh_pairs
-    from cloud_data_quality_spark.functions.similarity import brute_force_topk
+    from cloud_data_quality_spark.functions.similarity import brute_force_topk_np
     from cloud_data_quality_spark.operators.quality_filter import (
         annotate_quality, annotate_quality_arrow)
     from cloud_data_quality_spark.plans.registry import QUERIES, _run_dq
@@ -97,7 +97,7 @@ def build_suite(spark, sf_dir: str, pages_path: str):
     def q_ann_topk():
         probes = (emb.where(F.col("vec_id") < 100)
                   .select(F.col("vec_id").alias("probe_id"), "embedding"))
-        return brute_force_topk(emb, probes, k=10).count()
+        return brute_force_topk_np(emb, probes, k=10).count()
 
     def q_unigram_logprob():
         return QUERIES["unigram_logprob"](spark, sf_dir).count()

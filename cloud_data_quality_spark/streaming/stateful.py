@@ -12,9 +12,10 @@ can't express:
   explicit per-fingerprint state and demonstrates the custom-state path.)
 
 State-size posture: running_host_quality holds O(hosts) counters;
-streaming_dedup_exact holds O(distinct fingerprints) — at web scale bound it
-by routing through a bucketed fingerprint prefix and TTL-ing buckets
-(GroupStateTimeout), or prefer the batch dedup over closed partitions.
+streaming_dedup_exact holds O(distinct fingerprints) in its exact
+(ttl_minutes=None) mode — at web scale pass ttl_minutes to TTL-evict idle
+fingerprints (ProcessingTimeTimeout), bounding state to the active window,
+or prefer the batch dedup over closed partitions.
 """
 
 from __future__ import annotations
@@ -81,14 +82,58 @@ def _dedup_fn(key: Tuple[str], batches: Iterable[pd.DataFrame],
         yield first[["url", "warc_ts", "text", "lang", "fp"]]
 
 
+def _dedup_ttl_fn(ttl_ms: int):
+    """TTL-bounded variant: per-fingerprint state is dropped after ttl_ms of
+    inactivity (ProcessingTimeTimeout), so total state is O(fingerprints seen
+    within one TTL window), not O(all distinct fingerprints ever). Trade-off,
+    stated: a duplicate arriving later than TTL after its last sighting is
+    re-emitted — dedup is exact only within the window, which is the standard
+    bounded-state contract (same shape as dropDuplicates + watermark)."""
+    def fn(key: Tuple[str], batches: Iterable[pd.DataFrame],
+           state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.exists
+        first = None
+        for pdf in batches:
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]]
+        state.update((True,))
+        state.setTimeoutDuration(ttl_ms)  # sliding: refreshed on every sight
+        if not seen and first is not None:
+            yield first[["url", "warc_ts", "text", "lang", "fp"]]
+    return fn
+
+
 def streaming_dedup_exact(stream_df: DataFrame,
-                          text_col: str = "text") -> DataFrame:
-    """First occurrence per normalized-text fingerprint across the stream."""
+                          text_col: str = "text",
+                          ttl_minutes: float | None = None) -> DataFrame:
+    """First occurrence per normalized-text fingerprint across the stream.
+
+    ttl_minutes=None keeps state forever (exact over the stream lifetime —
+    only viable when distinct fingerprints fit executor memory).
+    ttl_minutes=N bounds state to the active window: at web scale this is
+    the required mode (10^12 docs would otherwise accumulate 10^12 state
+    rows).
+
+    Trigger constraint: TTL mode needs a continuous trigger
+    (processingTime=...). Trigger.AvailableNow never terminates under
+    ProcessingTimeTimeout — FlatMapGroupsWithState reports
+    shouldRunAnotherBatch=true whenever processing-time timers are enabled,
+    so the drain-and-stop trigger schedules empty batches forever. That is
+    fine for the intended deployment (TTL only matters on long-running
+    streams); batch-style drains should use ttl_minutes=None."""
     keyed = stream_df.withColumn("fp", fingerprint(F.col(text_col))) \
                      .where(F.col("fp").isNotNull())
+    if ttl_minutes is None:
+        fn, conf = _dedup_fn, GroupStateTimeout.NoTimeout
+    else:
+        fn = _dedup_ttl_fn(int(ttl_minutes * 60_000))
+        conf = GroupStateTimeout.ProcessingTimeTimeout
     return (keyed.groupBy("fp")
-            .applyInPandasWithState(_dedup_fn,
+            .applyInPandasWithState(fn,
                                     outputStructType=DEDUP_OUT_SCHEMA,
                                     stateStructType=DEDUP_STATE_SCHEMA,
                                     outputMode="append",
-                                    timeoutConf=GroupStateTimeout.NoTimeout))
+                                    timeoutConf=conf))

@@ -168,3 +168,20 @@ class TestEmbeddings:
         approx_set = {(r["probe_id"], r["neighbor_id"]) for r in approx}
         recall = len(exact_set & approx_set) / len(exact_set)
         assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+class TestBruteForceNpParity:
+    def test_np_path_identical_to_jvm(self, spark):
+        """The BLAS mapInPandas top-k must match the JVM Column path
+        element-wise (same ranks, same rounded cosines)."""
+        from cloud_data_quality_spark.functions.similarity import (
+            brute_force_topk,
+            brute_force_topk_np,
+        )
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        probes = (emb.where(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("probe_id"), "embedding"))
+        a = brute_force_topk(emb, probes, k=5).orderBy("probe_id", "rank")
+        b = brute_force_topk_np(emb, probes, k=5).orderBy("probe_id", "rank")
+        assert [tuple(r) for r in a.collect()] == \
+               [tuple(r) for r in b.collect()]

@@ -88,3 +88,100 @@ class TestStreamingDedup:
                           .where(F.col("fp").isNotNull())
                           .distinct().count())
         assert len(fps) == batch_distinct
+
+
+class TestStreamingDedupTTL:
+    """Bounded-state mode: idle fingerprints evict after the TTL, so a
+    later duplicate re-emits (dedup exact within the window) while state
+    stays O(active window), not O(stream lifetime)."""
+
+    @staticmethod
+    def _write_batch(spark, src, text, url):
+        import datetime as dt
+        spark.createDataFrame(
+            [(url, dt.datetime(2026, 1, 1), None, text, "en")],
+            PAGES_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    @staticmethod
+    def _run_once(spark, src, ckpt, out_dir, ttl):
+        """One availableNow run against a persistent checkpoint; returns the
+        number of rows this run appended (file sink — the memory sink does
+        not support checkpoint recovery across restarts)."""
+        from cloud_data_quality_spark.streaming.stateful import (
+            streaming_dedup_exact,
+        )
+        import glob
+
+        def _count(path):
+            files = glob.glob(f"{path}/*.parquet")
+            return spark.read.parquet(path).count() if files else 0
+
+        before = _count(out_dir)
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+        out = streaming_dedup_exact(stream, ttl_minutes=ttl)
+        q = (out.writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        return _count(out_dir) - before
+
+    def test_ttl_evicts_then_reemits(self, spark, tmp_path):
+        """TTL mode runs under a continuous trigger (ProcessingTimeTimeout
+        keeps shouldRunAnotherBatch=true, so availableNow would never
+        terminate — see streaming_dedup_exact docstring). One long-running
+        query: duplicate text arriving after its fingerprint's TTL expired
+        is re-emitted because the idle state was evicted by the timer."""
+        import glob
+        import time
+
+        from cloud_data_quality_spark.streaming.stateful import (
+            streaming_dedup_exact,
+        )
+        src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+
+        def count():
+            if not glob.glob(f"{out}/*.parquet"):
+                return 0
+            try:
+                return spark.read.parquet(out).count()
+            except Exception:
+                return -1  # sink mid-write (zero-length part file) — retry
+
+        def wait_for(n, timeout=180):
+            deadline = time.time() + timeout
+            got = 0
+            while time.time() < deadline:
+                got = count()
+                if got >= n:
+                    return got
+                time.sleep(0.5)
+            return got
+
+        self._write_batch(spark, src, "hello ttl dedup", "https://a/1")
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+        q = (streaming_dedup_exact(stream, ttl_minutes=0.001)  # 60 ms TTL
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(processingTime="500 milliseconds").start())
+        try:
+            assert wait_for(1) == 1
+            time.sleep(2)  # >> TTL: the continuous batches fire the timer
+            self._write_batch(spark, src, "a different text", "https://a/2")
+            assert wait_for(2) == 2
+            time.sleep(2)
+            # duplicate arrives after eviction → re-emitted (window semantics)
+            self._write_batch(spark, src, "hello ttl dedup", "https://a/3")
+            assert wait_for(3) == 3
+        finally:
+            q.stop()
+
+    def test_no_ttl_suppresses_forever(self, spark, tmp_path):
+        src, ckpt = str(tmp_path / "src2"), str(tmp_path / "ckpt2")
+        out = str(tmp_path / "out2")
+        self._write_batch(spark, src, "hello forever dedup", "https://b/1")
+        assert self._run_once(spark, src, ckpt, out, None) == 1
+        self._write_batch(spark, src, "some other text", "https://b/2")
+        assert self._run_once(spark, src, ckpt, out, None) == 1
+        self._write_batch(spark, src, "hello forever dedup", "https://b/3")
+        assert self._run_once(spark, src, ckpt, out, None) == 0
