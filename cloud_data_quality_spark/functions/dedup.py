@@ -125,22 +125,35 @@ def minhash_lsh_pairs(
     AQE underestimates cached array columns, so small corpora benefit (two
     shuffle exchanges saved); leave False at scale — the decision is the
     caller's (a plan-time count() here would trigger an extra job per call)."""
+    hashes = F.array_sort(F.transform(word_shingles(F.col(text_col), n),
+                                      F.md5))
     base = (
         ensure_min_partitions(df.where(F.col(text_col).isNotNull()))
         .select(F.col(id_col).alias("id"),
-                word_shingles(F.col(text_col), n).alias("shingles"))
-        .where(F.size("shingles") >= 1)
-        .withColumn("sig", F.slice(F.array_sort(F.transform("shingles", F.md5)),
-                                   1, k))
+                # verify payload: 60-bit md5 prefixes as longs — same
+                # Jaccard as the shingle strings (collision odds ~2^-60 per
+                # pair, and the oracle replays the identical truncation) at
+                # ~1/5 the bytes of 32-hex strings; smaller cache, smaller
+                # broadcast, long-vs-string array_intersect
+                F.transform(hashes, lambda h: F.conv(
+                    F.substring(h, 1, 15), 16, 10).cast("bigint")).alias("hs"),
+                F.slice(hashes, 1, k).alias("sig"))
     )
-    # shingling + k·md5 per doc is the expensive narrow stage and the plan
-    # reads it three times (buckets, both sides of the verify join) — cache
-    # it rather than recompute (at 10^9 docs: checkpoint to a signatures
-    # table instead). storageLevel consults the CacheManager by plan, so a
-    # repeat call skips the persist instead of logging "already cached"
-    # warnings and re-pinning.
+    # shingling + md5 per doc is the expensive narrow stage and the plan
+    # reads it from three subtrees (bucket explode + both verify sides) —
+    # cache it rather than recompute (measured at sf0.1: cached 3.0 s/query
+    # vs 6.3 s recomputing; at 10^9 docs checkpoint signatures to a real
+    # table instead of pinning executor memory). storageLevel consults the
+    # CacheManager by plan, so a repeat call skips the persist instead of
+    # logging "already cached" warnings and re-pinning.
     if base.storageLevel == StorageLevel.NONE:
         base = base.persist()
+    # empty-shingle filter sits ABOVE the cache barrier: written below the
+    # projection, Catalyst pushes `size(hs) >= 1` into the parquet scan,
+    # re-inlining the whole shingle tree into the pre-repartition
+    # single-file stage (measured: 3.6 s single-threaded at sf0.1). Above
+    # the InMemoryRelation it is a cheap size() over cached arrays.
+    base = base.where(F.size("hs") >= 1)
     buckets = base.select("id", F.explode("sig").alias("h"))
     cand = (
         buckets.alias("a")
@@ -149,15 +162,15 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh = base.select(F.col("id"), F.col("shingles"))
+    sh = base.select(F.col("id"), F.col("hs"))
     if broadcast_verify:
         sh = F.broadcast(sh)
     joined = (
         cand
         .join(sh.withColumnRenamed("id", "id_a")
-                .withColumnRenamed("shingles", "sh_a"), "id_a")
+                .withColumnRenamed("hs", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b")
-                .withColumnRenamed("shingles", "sh_b"), "id_b")
+                .withColumnRenamed("hs", "sh_b"), "id_b")
     )
     # cheap size-bound prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so
     # pairs failing the ratio can't reach the threshold — skip their
@@ -195,8 +208,12 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col).alias("id"),
                 word_shingles(F.col(text_col), n).alias("sh"),
                 (F.floor(F.length(text_col) / length_bucket)).alias("lb"))
-        .where(F.size("sh") >= 1)
     )
+    # No `size(sh) >= 1` filter (it would be pushed into the scan,
+    # re-inlining the shingle tree single-threaded — see minhash_lsh_pairs):
+    # an empty-shingle doc can only yield jaccard NULL (vs another empty) or
+    # 0.0, both below any positive threshold, so results are identical for
+    # jaccard_threshold > 0 (the only meaningful regime).
     # candidate blocks: |Δbucket| ≤ 1 in either direction
     blocked = base.select(
         "id", "sh",

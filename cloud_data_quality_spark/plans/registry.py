@@ -501,12 +501,15 @@ def q_minhash_pairs(spark, sf_dir):
 ORACLE_MINHASH_PAIRS = f"""
 with d as (
   select doc_id, {OF.sql_word_shingles('text', 3)} as sh from documents),
-d2 as (select doc_id, sh, (list_sort(list_transform(sh, s -> md5(s))))[1:8] as sig
+d2 as (select doc_id,
+              list_transform(list_sort(list_transform(sh, s -> md5(s))),
+                             h -> ('0x' || substr(h, 1, 15))::BIGINT) as hs,
+              (list_sort(list_transform(sh, s -> md5(s))))[1:8] as sig
        from d where len(sh) >= 1),
 buckets as (select doc_id, unnest(sig) as h from d2),
 cand as (select distinct a.doc_id as id_a, b.doc_id as id_b
          from buckets a join buckets b using (h) where a.doc_id < b.doc_id),
-joined as (select id_a, id_b, x.sh as sh_a, y.sh as sh_b
+joined as (select id_a, id_b, x.hs as sh_a, y.hs as sh_b
            from cand join d2 x on x.doc_id = id_a join d2 y on y.doc_id = id_b)
 select id_a, id_b,
        round(len(list_intersect(sh_a, sh_b))::DOUBLE /
