@@ -172,8 +172,12 @@ def _scaling_child(master: str, sf_dir: str) -> None:
     n = pages.count()
     # warm JIT + python workers on a real slice so timing is steady-state
     annotate_quality_arrow(pages.sample(0.05, seed=1)).where("keep").count()
+    # low parallelism levels show the largest run-to-run variance (JVM
+    # background threads — GC, JIT — take a bigger share of 2 cores, and a
+    # single slow batch stretches the whole wall time): take best-of-3 there
+    n_reps = 3 if int(master.split("[")[1].rstrip("]")) <= 4 else 2
     best = None
-    for _ in range(2):
+    for _ in range(n_reps):
         t0 = time.perf_counter()
         ann = annotate_quality_arrow(pages, with_perplexity=True)
         kept = ann.where(F.col("keep")).count()
@@ -233,6 +237,10 @@ Input: deterministic synthetic pages table, {s['rows']} rows
 **N=2 → 4N=8 scaling efficiency: {s['efficiency_2_to_8']}** (primary pair —
 both levels leave spare machine capacity, the regime that models adding
 executor NODES, where memory bandwidth and I/O scale with the cores).
+Values slightly above 1.0 are measurement reality, not a free lunch: the
+JVM's background threads (GC, JIT, scheduler) consume a fixed share that
+weighs ~4× heavier on 2 cores than on 8, and the 2-core run has the widest
+run-to-run variance (best-of-3 is taken there).
 
 N=8 → 4N=32 efficiency: {s['efficiency_8_to_32']} — at 32 threads the job
 saturates this single box (32 physical cores shared by the JVM, 32 Python

@@ -201,6 +201,72 @@ from customer
 """
 
 
+def q_rb_entity_uri_and_env(spark, sf_dir):
+    """New config-model surfaces through the full engine, oracle-checked:
+    * entity_uri late binding — the DOCS binding names `catalog://<view>`
+      and the schema comes from the live view (no declared columns);
+    * environment_override — the PARTS entity points at part.parquet but the
+      run's environment_target=TEST remaps it to supplier.parquet, so the
+      summary row proves which table was actually scanned."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("cdq_docs_uri_view")
+    reg = ConfigRegistry()
+    reg.entities["PARTS"] = Entity.from_dict("PARTS", {
+        "table_name": "{sf_dir}/part.parquet",
+        "columns": {"S_NAME": {"data_type": "STRING"},
+                    "S_ACCTBAL": {"data_type": "FLOAT64"}},
+        "environment_override": {
+            "TEST": {"environment": "test",
+                     "override": {"table_name": "{sf_dir}/supplier.parquet"}}},
+    })
+    reg.row_filters["NONE"] = RowFilter.from_dict("NONE",
+                                                  {"filter_sql_expr": "True"})
+    reg.rules["LANG_NOT_NULL"] = Rule.from_dict(
+        "LANG_NOT_NULL", {"rule_type": "NOT_NULL"})
+    reg.rules["ACCTBAL_POSITIVE"] = Rule.from_dict(
+        "ACCTBAL_POSITIVE",
+        {"rule_type": "CUSTOM_SQL_EXPR",
+         "params": {"custom_sql_expr": "$column > 0"}})
+    reg.rule_bindings["RB_DOCS_URI"] = RuleBinding.from_dict("RB_DOCS_URI", {
+        "entity_uri": "catalog://cdq_docs_uri_view",
+        "column_id": "LANG", "row_filter_id": "NONE",
+        "rule_ids": ["LANG_NOT_NULL"]})
+    reg.rule_bindings["RB_ENV_OVERRIDE"] = RuleBinding.from_dict(
+        "RB_ENV_OVERRIDE", {
+            "entity_id": "PARTS", "column_id": "S_ACCTBAL",
+            "row_filter_id": "NONE", "rule_ids": ["ACCTBAL_POSITIVE"]})
+    eng = DqEngine(spark, reg, table_name_vars={"sf_dir": sf_dir},
+                   environment_target="test")
+    res = eng.run(["RB_DOCS_URI", "RB_ENV_OVERRIDE"], execution_ts=TS,
+                  write_summary=False)
+    return res.summary.select(
+        "rule_binding_id", "rule_id",
+        # normalize the resolved table path to its basename so the oracle
+        # can assert WHICH table the override made the engine scan
+        F.element_at(F.split("table_id", "/"), -1).alias("table_id"),
+        F.col("rows_validated").cast("bigint").alias("rows_validated"),
+        F.col("success_count").cast("bigint").alias("success_count"),
+        F.col("failed_count").cast("bigint").alias("failed_count"))
+
+
+ORACLE_RB_ENTITY_URI_AND_ENV = """
+select 'RB_DOCS_URI' as rule_binding_id, 'LANG_NOT_NULL' as rule_id,
+       'cdq_docs_uri_view' as table_id,
+       count(*)::BIGINT as rows_validated,
+       count_if(lang is not null)::BIGINT as success_count,
+       count_if(lang is null)::BIGINT as failed_count
+from documents
+union all
+-- environment_target=test remapped the PARTS entity to the supplier table;
+-- the oracle reads supplier directly (table_id normalized to its basename)
+select 'RB_ENV_OVERRIDE', 'ACCTBAL_POSITIVE', 'supplier.parquet',
+       count(*)::BIGINT,
+       count_if(s_acctbal is not null and s_acctbal > 0)::BIGINT,
+       count_if(s_acctbal is not null and s_acctbal <= 0)::BIGINT
+from supplier
+"""
+
+
 def q_rb_orders_dup_statement(spark, sf_dir):
     return _run_dq(spark, sf_dir, ["RB_ORDERS_DUP"])
 
@@ -1033,6 +1099,7 @@ qualify rank <= 3
 QUERIES = {
     "rb_customer_rules": q_rb_customer_rules,
     "rb_orders_dup_statement": q_rb_orders_dup_statement,
+    "rb_entity_uri_and_env": q_rb_entity_uri_and_env,
     "rb_events_window": q_rb_events_window,
     "failed_records_acctbal": q_failed_records_acctbal,
     "text_stats": q_text_stats,
@@ -1067,6 +1134,7 @@ QUERIES = {
 ORACLES = {
     "rb_customer_rules": ORACLE_RB_CUSTOMER_RULES,
     "rb_orders_dup_statement": ORACLE_RB_ORDERS_DUP,
+    "rb_entity_uri_and_env": ORACLE_RB_ENTITY_URI_AND_ENV,
     "rb_events_window": ORACLE_RB_EVENTS_WINDOW,
     "failed_records_acctbal": ORACLE_FAILED_RECORDS_ACCTBAL,
     "text_stats": ORACLE_TEXT_STATS,
