@@ -69,8 +69,7 @@ def _tokenized_marker_scores(s: pd.Series) -> dict[str, np.ndarray]:
     out = {}
     for lang, words in _MARKER_SETS.items():
         flag = np.isin(vocab_arr, np.asarray(words, dtype=object))
-        out[lang] = np.bincount(rows, weights=flag[codes].astype(np.float64),
-                                minlength=n)
+        out[lang] = np.bincount(rows[flag[codes]], minlength=n)
     return out
 
 
@@ -256,10 +255,15 @@ _MAX_PPL_CHARS = 1024  # bound per-doc work; perplexity stabilizes long before
 
 
 # full-codepoint → alphabet-index LUT (one gather, no clipping/where);
-# 1.1M int8 entries = ~1 MB, built once per worker
+# 1.1M int8 entries = ~1 MB, built once per worker. Uppercase A-Z map to the
+# same index as their lowercase forms, which is exactly equivalent to
+# .lower()-then-LUT: every non-ASCII character lowercases to another
+# character outside [a-z ] and hits -1 either way.
 _CHAR_LUT_FULL = np.full(0x110000, -1, dtype=np.int8)
 for _c, _i in _CHAR_IDX.items():
     _CHAR_LUT_FULL[ord(_c)] = _i
+    if "a" <= _c <= "z":
+        _CHAR_LUT_FULL[ord(_c.upper())] = _i
 _BIGRAM_LP_FLAT = _BIGRAM_LOGPROB.ravel()
 
 
@@ -273,26 +277,26 @@ def _codepoints(vals: list[str], n: int):
     return codes, doc, lens
 
 
-def perplexity_batch(texts: pd.Series, params: dict | None = None) -> pd.Series:
-    """Char-bigram perplexity: exp(-mean log P(c_i | c_{i-1})) over the
-    lowercase [a-z ] projection of the first 1024 chars. NULL/too-short → NaN.
-
-    Fully numpy-vectorized across the Arrow batch: one utf-32 decode, one
-    int8 LUT gather, flat-table bigram lookup, bincount-segmented mean — no
-    per-row Python (the loop version cost ~10 µs/char; this is ~0.1 µs/char).
-    """
-    n = len(texts)
+def _perplexity_from_codes(codes: np.ndarray, doc: np.ndarray,
+                           lens: np.ndarray, n: int) -> np.ndarray:
+    """Core scorer over a pre-decoded codepoint stream (shared with
+    quality_annotations_batch so the batch pipeline decodes the text ONCE).
+    Truncation to the first _MAX_PPL_CHARS chars per doc is applied as a
+    position mask — identical to slicing the string first."""
     out = np.full(n, np.nan)
-    vals = ["" if not isinstance(t, str) else t[:_MAX_PPL_CHARS].lower()
-            for t in texts.array]
-    codes, doc, lens = _codepoints(vals, n)
     if len(codes) == 0:
-        return pd.Series(out, index=texts.index)
+        return out
+    if lens.max(initial=0) > _MAX_PPL_CHARS:
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        pos = np.arange(len(codes), dtype=np.int64) - np.repeat(starts, lens)
+        keep = pos < _MAX_PPL_CHARS
+        codes, doc = codes[keep], doc[keep]
     idx = _CHAR_LUT_FULL[codes]
     valid = idx >= 0
     idx, doc = idx[valid], doc[valid]
     if len(idx) < 2:
-        return pd.Series(out, index=texts.index)
+        return out
     same_doc = doc[:-1] == doc[1:]
     pair = idx[:-1].astype(np.int32) * _A + idx[1:]
     pair_doc = doc[:-1][same_doc]
@@ -301,7 +305,23 @@ def perplexity_batch(texts: pd.Series, params: dict | None = None) -> pd.Series:
     counts = np.bincount(pair_doc, minlength=n)
     scorable = counts >= 1
     out[scorable] = np.exp(-(sums[scorable] / counts[scorable]))
-    return pd.Series(out, index=texts.index)
+    return out
+
+
+def perplexity_batch(texts: pd.Series, params: dict | None = None) -> pd.Series:
+    """Char-bigram perplexity: exp(-mean log P(c_i | c_{i-1})) over the
+    case-folded [a-z ] projection of the first 1024 chars. NULL/too-short →
+    NaN.
+
+    Fully numpy-vectorized across the Arrow batch: one utf-32 decode, one
+    int8 LUT gather (case folding baked into the LUT), flat-table bigram
+    lookup, bincount-segmented mean — no per-row Python (the loop version
+    cost ~10 µs/char; this is ~0.1 µs/char)."""
+    n = len(texts)
+    vals = ["" if not isinstance(t, str) else t for t in texts.array]
+    codes, doc, lens = _codepoints(vals, n)
+    return pd.Series(_perplexity_from_codes(codes, doc, lens, n),
+                     index=texts.index)
 
 
 @register_batch_function("PERPLEXITY_BELOW")
@@ -419,9 +439,10 @@ def quality_annotations_batch(texts: pd.Series, thresholds=None,
         distinct = np.bincount(uniq_rows, minlength=n)
 
         def marker_counts(words: list[str]) -> np.ndarray:
+            # integer bincount over the masked row ids — no float64 cast of
+            # the full token stream (the casts were ~14% of batch time)
             flag = np.isin(vocab_arr, np.asarray(words, dtype=object))
-            return np.bincount(rows, weights=flag[codes].astype(np.float64),
-                               minlength=n)
+            return np.bincount(rows[flag[codes]], minlength=n)
     else:
         tok_chars = np.zeros(n)
         distinct = np.zeros(n, dtype=np.int64)
@@ -441,10 +462,8 @@ def quality_annotations_batch(texts: pd.Series, thresholds=None,
         alpha_flag = (((codes_full >= 65) & (codes_full <= 90))
                       | ((codes_full >= 97) & (codes_full <= 122)))
         cjk_flag = (codes_full >= 0x4E00) & (codes_full <= 0x9FFF)
-        alpha_cnt = np.bincount(doc_full, weights=alpha_flag.astype(np.float64),
-                                minlength=n)
-        cjk_cnt = np.bincount(doc_full, weights=cjk_flag.astype(np.float64),
-                              minlength=n)
+        alpha_cnt = np.bincount(doc_full[alpha_flag], minlength=n)
+        cjk_cnt = np.bincount(doc_full[cjk_flag], minlength=n)
     else:
         alpha_cnt = np.zeros(n)
         cjk_cnt = np.zeros(n)
@@ -453,7 +472,19 @@ def quality_annotations_batch(texts: pd.Series, thresholds=None,
     lines = s.str.split("\n")
     dup_line_frac = 1.0 - (lines.map(lambda xs: len(set(xs)))
                            / lines.map(len).replace(0, np.nan))
-    tox = s.str.contains(r"\b(?:badword1|badword2|slur1)\b", regex=True)
+    # toxicity regex only on rows that can match: two C-level substring
+    # scans prefilter (exact superset — every pattern word contains
+    # 'badword' or 'slur'), the \b regex then runs on the few candidates
+    tox_cand = (s.str.contains("badword", regex=False)
+                | s.str.contains("slur", regex=False))
+    tox_np = np.zeros(n, dtype=bool)
+    if bool(tox_cand.any()):
+        # stay in numpy bool: assigning a pandas bool Series into a bool
+        # Series upcasts to object dtype, where `~` is Python's bitwise-not
+        # (~True == -2, truthy) and the toxicity gate silently passes everyone
+        tox_np[tox_cand.to_numpy()] = s[tox_cand].str.contains(
+            r"\b(?:badword1|badword2|slur1)\b", regex=True).to_numpy()
+    tox = pd.Series(tox_np, index=idx)
 
     # langid from the same factorized marker counts (token membership —
     # identical semantics to functions.text.langid; parity pytest-enforced)
@@ -482,7 +513,11 @@ def quality_annotations_batch(texts: pd.Series, thresholds=None,
         "dup_line_frac": dup_line_frac, "has_toxicity": tox,
     }
     if with_perplexity:
-        ppl = perplexity_batch(texts)
+        # reuse the codepoint stream already decoded above — the second
+        # utf-32 encode + per-row slice/lower was ~25% of batch time
+        ppl = pd.Series(_perplexity_from_codes(
+            codes_full, doc_full, n_chars.to_numpy(), n), index=idx)
+        ppl[texts.isna()] = np.nan
         out["perplexity"] = ppl
         gates.append(("perplexity",
                       np.where(lang == "en",
