@@ -287,10 +287,14 @@ def _perplexity_from_codes(codes: np.ndarray, doc: np.ndarray,
     if len(codes) == 0:
         return out
     if lens.max(initial=0) > _MAX_PPL_CHARS:
+        # mask out chars past the cap — touch ONLY the long docs (a slice
+        # assignment each) instead of building a full-stream position array
+        # (arange + repeat over every char was the hottest line in profiles)
         starts = np.zeros(n, dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
-        pos = np.arange(len(codes), dtype=np.int64) - np.repeat(starts, lens)
-        keep = pos < _MAX_PPL_CHARS
+        keep = np.ones(len(codes), dtype=bool)
+        for d in np.flatnonzero(lens > _MAX_PPL_CHARS):
+            keep[starts[d] + _MAX_PPL_CHARS:starts[d] + lens[d]] = False
         codes, doc = codes[keep], doc[keep]
     idx = _CHAR_LUT_FULL[codes]
     valid = idx >= 0
