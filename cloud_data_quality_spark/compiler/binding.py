@@ -174,7 +174,7 @@ def compile_binding(registry: ConfigRegistry, rule_binding_id: str,
     return CompiledBinding(
         rule_binding_id=rb.rule_binding_id,
         entity_id=entity.entity_id,
-        table_name=entity.table_name,
+        table_name=entity.qualified_table_name,
         source_format=entity.source_format,
         column_id=rb.column_id,
         filter_sql=bq_to_spark_sql(row_filter.filter_sql_expr),

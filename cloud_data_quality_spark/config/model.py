@@ -246,6 +246,14 @@ class EntityColumn:
                    description=kwargs.get("DESCRIPTION"))
 
 
+# reference field aliases (dq_entity.py get_custom_entity_configs maps
+# BIGQUERY project_name → instance_name, dataset_name → database_name)
+_INSTANCE_KEYS = ("INSTANCE_NAME", "PROJECT_NAME")
+_DATABASE_KEYS = ("DATABASE_NAME", "DATASET_NAME")
+_OVERRIDE_KEYS = {"table_name", "source_format", "instance_name",
+                  "project_name", "database_name", "dataset_name"}
+
+
 @dataclass(frozen=True)
 class Entity:
     entity_id: str
@@ -253,10 +261,14 @@ class Entity:
     columns: dict[str, EntityColumn]
     source_format: str = "parquet"   # parquet|table|csv|json|orc
     partition_fields: tuple[str, ...] = ()
-    # env name (upper) → {"table_name": ..., "source_format": ...} — the
-    # reference's per-environment remapping (dq_entity.py:211-257 validates
-    # instance/database/table overrides; table_name/source_format are the
-    # Spark analogues of that triple)
+    # catalog qualification, reference-compatible: BIGQUERY's project/dataset
+    # map to instance/database (dq_entity.py:46-94); a qualified entity reads
+    # as instance.database.table through the session catalog
+    instance_name: str | None = None
+    database_name: str | None = None
+    # env name (upper) → override mapping — the reference's per-environment
+    # remapping (dq_entity.py:211-257 validates instance/database/table
+    # overrides; source_format is the Spark-side addition)
     environment_override: dict[str, dict[str, str]] = field(default_factory=dict)
 
     @classmethod
@@ -270,7 +282,15 @@ class Entity:
             str(cname).upper(): EntityColumn.from_dict(str(cname), cdef or {})
             for cname, cdef in columns_raw.items()
         }
-        fmt = str(kwargs.get("SOURCE_FORMAT", "parquet")).lower()
+        instance = next((str(kwargs[k]) for k in _INSTANCE_KEYS
+                         if kwargs.get(k)), None)
+        database = next((str(kwargs[k]) for k in _DATABASE_KEYS
+                         if kwargs.get(k)), None)
+        # reference BIGQUERY entities are catalog tables, not file paths
+        default_fmt = ("table" if database
+                       or str(kwargs.get("SOURCE_DATABASE", "")).upper()
+                       == "BIGQUERY" else "parquet")
+        fmt = str(kwargs.get("SOURCE_FORMAT", default_fmt)).lower()
         if fmt not in ("parquet", "table", "csv", "json", "orc"):
             raise ConfigError(f"Entity {entity_id}: unsupported source_format {fmt!r}")
         parts = tuple(str(x) for x in (kwargs.get("PARTITION_FIELDS") or []))
@@ -278,7 +298,15 @@ class Entity:
             entity_id, kwargs.get("ENVIRONMENT_OVERRIDE"))
         return cls(entity_id=entity_id.upper(), table_name=str(table_name),
                    columns=columns, source_format=fmt, partition_fields=parts,
+                   instance_name=instance, database_name=database,
                    environment_override=env_override)
+
+    @property
+    def qualified_table_name(self) -> str:
+        """instance.database.table for catalog entities; bare table_name
+        (path or view) otherwise."""
+        return ".".join(p for p in (self.instance_name, self.database_name,
+                                    self.table_name) if p)
 
     @staticmethod
     def _parse_environment_override(entity_id: str,
@@ -286,7 +314,7 @@ class Entity:
         """Reference contract (dq_entity.py:211-257): each key names an
         environment; the value must echo it under `environment` (guard
         against copy-paste mismatches) and carry an `override` mapping;
-        a missing table_name override falls back to the base table_name."""
+        anything not overridden falls back to the base entity."""
         if not raw:
             return {}
         if not isinstance(raw, dict):
@@ -310,11 +338,11 @@ class Entity:
                     f"Entity {entity_id}: environment_override[{env!r}] needs "
                     f"a non-empty `override` mapping")
             ov = {str(k).lower(): str(val) for k, val in override.items()}
-            unknown = set(ov) - {"table_name", "source_format"}
+            unknown = set(ov) - _OVERRIDE_KEYS
             if unknown:
                 raise ConfigError(
                     f"Entity {entity_id}: unsupported override keys {sorted(unknown)} "
-                    f"(allowed: table_name, source_format)")
+                    f"(allowed: {sorted(_OVERRIDE_KEYS)})")
             out[str(env).upper()] = ov
         return out
 
@@ -329,7 +357,11 @@ class Entity:
         return dataclasses.replace(
             self,
             table_name=ov.get("table_name", self.table_name),
-            source_format=ov.get("source_format", self.source_format))
+            source_format=ov.get("source_format", self.source_format),
+            instance_name=ov.get("instance_name", ov.get("project_name",
+                                                         self.instance_name)),
+            database_name=ov.get("database_name", ov.get("dataset_name",
+                                                         self.database_name)))
 
     def resolve_column(self, column_id: str) -> EntityColumn:
         col = self.columns.get(column_id.upper())

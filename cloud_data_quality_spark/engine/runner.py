@@ -144,7 +144,8 @@ class DqEngine:
             entity = entity.for_environment(self.environment_target)
             df = self.read_entity(CompiledBinding(
                 rule_binding_id="", entity_id=entity.entity_id,
-                table_name=entity.table_name, source_format=entity.source_format,
+                table_name=entity.qualified_table_name,
+                source_format=entity.source_format,
                 column_id="", filter_sql="true", partition_null_guards=(),
                 incremental_column=None, reference_columns=(),
                 simple_rules=(), statement_rules=(), batch_rules=(),

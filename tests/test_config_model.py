@@ -203,7 +203,7 @@ class TestEnvironmentOverride:
                 **self.BASE,
                 "environment_override": {
                     "TEST": {"environment": "test",
-                             "override": {"instance_name": "gcp-proj"}}}})
+                             "override": {"partition_fields": "x"}}}})
 
     def test_override_resolves_and_unknown_env_is_identity(self):
         from cloud_data_quality_spark.config.model import Entity
@@ -308,3 +308,30 @@ class TestEnvironmentAndUriThroughEngine:
         assert row["rows_validated"] == 9
         assert row["failed_count"] == 2  # the two NULL values
         assert row["table_id"] == "cdq_uri_contacts"
+
+
+class TestReferenceEntityYamlCompat:
+    def test_reference_test_data_yml_loads_unchanged(self, tmp_path):
+        """The reference's BigQuery-shaped entity YAML (source_database,
+        project/dataset names, env override on dataset/project) must load
+        through load_configs byte-unchanged."""
+        import shutil
+
+        from cloud_data_quality_spark.config.loader import load_configs
+        src = "/root/reference/tests/resources/configs/entities/test-data.yml"
+        d = tmp_path / "cfg"
+        d.mkdir()
+        shutil.copy(src, d / "entities.yml")
+        reg = load_configs(d)
+        e = reg.get_entity("TEST_TABLE")
+        assert e.source_format == "table"  # BIGQUERY → catalog table
+        assert e.table_name == "contact_details"
+        assert e.instance_name == "<your_gcp_project_id>"
+        assert e.database_name == "<your_bigquery_dataset_id>"
+        assert e.qualified_table_name == (
+            "<your_gcp_project_id>.<your_bigquery_dataset_id>.contact_details")
+        t = e.for_environment("test")
+        assert t.instance_name == "<your_gcp_project_id_2>"
+        assert t.database_name == "<your_bigquery_dataset_id_2>"
+        assert t.table_name == "contact_details"  # not overridden → inherited
+        assert {"ROW_ID", "CONTACT_TYPE", "VALUE", "DATA", "TS"} <= set(e.columns)
