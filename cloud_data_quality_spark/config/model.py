@@ -376,17 +376,34 @@ class Entity:
 @dataclass(frozen=True)
 class EntityUri:
     """Late-binding entity reference — the Spark analogue of the reference's
-    `bigquery://…` / `dataplex://…` URIs (dq_entity_uri.py:35-158): the
-    schema is fetched from the live table at run time instead of being
-    declared in YAML.
+    entity URIs (dq_entity_uri.py:35-158): the schema is fetched from the
+    live table at run time instead of being declared in YAML.
 
-    Schemes: catalog://db.table (resolved via spark.table), and
-    parquet://, csv://, json://, orc:// followed by a path."""
+    Schemes:
+    * catalog://db.table — resolved via spark.table;
+    * parquet://, csv://, json://, orc:// — a path in that format;
+    * bigquery://projects/P/datasets/D/tables/T — the reference's path-pair
+      format, byte-compatible; maps to the catalog name P.D.T (extra pairs
+      like locations/lakes/zones are accepted and ignored, as the reference
+      does when they come from metadata_registry_defaults);
+    * dataplex://.../entities/E — accepted; E resolves as a catalog table
+      (the reference resolves it to the underlying BigQuery/GCS resource via
+      the Dataplex metadata API, which has no sandbox analogue — the entity
+      NAME is the stable part and is resolved through the session catalog).
+    """
 
     scheme: str
     path: str
 
-    SCHEMES = ("catalog", "parquet", "csv", "json", "orc")
+    SCHEMES = ("catalog", "parquet", "csv", "json", "orc",
+               "bigquery", "dataplex")
+
+    @property
+    def path_pairs(self) -> dict[str, str]:
+        """The reference's path-pair decoding (dq_entity_uri.py:49-55):
+        a/1/b/2 → {a: 1, b: 2}."""
+        parts = self.path.split("/")
+        return dict(zip(parts[::2], parts[1::2]))
 
     @classmethod
     def parse(cls, uri: str) -> "EntityUri":
@@ -401,13 +418,36 @@ class EntityUri:
                 f"Invalid entity_uri scheme {scheme!r} (allowed: {cls.SCHEMES})")
         if not path:
             raise ConfigError(f"Invalid entity_uri {uri!r}: empty table/path")
-        return cls(scheme=scheme, path=path)
+        if "*" in path:
+            raise ConfigError(  # reference parity: dq_entity_uri.validate
+                f"Invalid entity_uri {uri!r}: wildcards not allowed")
+        out = cls(scheme=scheme, path=path)
+        if scheme == "bigquery" and not out.path_pairs.get("tables"):
+            raise ConfigError(
+                f"Invalid entity_uri {uri!r}: bigquery scheme requires a "
+                f"tables/<table-id> segment")
+        if scheme == "dataplex" and not out.path_pairs.get("entities"):
+            raise ConfigError(
+                f"Invalid entity_uri {uri!r}: dataplex scheme requires an "
+                f"entities/<entity-id> segment")
+        return out
 
     def to_entity(self) -> Entity:
-        eid = re.sub(r"\W+", "_", self.path).strip("_").upper()
-        fmt = "table" if self.scheme == "catalog" else self.scheme
         # columns empty → schema is late-bound: validated against the live
         # table when the scan is created, not at config-load time
+        if self.scheme == "bigquery":
+            pairs = self.path_pairs
+            table = pairs["tables"]
+            return Entity(entity_id=re.sub(r"\W+", "_", table).upper(),
+                          table_name=table, columns={}, source_format="table",
+                          instance_name=pairs.get("projects"),
+                          database_name=pairs.get("datasets"))
+        if self.scheme == "dataplex":
+            table = self.path_pairs["entities"]
+            return Entity(entity_id=re.sub(r"\W+", "_", table).upper(),
+                          table_name=table, columns={}, source_format="table")
+        eid = re.sub(r"\W+", "_", self.path).strip("_").upper()
+        fmt = "table" if self.scheme == "catalog" else self.scheme
         return Entity(entity_id=eid, table_name=self.path, columns={},
                       source_format=fmt)
 

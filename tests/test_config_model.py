@@ -335,3 +335,41 @@ class TestReferenceEntityYamlCompat:
         assert t.database_name == "<your_bigquery_dataset_id_2>"
         assert t.table_name == "contact_details"  # not overridden → inherited
         assert {"ROW_ID", "CONTACT_TYPE", "VALUE", "DATA", "TS"} <= set(e.columns)
+
+
+class TestReferenceConfigTreeCompat:
+    """The reference's own YAML config trees must load through load_configs
+    byte-unchanged — this is the 'a reference user can switch repos' gate."""
+
+    def test_reference_test_config_tree_loads(self):
+        from cloud_data_quality_spark.config.loader import load_configs
+        reg = load_configs("/root/reference/tests/resources/configs")
+        assert len(reg.rule_bindings) >= 17
+        assert len(reg.rules) >= 6
+        # bigquery:// URI bindings resolve to qualified catalog entities
+        uri_rbs = [rb for rb in reg.rule_bindings.values()
+                   if rb.entity_uri and rb.entity_uri.startswith("bigquery")]
+        assert uri_rbs
+        from cloud_data_quality_spark.config.model import EntityUri
+        ent = EntityUri.parse(uri_rbs[0].entity_uri).to_entity()
+        assert ent.source_format == "table"
+        assert ent.database_name is not None
+
+    def test_reference_shipped_configs_load(self):
+        from cloud_data_quality_spark.config.loader import load_configs
+        reg = load_configs("/root/reference/configs")
+        assert len(reg.rules) >= 8 and len(reg.rule_bindings) >= 3
+
+    def test_reference_uri_formats_parse(self):
+        from cloud_data_quality_spark.config.model import ConfigError, EntityUri
+        e = EntityUri.parse(
+            "bigquery://projects/p1/datasets/d1/tables/t1").to_entity()
+        assert e.qualified_table_name == "p1.d1.t1"
+        e2 = EntityUri.parse(
+            "dataplex://projects/p/locations/l/lakes/lk/zones/z/"
+            "entities/contact_details").to_entity()
+        assert e2.table_name == "contact_details"
+        with pytest.raises(ConfigError, match="tables"):
+            EntityUri.parse("bigquery://projects/p/datasets/d")
+        with pytest.raises(ConfigError, match="wildcards"):
+            EntityUri.parse("bigquery://projects/p/datasets/d/tables/t*")
