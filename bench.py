@@ -142,9 +142,37 @@ def run_suite(master: str, sf_dir: str) -> dict:
         "sf": sf,
         "pages_rows": pages_n,
         "docs_per_sec": round(pages_n / timings["quality_filter_pages"], 1),
+        "keep_drop_f1": keep_drop_f1(spark, pages_path),
         "cpus": CPUS,
         "master": master,
     }
+
+
+def keep_drop_f1(spark, pages_path: str, sample_rows: int = 20_000) -> float:
+    """North-rule gate inline: F1 of the pipeline's keep/drop verdicts vs
+    the independent label oracle (tests/test_engine_extended.py's
+    _reference_keep_label — a plain-python restatement of the gate spec,
+    deliberately NOT the pipeline code path). Imported from the test module
+    so the oracle stays single-sourced and independent."""
+    import importlib.util
+
+    from cloud_data_quality_spark.operators.quality_filter import (
+        annotate_quality_arrow)
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_labels", str(REPO / "tests" / "test_engine_extended.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    pages = spark.read.parquet(pages_path).limit(sample_rows)
+    got = (annotate_quality_arrow(pages).select("url", "keep", "text")
+           .toPandas())
+    labels = got["text"].map(mod._reference_keep_label)
+    tp = int(((got["keep"]) & (labels)).sum())
+    fp = int(((got["keep"]) & (~labels)).sum())
+    fn = int(((~got["keep"]) & (labels)).sum())
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    return round(2 * precision * recall / max(precision + recall, 1e-9), 5)
 
 
 def _scaling_child(master: str, sf_dir: str) -> None:
