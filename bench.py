@@ -102,6 +102,24 @@ def build_suite(spark, sf_dir: str, pages_path: str):
     def q_unigram_logprob():
         return QUERIES["unigram_logprob"](spark, sf_dir).count()
 
+    def q_resumable_write():
+        """The shipped quality-filter CLI path: annotate → keep → single-scan
+        partitionBy write with Observation-metric lineage (16 buckets)."""
+        import shutil
+        import uuid
+
+        from cloud_data_quality_spark.engine.incremental import (
+            ResumableQualityRun)
+        work = f"{PAGES_CACHE}/resumable_bench"
+        shutil.rmtree(work, ignore_errors=True)
+        runner = ResumableQualityRun(
+            spark, output_path=f"{work}/out", lineage_path=f"{work}/lineage",
+            n_buckets=16)
+        res = runner.run(pages,
+                         lambda d: annotate_quality_arrow(d).where("keep"),
+                         run_id=uuid.uuid4().hex)
+        return res.rows_kept
+
     return {
         "quality_filter_pages": q_quality_filter,
         "scrub_pages": q_scrub_bytes,
@@ -110,6 +128,7 @@ def build_suite(spark, sf_dir: str, pages_path: str):
         "dedup_exact_pages": q_dedup_exact_pages,
         "ann_topk": q_ann_topk,
         "unigram_logprob_docs": q_unigram_logprob,
+        "resumable_filter_write": q_resumable_write,
     }
 
 
