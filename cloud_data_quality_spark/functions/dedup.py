@@ -330,6 +330,64 @@ def simhash_pairs(
             .where(F.col("hamming") <= max_hamming))
 
 
+# --------------------------------------------------------------- clusters
+
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair list (id_a, id_b) →
+    (id, cluster_id) with cluster_id = min member id. This is the operator a
+    training pipeline actually dedupes with: pairs chain (A~B, B~C ⇒ {A,B,C})
+    and one canonical doc per CLUSTER must survive, not one per pair.
+
+    Algorithm (the standard Spark substitute for GraphX/GraphFrames, which
+    aren't on the classpath): per round, (1) neighborhood-min — every node
+    takes the min label among itself and its neighbors, then (2) pointer
+    jumping — every node re-reads its label's CURRENT label, which halves
+    path lengths, giving O(log diameter) rounds overall. Each labels frame
+    is localCheckpoint'ed so the plan stays ONE round deep (iterative
+    lineage otherwise doubles per round and the optimizer melts down).
+    Convergence check: labels only ever decrease, so sum(cluster_id) is
+    strictly monotone — equal sums ⇒ fixpoint (one scalar agg per round)."""
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst"))))
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("cluster_id", F.col("id"))
+              .localCheckpoint())
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges.dst == labels.id)
+                        .groupBy("src")
+                        .agg(F.min("cluster_id").alias("nbr_min")))
+        l1 = (labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+              .select(F.col("id"),
+                      F.least(F.col("cluster_id"),
+                              F.coalesce(F.col("nbr_min"), F.col("cluster_id")))
+                       .alias("cluster_id")))
+        parent = l1.select(F.col("id").alias("pid"),
+                           F.col("cluster_id").alias("plabel"))
+        l2 = (l1.join(parent, l1.cluster_id == parent.pid, "left")
+              .select(l1.id,
+                      F.coalesce("plabel", "cluster_id").alias("cluster_id")))
+        labels = l2.localCheckpoint()
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_near_duplicates(df: DataFrame, pairs: DataFrame,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep one canonical doc (min id) per near-dup cluster; docs in no pair
+    survive untouched. Anti-join on the non-canonical member set — one
+    broadcast-able frame of (cluster members minus canonicals)."""
+    labels = duplicate_clusters(pairs)
+    losers = labels.where(F.col("id") != F.col("cluster_id")) \
+                   .select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
 # ------------------------------------------------------------- embeddings
 
 def cosine(a: Column, b: Column) -> Column:

@@ -588,6 +588,44 @@ where round(len(list_intersect(sh_a, sh_b))::DOUBLE /
 """
 
 
+def q_minhash_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the MinHash pair list
+    (pairs chain: A~B, B~C ⇒ one {A,B,C} cluster). The oracle replays the
+    identical pair derivation, then closes it with a recursive CTE."""
+    from cloud_data_quality_spark.functions.dedup import duplicate_clusters
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                              text_col="text", id_col="doc_id",
+                              n=3, k=8, jaccard_threshold=0.5,
+                              broadcast_verify=True).select("id_a", "id_b")
+    labels = duplicate_clusters(pairs)
+    return (labels.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list("id")),
+                                 lambda x: x.cast("string")), ",")
+                  .alias("member_ids")))
+
+
+_ORACLE_MINHASH_PAIRS_CTES = ORACLE_MINHASH_PAIRS.strip().removeprefix(
+    "with ").rsplit("select id_a", 1)
+
+
+ORACLE_MINHASH_CLUSTERS = f"""
+with recursive {_ORACLE_MINHASH_PAIRS_CTES[0]},
+pr as (select id_a{_ORACLE_MINHASH_PAIRS_CTES[1]}),
+edges as (select id_a as a, id_b as b from pr
+          union select id_b, id_a from pr),
+reach as (select a as n, b as m from edges
+          union
+          select r.n, e.b from reach r join edges e on r.m = e.a),
+labels as (select n as id, least(n, min(m)) as cluster_id
+           from reach group by n)
+select cluster_id, count(*)::BIGINT as n_members,
+       array_to_string(list_sort(list(id)), ',') as member_ids
+from labels group by cluster_id
+"""
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
                                text_col="text", id_col="doc_id",
@@ -1113,6 +1151,7 @@ QUERIES = {
     "unigram_logprob_topk": q_unigram_logprob_topk,
     "dedup_exact_prefix": q_dedup_exact_prefix,
     "minhash_pairs": q_minhash_pairs,
+    "minhash_clusters": q_minhash_clusters,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_pairs": q_embedding_pairs,
     "ann_topk": q_ann_topk,
@@ -1148,6 +1187,7 @@ ORACLES = {
     "unigram_logprob_topk": ORACLE_UNIGRAM_LOGPROB_TOPK,
     "dedup_exact_prefix": ORACLE_DEDUP_EXACT_PREFIX,
     "minhash_pairs": ORACLE_MINHASH_PAIRS,
+    "minhash_clusters": ORACLE_MINHASH_CLUSTERS,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
     "embedding_pairs": ORACLE_EMBEDDING_PAIRS,
     "ann_topk": ORACLE_ANN_TOPK,

@@ -185,3 +185,39 @@ class TestBruteForceNpParity:
         b = brute_force_topk_np(emb, probes, k=5).orderBy("probe_id", "rank")
         assert [tuple(r) for r in a.collect()] == \
                [tuple(r) for r in b.collect()]
+
+
+class TestDuplicateClusters:
+    def test_chained_pairs_form_one_cluster(self, spark):
+        """A~B and B~C must land in ONE cluster even though (A,C) was never
+        emitted as a pair — pairwise dedup alone under-deletes."""
+        from cloud_data_quality_spark.functions.dedup import (
+            duplicate_clusters,
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9)], "id_a bigint, id_b bigint")
+        got = {r["id"]: r["cluster_id"]
+               for r in duplicate_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    def test_long_chain_converges(self, spark):
+        from cloud_data_quality_spark.functions.dedup import (
+            duplicate_clusters,
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "id_a bigint, id_b bigint")
+        got = {r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+        assert got == {0}  # one 31-node chain → one cluster rooted at min id
+
+    def test_dedup_near_duplicates_keeps_canonical(self, spark, docs):
+        from cloud_data_quality_spark.functions.dedup import (
+            dedup_near_duplicates,
+        )
+        pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.3) \
+            .select("id_a", "id_b")
+        kept = sorted(r["doc_id"]
+                      for r in dedup_near_duplicates(docs, pairs).collect())
+        # cluster {1,2,4} (exact dup + near-dup chain) → keep 1; doc 3 is the
+        # UPPERCASE variant — shingles are case-sensitive so it's unpaired —
+        # and 5 (far), 6 (NULL), 7 (empty) are untouched
+        assert kept == [1, 3, 5, 6, 7]
