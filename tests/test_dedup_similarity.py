@@ -221,3 +221,43 @@ class TestDuplicateClusters:
         # UPPERCASE variant — shingles are case-sensitive so it's unpaired —
         # and 5 (far), 6 (NULL), 7 (empty) are untouched
         assert kept == [1, 3, 5, 6, 7]
+
+    def test_random_graphs_match_union_find(self, spark):
+        """Randomized cross-check: Spark's iterative components vs a plain
+        union-find on the driver, over a few seeded random graphs."""
+        import numpy as np
+
+        from cloud_data_quality_spark.functions.dedup import (
+            duplicate_clusters,
+        )
+
+        def union_find(n_nodes, edge_list):
+            parent = list(range(n_nodes))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edge_list:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            # canonical: min node id reachable
+            return {x: find(x) for x in range(n_nodes)}
+
+        for seed in (1, 2, 3):
+            rng = np.random.Generator(np.random.PCG64(seed))
+            n, m = 60, 45
+            edge_list = [(int(rng.integers(0, n)), int(rng.integers(0, n)))
+                         for _ in range(m)]
+            edge_list = [(a, b) for a, b in edge_list if a != b]
+            pairs = spark.createDataFrame(edge_list, "id_a bigint, id_b bigint")
+            got = {r["id"]: r["cluster_id"]
+                   for r in duplicate_clusters(pairs).collect()}
+            uf = union_find(n, edge_list)
+            touched = {a for e in edge_list for a in e}
+            # union-find roots are min ids because we always parent the max
+            expect = {x: uf[x] for x in touched}
+            assert got == expect, f"seed {seed}"
