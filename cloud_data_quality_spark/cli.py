@@ -45,6 +45,7 @@ def _validate(args) -> int:
         incremental=args.incremental,
         write_failed_records=args.failed_records_path is not None,
         write_summary=args.summary_path is not None,
+        max_concurrency=args.max_concurrency,
     )
     rows = [r.asDict() for r in result.summary.collect()]
     for row in rows:
@@ -102,6 +103,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="KEY=VALUE substituted into entity table_name")
     v.add_argument("--environment-target", default=None,
                    help="select entities' environment_override mapping")
+    v.add_argument("--max-concurrency", type=int, default=1,
+                   help="entity groups validated on this many driver "
+                        "threads (Spark schedules their jobs concurrently)")
 
     q = sub.add_parser("quality-filter", help="resumable web-text filter")
     q.add_argument("--input", required=True)

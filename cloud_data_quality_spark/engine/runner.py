@@ -96,6 +96,9 @@ class DqEngine:
             from cloud_data_quality_spark.engine.sinks import ParquetAppendSink
             summary_sink = ParquetAppendSink(summary_path)
         self.summary_sink = summary_sink
+        import threading
+        self._statement_lock = threading.Lock()
+        self._write_lock = threading.Lock()
 
     # ---------- sources ----------
 
@@ -274,26 +277,33 @@ class DqEngine:
             ))
 
         # ---- set-level rules over the `data` view ----
+        # the view name is fixed by the statement contract ("from data"), a
+        # session-global — serialize register+run when bindings execute on
+        # concurrent driver threads (run(max_concurrency > 1))
         if binding.statement_rules:
-            filtered.createOrReplaceTempView("data")
-            for rule in binding.statement_rules:
-                errors = spark.sql(rule.statement_sql).count()
-                counts.append(RuleCounts(
-                    rule_id=rule.rule_id,
-                    dimension=rule.dimension,
-                    skip_null_count=True,
-                    is_statement=True,
-                    column_id=None,
-                    errors_count=int(errors),
-                    failed_records_query=rule.statement_sql,
-                ))
+            with self._statement_lock:
+                filtered.createOrReplaceTempView("data")
+                for rule in binding.statement_rules:
+                    errors = spark.sql(rule.statement_sql).count()
+                    counts.append(RuleCounts(
+                        rule_id=rule.rule_id,
+                        dimension=rule.dimension,
+                        skip_null_count=True,
+                        is_statement=True,
+                        column_id=None,
+                        errors_count=int(errors),
+                        failed_records_query=rule.statement_sql,
+                    ))
 
         # ---- failed records: one pass, explode failing rule ids ----
+        # concurrent appends to one path share its _temporary staging dir —
+        # serialize (the write is output-sized, rarely the bottleneck)
         if write_failed_records and row_rules and self.failed_records_path:
-            self._write_failed_records(
-                binding, projected, row_rules,
-                invocation_id=invocation_id, execution_ts=execution_ts,
-            )
+            with self._write_lock:
+                self._write_failed_records(
+                    binding, projected, row_rules,
+                    invocation_id=invocation_id, execution_ts=execution_ts,
+                )
 
         if needs_reuse:
             projected.unpersist()
@@ -389,7 +399,15 @@ class DqEngine:
         execution_ts: datetime | None = None,
         invocation_id: str | None = None,
         write_summary: bool = True,
+        max_concurrency: int = 1,
     ) -> RunResult:
+        """max_concurrency > 1 runs entity GROUPS on a thread pool — Spark
+        schedules jobs from multiple driver threads natively, so a 50-binding
+        run over small entities keeps the cluster busy instead of idling it
+        between sequential scalar-sized jobs. The `data` temp view (shared
+        session name) and failed-records appends (shared output directory,
+        one _temporary staging dir per path) are serialized by locks; summary
+        rows keep deterministic order (results collected in group order)."""
         execution_ts = execution_ts or datetime.now(timezone.utc)
         invocation_id = invocation_id or uuid.uuid4().hex
         self.register_entity_views()
@@ -400,10 +418,12 @@ class DqEngine:
             b = compile_binding(self.registry, rbid,
                                 environment_target=self.environment_target)
             by_entity.setdefault(b.table_name + "|" + b.source_format, []).append(b)
-        for bindings in by_entity.values():
+
+        def run_group(bindings: list[CompiledBinding]) -> list[dict]:
             df = self.read_entity(bindings[0])
+            out: list[dict] = []
             for binding in bindings:
-                rows.extend(self.run_binding(
+                out.extend(self.run_binding(
                     binding,
                     invocation_id=invocation_id,
                     execution_ts=execution_ts,
@@ -413,6 +433,17 @@ class DqEngine:
                     write_failed_records=write_failed_records,
                     last_modified=self.entity_last_modified(binding),
                 ))
+            return out
+
+        groups = list(by_entity.values())
+        if max_concurrency > 1 and len(groups) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+                for group_rows in pool.map(run_group, groups):
+                    rows.extend(group_rows)
+        else:
+            for bindings in groups:
+                rows.extend(run_group(bindings))
         # plain tuples, NOT a pandas frame: pandas coerces None in integer
         # columns to NaN, which createDataFrame rejects for LongType when the
         # session doesn't have Arrow enabled (the driver's session may not)

@@ -271,3 +271,37 @@ def _reference_keep_label(text) -> bool:
         if not (ppl <= 30.0):
             return False
     return True
+
+
+class TestConcurrentBindings:
+    def test_concurrent_run_matches_sequential(self, spark, contact_registry,
+                                               tmp_path):
+        """max_concurrency > 1 must produce exactly the same summary rows
+        (and failed records) as the sequential run — the locks around the
+        `data` view and the failed-records append are what make it safe."""
+        from datetime import datetime, timezone
+
+        from cloud_data_quality_spark.engine.runner import DqEngine
+        ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        ids = ["T1_VALUE_NOT_NULL", "T2_EMAIL", "T4_DUPLICATES",
+               "T9_INCREMENTAL"]
+        cols = ["rule_binding_id", "rule_id", "rows_validated",
+                "success_count", "failed_count", "null_count",
+                "complex_rule_validation_errors_count"]
+
+        def rows_of(res):
+            return sorted(tuple(r[c] for c in cols)
+                          for r in res.summary.collect())
+
+        seq_eng = DqEngine(spark, contact_registry,
+                           failed_records_path=str(tmp_path / "fr_seq"))
+        par_eng = DqEngine(spark, contact_registry,
+                           failed_records_path=str(tmp_path / "fr_par"))
+        seq = seq_eng.run(ids, execution_ts=ts, write_summary=False,
+                          write_failed_records=True)
+        par = par_eng.run(ids, execution_ts=ts, write_summary=False,
+                          write_failed_records=True, max_concurrency=4)
+        assert rows_of(seq) == rows_of(par)
+        fr_seq = spark.read.parquet(str(tmp_path / "fr_seq")).count()
+        fr_par = spark.read.parquet(str(tmp_path / "fr_par")).count()
+        assert fr_seq == fr_par
