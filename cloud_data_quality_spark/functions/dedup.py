@@ -52,16 +52,39 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
 # ---------------------------------------------------------------- exact
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id", sample_k: int = 10,
+                     n_salts: int = 64) -> DataFrame:
     """Groups of byte-equal (normalized) text: (fingerprint, dup_count,
-    doc_ids sorted). Only groups with >1 member."""
+    sample_ids = the sample_k smallest member ids, sorted). Only groups with
+    >1 member.
+
+    Skew posture: a naive collect_list(id) per fingerprint materializes ONE
+    aggregation-buffer row holding every member id — a viral boilerplate page
+    with 10^7 copies OOMs the executor that owns that key (a single buffer
+    row can't spill). Instead the sample is built in two salted levels:
+      level 1 groups on (fp, hash(id) % n_salts) and keeps the sample_k
+        smallest ids per salt — each buffer holds at most its salt's share
+        of the group (~group/n_salts) transiently and emits <= sample_k ids;
+      level 2 merges the <= n_salts partial samples per fp (buffer bound
+        n_salts * sample_k ids) and re-takes the global sample_k smallest.
+    min-of-mins is exact: the k smallest overall are each the smallest
+    within their own salt, so the merged sample equals
+    slice(sort(all_ids), 1, k). Counts sum exactly."""
     fp = fingerprint(F.col(text_col)).alias("fp")
-    return (
+    partial = (
         df.where(F.col(text_col).isNotNull())
-        .select(fp, F.col(id_col))
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("dup_count"),
-             F.array_sort(F.collect_list(id_col)).alias("doc_ids"))
+        .select(fp, F.col(id_col),
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("__salt"))
+        .groupBy("fp", "__salt")
+        .agg(F.count(F.lit(1)).alias("__cnt"),
+             F.slice(F.array_sort(F.collect_list(id_col)), 1, sample_k)
+              .alias("__ids"))
+    )
+    return (
+        partial.groupBy("fp")
+        .agg(F.sum("__cnt").alias("dup_count"),
+             F.slice(F.array_sort(F.flatten(F.collect_list("__ids"))),
+                     1, sample_k).alias("sample_ids"))
         .where(F.col("dup_count") > 1)
     )
 

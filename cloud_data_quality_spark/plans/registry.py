@@ -542,15 +542,21 @@ group by doc_id
 
 def q_dedup_exact_prefix(spark, sf_dir):
     """Exact-dup groups keyed on normalized 40-char prefix fingerprint (the
-    documents corpus has no full-text dups; prefix collisions stand in)."""
+    documents corpus has no full-text dups; prefix collisions stand in).
+    sample_ids is the capped member sample (10 smallest ids) — the full
+    member list is never materialized in any aggregation buffer, so a hot
+    fingerprint (viral boilerplate at web scale) cannot OOM an executor."""
     df = _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 40).alias("text"))
     return exact_duplicates(df, text_col="text", id_col="doc_id").select(
-        "fp", F.col("dup_count").cast("bigint").alias("dup_count"))
+        "fp", F.col("dup_count").cast("bigint").alias("dup_count"),
+        F.array_join(F.transform("sample_ids", lambda x: x.cast("string")),
+                     ",").alias("sample_ids"))
 
 
 ORACLE_DEDUP_EXACT_PREFIX = """
-select md5(lower(trim(substr(text, 1, 40)))) as fp, count(*)::BIGINT as dup_count
+select md5(lower(trim(substr(text, 1, 40)))) as fp, count(*)::BIGINT as dup_count,
+       array_to_string(list_sort(list(doc_id))[1:10], ',') as sample_ids
 from documents group by 1 having count(*) > 1
 """
 

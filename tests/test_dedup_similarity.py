@@ -2,8 +2,12 @@
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 from pyspark.sql import functions as F
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
 
 from cloud_data_quality_spark.functions.dedup import (
     dedup_exact,
@@ -39,9 +43,65 @@ def docs(spark):
 
 class TestExact:
     def test_exact_duplicates_groups(self, docs):
-        groups = {tuple(r["doc_ids"]): r["dup_count"]
+        groups = {tuple(r["sample_ids"]): r["dup_count"]
                   for r in exact_duplicates(docs).collect()}
         assert ((1, 2, 3) in groups and groups[(1, 2, 3)] == 3)
+
+    def test_exact_duplicates_sample_is_capped_and_exact(self, spark):
+        """A hot fingerprint (10^5 copies of one text) yields dup_count exact
+        and sample_ids = the sample_k smallest ids — while no aggregation
+        buffer ever holds more than ~group/n_salts ids (the two-level salted
+        merge; a naive collect_list would hold all 10^5 in ONE buffer row).
+        Ids arrive shuffled so the min-of-mins merge is actually exercised."""
+        n = 100_000
+        hot = (spark.range(n)
+               .select((F.xxhash64("id") % n).alias("doc_id"),
+                       F.lit("same viral boilerplate text").alias("text")))
+        uniq = spark.range(3).select(
+            (F.col("id") + 2_000_000).alias("doc_id"),
+            F.concat(F.lit("unique-"), F.col("id")).alias("text"))
+        out = exact_duplicates(hot.unionByName(uniq), sample_k=5,
+                               n_salts=16).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row["dup_count"] == n
+        expected = sorted(r["doc_id"]
+                          for r in hot.select("doc_id").collect())[:5]
+        assert list(row["sample_ids"]) == expected
+
+    def test_exact_duplicates_hot_key_small_executor_memory(self, tmp_path):
+        """The 10^5-copy fingerprint processed in a FRESH JVM capped at 512m
+        (local mode: driver == executor memory) — the skew posture holds
+        under an actually-small heap, not just on the roomy test session."""
+        import json
+        import subprocess
+        import sys
+        script = """
+import json
+from pyspark.sql import SparkSession, functions as F
+from cloud_data_quality_spark.functions.dedup import exact_duplicates
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.driver.memory", "512m")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .appName("hotkey").getOrCreate())
+hot = (spark.range(100_000)
+       .select((F.xxhash64("id") % 100_000).alias("doc_id"),
+               F.lit("same viral boilerplate text").alias("text")))
+rows = exact_duplicates(hot, sample_k=5, n_salts=16).collect()
+print(json.dumps({"n_groups": len(rows),
+                  "dup_count": rows[0]["dup_count"],
+                  "n_sample": len(rows[0]["sample_ids"])}))
+"""
+        res = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=300, cwd=str(tmp_path),
+            env={**__import__("os").environ,
+                 "PYTHONPATH": str(REPO_ROOT)})
+        assert res.returncode == 0, res.stderr[-3000:]
+        stats = json.loads([ln for ln in res.stdout.splitlines()
+                            if ln.startswith("{")][-1])
+        assert stats == {"n_groups": 1, "dup_count": 100_000, "n_sample": 5}
 
     def test_dedup_exact_keeps_min_id(self, docs):
         kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
