@@ -80,11 +80,23 @@ class ResumableQualityRun:
         self.compact_output = compact_output
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    def _lineage_exists(self) -> bool:
+        """Hadoop-FS existence probe (works for file://, hdfs://, s3a://...).
+        Probing instead of catching a read exception keeps two failure modes
+        distinct: a missing lineage table means 'first run' (empty set), but
+        a lineage table that EXISTS and fails to read is corrupt state — a
+        silent empty set there would quietly re-run and double-write every
+        partition, so that error must propagate."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.lineage_path)
+        fs = hpath.getFileSystem(
+            self.spark._jsc.hadoopConfiguration())
+        return fs.exists(hpath)
+
     def committed_partitions(self, run_id: str) -> set[int]:
-        try:
-            lineage = self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_path)
-        except Exception:
+        if not self._lineage_exists():
             return set()
+        lineage = self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_path)
         rows = (lineage.where((F.col("run_id") == run_id)
                               & (F.col("status") == "committed"))
                 .select("part_key").distinct().collect())
@@ -112,6 +124,15 @@ class ResumableQualityRun:
         Input-side and output-side per-bucket counts are attached as
         Observations so lineage needs no extra jobs. Exposed (not just
         inlined in run) so plan tests can assert the one-scan shape.
+
+        CONTRACT on `transform`: the observed input subtree must execute
+        exactly once in the write job — Observation metrics accumulate per
+        evaluation, so a transform that consumes its input through MULTIPLE
+        subtrees of one plan (e.g. a self-join dedup reading `keyed` twice
+        without a persist/checkpoint barrier) double-counts n_in. Filters,
+        projections, Arrow-UDF stages, aggregations, and joins AGAINST OTHER
+        tables are all fine; self-referencing plans must persist the input
+        first (the cached scan evaluates once).
         """
         keyed = self._keyed(df).where(F.col("part_key").isin(list(wave)))
         obs_in, obs_out = Observation(), Observation()

@@ -183,11 +183,18 @@ class DqEngine:
     # ---------- watermark (reference: clouddq/lib.py:274-306) ----------
 
     def high_watermark(self, binding: CompiledBinding) -> datetime:
-        if not self.summary_path or not Path(self.summary_path).exists():
+        """Newest watermarked execution_ts for this binding, read through the
+        configured SummarySink — NOT a raw parquet path, so incremental runs
+        work with every sink (MERGE INTO tables have no summary_path at all).
+        A sink whose backing table/path doesn't exist yet means no prior run:
+        EPOCH. deduped=False: max(execution_ts) needs no per-run dedupe."""
+        if self.summary_sink is None:
             return EPOCH
         try:
-            summary = self.spark.read.parquet(self.summary_path)
+            summary = self.summary_sink.read(self.spark, deduped=False)
         except Exception:
+            # first run: backing store not created yet (AnalysisException /
+            # missing table). Corrupt stores surface on the write path.
             return EPOCH
         row = (
             summary.where(

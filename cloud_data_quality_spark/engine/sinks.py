@@ -24,6 +24,7 @@ deployment choice:
 
 from __future__ import annotations
 
+import os
 import shutil
 import uuid
 from abc import ABC, abstractmethod
@@ -65,36 +66,67 @@ class ParquetAppendSink(SummarySink):
 
 
 class CompactingParquetSink(SummarySink):
-    """Physical MERGE semantics on plain parquet via staged rewrite + atomic
-    directory swap. Safe against concurrent READERS mid-swap is a filesystem
-    property (rename is atomic on POSIX); concurrent WRITERS need the real
-    MergeIntoSink's transaction."""
+    """Physical MERGE semantics on plain parquet via versioned directories +
+    an atomically-replaced pointer file.
+
+    write() stages a full rewrite into `<path>/v_<uuid>/`, then flips
+    `<path>/_CURRENT` (a one-line pointer file) with os.replace — atomic on
+    POSIX, so readers resolving the pointer ALWAYS see one complete version;
+    there is no window where the table doesn't exist (a two-rename directory
+    swap has one, and a crash inside it strands the table under a backup
+    name). A crash before the flip leaves the old version live and only an
+    orphan staging dir behind; orphans and superseded versions are swept on
+    the next successful write, except the immediately-previous version,
+    which is kept one cycle so in-flight readers that resolved the pointer
+    just before a flip finish their scan.
+
+    Single WRITER assumed (last flip wins); concurrent writers need the real
+    MergeIntoSink's catalog transaction."""
 
     def __init__(self, path: str):
         self.path = path
 
+    def _pointer(self) -> Path:
+        return Path(self.path) / "_CURRENT"
+
+    def current_version_path(self) -> str | None:
+        """Absolute path of the live version dir, or None before first write."""
+        ptr = self._pointer()
+        if not ptr.exists():
+            return None
+        return str(Path(self.path) / ptr.read_text().strip())
+
     def write(self, summary: DataFrame) -> None:
         spark = summary.sparkSession
-        target = Path(self.path)
-        if target.exists():
-            existing = spark.read.parquet(self.path)
+        previous = self.current_version_path()
+        if previous is not None:
+            existing = spark.read.parquet(previous)
             run_ids = summary.select("dq_run_id").distinct()
             kept = existing.join(F.broadcast(run_ids), "dq_run_id",
                                  "left_anti")
             merged = kept.unionByName(summary)
         else:
             merged = summary
-        staging = f"{self.path}__staging_{uuid.uuid4().hex}"
-        merged.write.mode("overwrite").parquet(staging)
-        backup = f"{self.path}__old_{uuid.uuid4().hex}"
-        if target.exists():
-            target.rename(backup)
-        Path(staging).rename(self.path)
-        if Path(backup).exists():
-            shutil.rmtree(backup)
+        version = f"v_{uuid.uuid4().hex}"
+        root = Path(self.path)
+        root.mkdir(parents=True, exist_ok=True)
+        merged.write.mode("overwrite").parquet(str(root / version))
+        tmp = root / f"_CURRENT.tmp.{version}"
+        tmp.write_text(version)
+        os.replace(tmp, self._pointer())  # the atomic flip
+        keep = {version, Path(previous).name if previous else None}
+        for d in root.glob("v_*"):
+            if d.name not in keep and d.is_dir():
+                shutil.rmtree(d, ignore_errors=True)
+        for leftover in root.glob("_CURRENT.tmp.*"):
+            leftover.unlink(missing_ok=True)
 
     def read(self, spark: SparkSession, deduped: bool = True) -> DataFrame:
-        return spark.read.parquet(self.path)  # already one row per dq_run_id
+        current = self.current_version_path()
+        if current is None:
+            raise FileNotFoundError(
+                f"CompactingParquetSink at {self.path!r}: no version written yet")
+        return spark.read.parquet(current)  # already one row per dq_run_id
 
 
 class MergeIntoSink(SummarySink):

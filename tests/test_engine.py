@@ -81,7 +81,25 @@ class TestStatementRules:
 
 
 class TestIncremental:
-    def test_watermark_progression_and_zero_row_semantics(self, engine):
+    @pytest.mark.parametrize("sink_kind", ["path_default", "append", "compacting"])
+    def test_watermark_progression_and_zero_row_semantics(
+            self, spark, contact_registry, tmp_path, sink_kind):
+        """Watermark lookups go through the SINK, not a raw parquet path —
+        an engine configured with only summary_sink (no summary_path, the
+        MERGE-table deployment shape) must still progress its watermark
+        instead of silently re-scanning everything forever."""
+        from cloud_data_quality_spark.engine.sinks import (
+            CompactingParquetSink,
+            ParquetAppendSink,
+        )
+        if sink_kind == "path_default":
+            kw = {"summary_path": str(tmp_path / "dq_summary")}
+        else:
+            cls = {"append": ParquetAppendSink,
+                   "compacting": CompactingParquetSink}[sink_kind]
+            kw = {"summary_sink": cls(str(tmp_path / f"dq_summary_{sink_kind}"))}
+        engine = DqEngine(spark, contact_registry,
+                          failed_records_path=str(tmp_path / "fr"), **kw)
         # run 1: epoch watermark → all 7 email rows validated
         out1 = run_bindings(engine, ["T9_INCREMENTAL"], incremental=True)
         r1 = out1[("T9_INCREMENTAL", "NOT_NULL_SIMPLE")]

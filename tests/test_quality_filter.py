@@ -168,6 +168,22 @@ class TestResume:
         out_rows = spark.read.parquet(str(tmp_path / "out_plan")).count()
         assert res.rows_kept == out_rows == t(keyed).count()
 
+    def test_lineage_missing_vs_corrupt(self, spark, tmp_path):
+        """Missing lineage = first run (empty set, no exception spam in the
+        logs); EXISTING-but-unreadable lineage = corrupt state and must fail
+        loudly — a silent empty set would re-run and double-write every
+        partition."""
+        runner = ResumableQualityRun(
+            spark, output_path=str(tmp_path / "out3"),
+            lineage_path=str(tmp_path / "lineage3"), n_buckets=2)
+        assert runner.committed_partitions("rx") == set()  # missing → empty
+
+        # corrupt: the path exists but holds a non-parquet file
+        (tmp_path / "lineage3").mkdir()
+        (tmp_path / "lineage3" / "part-0.parquet").write_text("not parquet")
+        with pytest.raises(Exception):
+            runner.committed_partitions("rx")
+
     def test_rerun_is_noop(self, spark, pages_parquet, tmp_path):
         df = spark.read.parquet(pages_parquet).limit(200)
         runner = ResumableQualityRun(

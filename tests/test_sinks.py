@@ -54,8 +54,49 @@ class TestCompactingSinkPhysical:
         import datetime as dt
         for i in range(3):
             sink.write(_rows(spark, "same", i, dt.datetime(2026, 1, 1 + i)))
-        assert spark.read.parquet(sink.path).count() == 1
-        assert spark.read.parquet(sink.path).collect()[0]["failed_count"] == 2
+        live = sink.current_version_path()
+        assert spark.read.parquet(live).count() == 1
+        assert spark.read.parquet(live).collect()[0]["failed_count"] == 2
+
+    def test_crash_before_pointer_flip_leaves_old_version_live(
+            self, spark, tmp_path, monkeypatch):
+        """A writer dying between staging the new version and flipping the
+        pointer must leave readers on the old, complete version — the
+        atomicity property the two-rename directory swap lacked."""
+        import datetime as dt
+        import os as _os
+        sink = CompactingParquetSink(str(tmp_path / "dq_summary4"))
+        sink.write(_rows(spark, "r", 1, dt.datetime(2026, 1, 1)))
+        before = sink.current_version_path()
+
+        def boom(src, dst):
+            raise OSError("simulated crash at the flip")
+        monkeypatch.setattr("cloud_data_quality_spark.engine.sinks.os.replace",
+                            boom)
+        with pytest.raises(OSError, match="simulated crash"):
+            sink.write(_rows(spark, "r", 99, dt.datetime(2026, 1, 2)))
+        monkeypatch.undo()
+        assert sink.current_version_path() == before
+        assert sink.read(spark).collect()[0]["failed_count"] == 1
+        # and the next successful write self-heals (sweeps the orphan)
+        sink.write(_rows(spark, "r", 2, dt.datetime(2026, 1, 3)))
+        assert sink.read(spark).collect()[0]["failed_count"] == 2
+        _ = _os  # silence unused-import lint
+
+    def test_previous_version_survives_one_cycle(self, spark, tmp_path):
+        """In-flight readers that resolved the pointer just before a flip
+        still have their files: the immediately-previous version is kept."""
+        import datetime as dt
+        from pathlib import Path
+        sink = CompactingParquetSink(str(tmp_path / "dq_summary5"))
+        sink.write(_rows(spark, "r", 1, dt.datetime(2026, 1, 1)))
+        v1 = sink.current_version_path()
+        sink.write(_rows(spark, "r", 2, dt.datetime(2026, 1, 2)))
+        v2 = sink.current_version_path()
+        assert Path(v1).exists() and Path(v2).exists()
+        sink.write(_rows(spark, "r", 3, dt.datetime(2026, 1, 3)))
+        assert not Path(v1).exists()  # two flips later: swept
+        assert Path(v2).exists()
 
 
 class TestMergeIntoSink:
@@ -88,5 +129,6 @@ class TestEngineThroughSink:
                        summary_sink=sink)
         eng.run(["T1_VALUE_NOT_NULL"], execution_ts=ts)
         eng.run(["T1_VALUE_NOT_NULL"], execution_ts=ts)  # same dq_run_id
-        assert spark.read.parquet(sink.path).count() == 1  # physically merged
+        assert spark.read.parquet(
+            sink.current_version_path()).count() == 1    # physically merged
         assert eng.read_summary(deduped=True).count() == 1
