@@ -355,7 +355,8 @@ def simhash_pairs(
 
 # --------------------------------------------------------------- clusters
 
-def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25,
+                       reliable_checkpoint: bool | None = None) -> DataFrame:
     """Connected components over a near-dup pair list (id_a, id_b) →
     (id, cluster_id) with cluster_id = min member id. This is the operator a
     training pipeline actually dedupes with: pairs chain (A~B, B~C ⇒ {A,B,C})
@@ -366,18 +367,40 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
     takes the min label among itself and its neighbors, then (2) pointer
     jumping — every node re-reads its label's CURRENT label, which halves
     path lengths, giving O(log diameter) rounds overall. Each labels frame
-    is localCheckpoint'ed so the plan stays ONE round deep (iterative
-    lineage otherwise doubles per round and the optimizer melts down).
+    is checkpointed so the plan stays ONE round deep (iterative lineage
+    otherwise doubles per round and the optimizer melts down).
+
+    reliable_checkpoint: True writes each round's labels to the session's
+    checkpoint dir (sparkContext.setCheckpointDir) — survives executor loss
+    and doesn't pin executor memory, the right mode for long cluster runs;
+    False uses localCheckpoint (fastest, single-box / short jobs — an
+    executor loss restarts the whole computation). Default (None) picks
+    reliable iff a checkpoint dir is configured.
+
     Convergence check: labels only ever decrease, so sum(cluster_id) is
-    strictly monotone — equal sums ⇒ fixpoint (one scalar agg per round)."""
+    strictly monotone — equal sums ⇒ fixpoint. The sum rides the round's
+    checkpoint job as an Observation, so each round is exactly ONE job (no
+    separate scalar agg pass over the checkpointed frame)."""
+    from pyspark.sql import Observation
+    spark = pairs.sparkSession
+    if reliable_checkpoint is None:
+        reliable_checkpoint = (
+            spark.sparkContext.getCheckpointDir() is not None)
+
+    def _materialize(df: DataFrame) -> tuple[DataFrame, int]:
+        obs = Observation()
+        df = df.observe(obs, F.sum("cluster_id").alias("s"))
+        df = (df.checkpoint(eager=True) if reliable_checkpoint
+              else df.localCheckpoint())
+        return df, obs.get["s"]
+
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .unionByName(pairs.select(F.col("id_b").alias("src"),
                                        F.col("id_a").alias("dst"))))
-    labels = (edges.select(F.col("src").alias("id"))
-              .distinct()
-              .withColumn("cluster_id", F.col("id"))
-              .localCheckpoint())
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    labels, prev_sum = _materialize(
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id")))
     for _ in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src")
@@ -392,8 +415,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
         l2 = (l1.join(parent, l1.cluster_id == parent.pid, "left")
               .select(l1.id,
                       F.coalesce("plabel", "cluster_id").alias("cluster_id")))
-        labels = l2.localCheckpoint()
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        labels, cur_sum = _materialize(l2)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

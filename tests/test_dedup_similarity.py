@@ -269,6 +269,27 @@ class TestDuplicateClusters:
         got = {r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
         assert got == {0}  # one 31-node chain → one cluster rooted at min id
 
+    def test_reliable_checkpoint_path(self, spark, tmp_path):
+        """With a checkpoint dir configured, each round writes labels to
+        reliable storage (survives executor loss, nothing pinned in executor
+        memory) — results identical to the localCheckpoint mode."""
+        from cloud_data_quality_spark.functions.dedup import (
+            duplicate_clusters,
+        )
+        sc = spark.sparkContext
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9)], "id_a bigint, id_b bigint")
+        try:
+            sc.setCheckpointDir(str(tmp_path / "ckpt"))
+            # default (None) auto-selects reliable now that a dir exists
+            got = {r["id"]: r["cluster_id"]
+                   for r in duplicate_clusters(pairs).collect()}
+            assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+            ckpt_files = list((tmp_path / "ckpt").rglob("*"))
+            assert ckpt_files, "reliable checkpoint dir is empty — not used"
+        finally:
+            sc._jsc.sc().setCheckpointDir(None)  # restore for other tests
+
     def test_dedup_near_duplicates_keeps_canonical(self, spark, docs):
         from cloud_data_quality_spark.functions.dedup import (
             dedup_near_duplicates,
