@@ -299,7 +299,8 @@ class DqEngine:
                         is_statement=True,
                         column_id=None,
                         errors_count=int(errors),
-                        failed_records_query=rule.statement_sql,
+                        failed_records_query=self._statement_failed_records_sql(
+                            binding, rule, invocation_id),
                     ))
 
         # ---- failed records: one pass, explode failing rule ids ----
@@ -340,7 +341,6 @@ class DqEngine:
         NULL rows, so conjoining `col IS NOT NULL AND NOT (col IS NOT NULL)`
         would be a contradiction returning 0 rows; every other simple rule's
         tri-valued validity is FALSE only on non-NULL rows."""
-        table = binding.table_name.format(**self.table_name_vars)
         ref = ", ".join(binding.reference_columns) or binding.column_id
         if rule.rule_type == RuleType.NOT_NULL:
             fail = f"{binding.column_id} IS NULL"
@@ -349,7 +349,64 @@ class DqEngine:
             fail = f"{binding.column_id} IS NOT NULL AND NOT ({pred})"
         return (
             f"SELECT {ref}, {binding.column_id} AS column_value "
-            f"FROM `{table}` data WHERE ({binding.filter_sql}) AND {fail}"
+            f"FROM {self._table_ref(binding)} data "
+            f"WHERE ({binding.filter_sql}) AND {fail}"
+        )
+
+    def _table_ref(self, binding: CompiledBinding) -> str:
+        """SQL table reference that spark.sql can run AS-IS: catalog tables
+        by name, file sources via Spark's direct-file syntax
+        (`parquet.`/path``) — so stored failed_records queries are
+        ready-to-run, not rewrite-before-use."""
+        name = binding.table_name.format(**self.table_name_vars)
+        if binding.source_format == "table":
+            return name
+        return f"{binding.source_format}.`{name}`"
+
+    def _statement_failed_records_sql(self, binding: CompiledBinding,
+                                      rule: CompiledRule,
+                                      invocation_id: str) -> str:
+        """Ready-to-run triage query for a CUSTOM_SQL_STATEMENT rule,
+        matching the reference's failed-records contract
+        (failed_records_query.sql:36-116 and
+        validate_complex_rule_failed_records_query, macros.sql:145-180):
+        the `data` CTE is the binding's filtered scan, each of the
+        statement's error rows comes back with the `_dq_validation_*`
+        column set, the error payload is echoed as
+        custom_sql_statement_validation_errors, and the query returns ZERO
+        rows when the rule passes (the reference reaches the same end by
+        filtering `_dq_validation_complex_rule_validation_success_flag IS
+        FALSE`). errors_count is attached via a counted CTE cross join
+        rather than the reference's `COUNT(*) OVER ()` — identical values
+        without a one-partition global window."""
+        dim = (f"'{rule.dimension}'" if rule.dimension
+               else "CAST(NULL AS STRING)")
+        stmt = "\n".join("  " + line for line in
+                         rule.statement_sql.strip().splitlines())
+        # the `src` alias is load-bearing: without it Spark's parser reads
+        # `...parquet.`path` WHERE (True)` as table alias WHERE with a
+        # column-alias list (True) → ASSIGNMENT_ARITY_MISMATCH
+        return (
+            f"WITH data AS (\n"
+            f"  SELECT * FROM {self._table_ref(binding)} src "
+            f"WHERE ({binding.filter_sql})\n"
+            f"),\n"
+            f"validation_errors AS (\n{stmt}\n"
+            f"),\n"
+            f"errs AS (SELECT COUNT(*) AS n FROM validation_errors)\n"
+            f"SELECT\n"
+            f"  '{invocation_id}' AS _dq_validation_invocation_id,\n"
+            f"  '{binding.rule_binding_id}' AS _dq_validation_rule_binding_id,\n"
+            f"  '{rule.rule_id}' AS _dq_validation_rule_id,\n"
+            f"  CAST(NULL AS STRING) AS _dq_validation_column_id,\n"
+            f"  CAST(NULL AS STRING) AS _dq_validation_column_value,\n"
+            f"  CAST({dim} AS STRING) AS _dq_validation_dimension,\n"
+            f"  CAST(NULL AS BOOLEAN) AS _dq_validation_simple_rule_row_is_valid,\n"
+            f"  errs.n AS _dq_validation_complex_rule_validation_errors_count,\n"
+            f"  (errs.n = 0) AS _dq_validation_complex_rule_validation_success_flag,\n"
+            f"  to_json(struct(e.*)) AS custom_sql_statement_validation_errors\n"
+            f"FROM validation_errors e CROSS JOIN errs\n"
+            f"ORDER BY _dq_validation_rule_id"
         )
 
     def failed_records_frame(

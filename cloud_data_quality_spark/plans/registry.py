@@ -333,6 +333,49 @@ select 'ACCTBAL_NOT_NULL', c_acctbal::DOUBLE from b where c_acctbal is null
 """
 
 
+def q_failed_records_dup_statement(spark, sf_dir):
+    """CUSTOM_SQL_STATEMENT failed-records parity: the engine run STORES a
+    ready-to-run triage query per statement rule (the reference's
+    failed_records_query.sql:36-116 rendering, with the `_dq_validation_*`
+    column set); this query executes that stored SQL verbatim and returns
+    its rows — the oracle replays the same statement + lineage columns in
+    DuckDB. One deterministic payload field (o_orderkey, pulled from the
+    JSON error echo) stands in for the whole error row."""
+    eng = DqEngine(spark, _dq_registry(), table_name_vars={"sf_dir": sf_dir})
+    res = eng.run(["RB_ORDERS_DUP"], execution_ts=TS,
+                  invocation_id="fixed-inv", write_summary=False)
+    stored = res.summary.collect()[0]["failed_records_query"]
+    return spark.sql(stored).select(
+        "_dq_validation_invocation_id",
+        "_dq_validation_rule_binding_id",
+        "_dq_validation_rule_id",
+        "_dq_validation_dimension",
+        F.col("_dq_validation_complex_rule_validation_errors_count")
+         .cast("bigint").alias("errors_count"),
+        F.col("_dq_validation_complex_rule_validation_success_flag")
+         .alias("success_flag"),
+        F.get_json_object("custom_sql_statement_validation_errors",
+                          "$.o_orderkey").cast("bigint").alias("o_orderkey"))
+
+
+ORACLE_FAILED_RECORDS_DUP_STATEMENT = """
+with data as (select * from orders where (True)),
+validation_errors as (
+  select a.* from data a
+  inner join (select o_custkey from data group by o_custkey having count(*) > 1) d
+  using (o_custkey)),
+errs as (select count(*) as n from validation_errors)
+select 'fixed-inv' as _dq_validation_invocation_id,
+       'RB_ORDERS_DUP' as _dq_validation_rule_binding_id,
+       'NO_DUP_CUSTKEY' as _dq_validation_rule_id,
+       'DUPLICATION' as _dq_validation_dimension,
+       errs.n::BIGINT as errors_count,
+       (errs.n = 0) as success_flag,
+       o_orderkey::BIGINT as o_orderkey
+from validation_errors cross join errs
+"""
+
+
 # --------------------------------------------------------------------------
 # Web-text analysis queries (documents table)
 # --------------------------------------------------------------------------
@@ -1146,6 +1189,7 @@ QUERIES = {
     "rb_entity_uri_and_env": q_rb_entity_uri_and_env,
     "rb_events_window": q_rb_events_window,
     "failed_records_acctbal": q_failed_records_acctbal,
+    "failed_records_dup_statement": q_failed_records_dup_statement,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -1182,6 +1226,7 @@ ORACLES = {
     "rb_entity_uri_and_env": ORACLE_RB_ENTITY_URI_AND_ENV,
     "rb_events_window": ORACLE_RB_EVENTS_WINDOW,
     "failed_records_acctbal": ORACLE_FAILED_RECORDS_ACCTBAL,
+    "failed_records_dup_statement": ORACLE_FAILED_RECORDS_DUP_STATEMENT,
     "text_stats": ORACLE_TEXT_STATS,
     "text_langid": ORACLE_TEXT_LANGID,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,

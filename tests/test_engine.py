@@ -145,16 +145,52 @@ class TestFailedRecords:
         row_is_valid IS FALSE, which includes the NULLs for NOT_NULL)."""
         b = compile_binding(contact_registry, "T2_EMAIL")
         rules = {r.rule_id: r for r in b.simple_rules}
-        spark.read.parquet(contact_details).createOrReplaceTempView("cd_view")
 
+        # stored queries are ready-to-run AS-IS (file-source table refs use
+        # Spark's direct parquet.`path` syntax) — no rewriting before use
         nn_sql = engine._failed_records_sql(b, rules["NOT_NULL_SIMPLE"])
-        rows = spark.sql(nn_sql.replace(f"`{b.table_name}`", "cd_view")).collect()
+        rows = spark.sql(nn_sql).collect()
         assert len(rows) == 1 and rows[0]["column_value"] is None
 
         rx_sql = engine._failed_records_sql(b, rules["REGEX_VALID_EMAIL"])
-        vals = {r["column_value"] for r in
-                spark.sql(rx_sql.replace(f"`{b.table_name}`", "cd_view")).collect()}
+        vals = {r["column_value"] for r in spark.sql(rx_sql).collect()}
         assert vals == {"", "not-an-email"}  # non-NULL failures only
+
+    def test_statement_failed_records_query_parity_and_runs(
+            self, engine, spark, contact_registry):
+        """CUSTOM_SQL_STATEMENT rules store a READY-TO-RUN triage query with
+        the reference's full `_dq_validation_*` column set
+        (failed_records_query.sql:80-116) — not the raw statement SQL."""
+        b = compile_binding(contact_registry, "T4_DUPLICATES")
+        rule = b.statement_rules[0]
+        sql = engine._statement_failed_records_sql(b, rule, "inv-123")
+        # golden column set, exactly the reference template's
+        for col in ["_dq_validation_invocation_id",
+                    "_dq_validation_rule_binding_id",
+                    "_dq_validation_rule_id",
+                    "_dq_validation_column_id",
+                    "_dq_validation_column_value",
+                    "_dq_validation_dimension",
+                    "_dq_validation_simple_rule_row_is_valid",
+                    "_dq_validation_complex_rule_validation_errors_count",
+                    "_dq_validation_complex_rule_validation_success_flag",
+                    "custom_sql_statement_validation_errors"]:
+            assert f"AS {col}" in sql, col
+        assert "COUNT(*) OVER" not in sql  # no one-partition global window
+        out = spark.sql(sql).collect()
+        # fixture: 2 duplicate (contact_type, value) rows
+        assert len(out) == 2
+        assert all(r["_dq_validation_complex_rule_validation_errors_count"] == 2
+                   for r in out)
+        assert all(r["_dq_validation_complex_rule_validation_success_flag"]
+                   is False for r in out)
+        assert all(r["_dq_validation_invocation_id"] == "inv-123" for r in out)
+        assert all(r["custom_sql_statement_validation_errors"] for r in out)
+        # and the engine run stores exactly this rendering in the summary
+        result = engine.run(["T4_DUPLICATES"], execution_ts=TS,
+                            invocation_id="inv-123", write_summary=False)
+        stored = result.summary.collect()[0]["failed_records_query"]
+        assert stored == sql
 
 
 class TestSummarySink:
