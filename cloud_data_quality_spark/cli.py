@@ -40,6 +40,14 @@ def _validate(args) -> int:
     binding_ids = (args.rule_binding_ids.split(",")
                    if args.rule_binding_ids != "ALL"
                    else sorted(registry.rule_bindings))
+    if args.dry_run:
+        # reference default behavior (clouddq/main.py:146-151): compile +
+        # dry-run everything, execute nothing, fail on bad configs
+        for plan in engine.dry_run(binding_ids):
+            print(json.dumps(plan, sort_keys=True))
+        print(f"-- dry-run OK: {len(binding_ids)} binding(s) compiled, "
+              f"nothing executed", file=sys.stderr)
+        return 0
     result = engine.run(
         binding_ids,
         incremental=args.incremental,
@@ -98,6 +106,9 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--summary-path")
     v.add_argument("--failed-records-path")
     v.add_argument("--incremental", action="store_true")
+    v.add_argument("--dry-run", action="store_true",
+                   help="compile bindings, resolve schemas, analyze rule "
+                        "plans; execute nothing (reference default behavior)")
     v.add_argument("--fail-on-error", action="store_true")
     v.add_argument("--table-var", action="append",
                    help="KEY=VALUE substituted into entity table_name")

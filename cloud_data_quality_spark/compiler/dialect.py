@@ -90,23 +90,35 @@ _NOT_ALIAS = {"inner", "join", "left", "right", "full", "cross", "on",
 _ALIAS = re.compile(r"\s*(?:as\s+)?([A-Za-z_]\w*)", re.IGNORECASE)
 
 
+_IN_CONTEXT = re.compile(r"(\bnot\s+)?\bin\s*$", re.IGNORECASE)
+_IN_LHS = re.compile(r"([A-Za-z_`][\w.`$]*)\s*$")
+
+
 def _rewrite_unnest(sql: str) -> str:
     """BQ `unnest(expr) [as] alias` → Spark.
 
-    Two positions, two targets (both verified against Spark 4.1):
+    Three positions, three targets (all verified against Spark 4.1):
     * after FROM (incl. inside correlated EXISTS / scalar subqueries):
-      `from unnest(X) t`  →  `from explode(X) AS __unnest_t(t)` — Spark's
+      `from unnest(X) t`  →  `from explode(X) AS __unnest_t0(t)` — Spark's
       explode() table-valued function supports outer references, so the
       reference's correlated `exists (select 1 from unnest($column) t join
       ref ...)` (integrity_subquery.yaml:90-99) and `(select sum(...) from
       unnest(...) s)` (correctness_complex_rule.yaml:64-69) run as-is;
     * after a comma join (`from data d, unnest(d.arr) t`): Spark's comma
       join can't correlate a TVF, so it becomes
-      `from data d lateral view explode(d.arr) __unnest_t as t`.
+      `from data d lateral view explode(d.arr) __unnest_t as t`;
+    * expression context `x IN UNNEST(arr)` / `x NOT IN UNNEST(arr)` (a
+      common BQ idiom, not used by the reference rule library but by
+      user-authored rules) → `(not) array_contains(arr, x)`. The LHS must
+      be a simple (possibly dotted/backticked) identifier — anything more
+      exotic raises ConfigError rather than producing invalid Spark SQL.
 
-    The array expression is paren-balance scanned (regexes can't nest)."""
+    Fallback table aliases are unique per occurrence (__unnest_t0, _t1, …)
+    so two unaliased UNNESTs in one FROM clause can't collide. The array
+    expression is paren-balance scanned (regexes can't nest)."""
     out: list[str] = []
     pos = 0
+    n_anon = 0
     while True:
         m = _UNNEST_OPEN.search(sql, pos)
         if not m:
@@ -119,11 +131,26 @@ def _rewrite_unnest(sql: str) -> str:
                 depth -= 1
             i += 1
         expr = sql[m.end():i - 1]
+        before = sql[pos:m.start()]
+        in_m = _IN_CONTEXT.search(before)
+        if in_m:
+            head = before[:in_m.start()]
+            lhs_m = _IN_LHS.search(head)
+            if not lhs_m:
+                from cloud_data_quality_spark.config.model import ConfigError
+                raise ConfigError(
+                    f"IN UNNEST with a non-identifier left-hand side is not "
+                    f"translatable; rewrite as array_contains(...) directly: "
+                    f"...{before[-60:]}unnest(...)")
+            neg = "not " if in_m.group(1) else ""
+            out.append(head[:lhs_m.start()])
+            out.append(f"{neg}array_contains({expr}, {lhs_m.group(1)})")
+            pos = i
+            continue
         am = _ALIAS.match(sql, i)
         alias = am.group(1) if am and am.group(1).lower() not in _NOT_ALIAS \
             else None
         end = am.end() if alias else i
-        before = sql[pos:m.start()]
         comma = before.rstrip().endswith(",")
         if comma:
             before = before.rstrip()[:-1]
@@ -132,7 +159,8 @@ def _rewrite_unnest(sql: str) -> str:
         elif alias:
             repl = f"explode({expr}) AS __unnest_{alias}({alias})"
         else:
-            repl = f"explode({expr}) AS __unnest_t(col)"
+            repl = f"explode({expr}) AS __unnest_t{n_anon}(col)"
+            n_anon += 1
         out.append(before)
         out.append(repl)
         pos = end

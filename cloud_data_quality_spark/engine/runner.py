@@ -522,6 +522,44 @@ class DqEngine:
                          stats={"bindings": len(rule_binding_ids),
                                 "summary_rows": len(rows)})
 
+    def dry_run(self, rule_binding_ids: list[str]) -> list[dict]:
+        """Validate-only mode, the reference's default posture (main.py:
+        146-151 dry-runs every generated script through BigQuery's dry-run
+        API before executing anything): compile every binding, resolve its
+        entity + declared-vs-actual schema, build and ANALYZE each rule
+        plan — including statement SQL against the `data` view — but execute
+        nothing. No jobs run, no summary/failed-records output is written.
+        Returns one dict per binding with what WOULD run; config or
+        analysis errors raise exactly as a real run would."""
+        self.register_entity_views()
+        out: list[dict] = []
+        for rbid in rule_binding_ids:
+            binding = compile_binding(self.registry, rbid,
+                                      environment_target=self.environment_target)
+            df = self.read_entity(binding)  # declared-schema check happens here
+            filtered = binding.filter_df(df)
+            projected = self.projected_frame(binding, filtered)
+            _ = projected.schema  # force analysis of every rule expression
+            statement_ok: list[str] = []
+            if binding.statement_rules:
+                with self._statement_lock:
+                    filtered.createOrReplaceTempView("data")
+                    for rule in binding.statement_rules:
+                        _ = self.spark.sql(rule.statement_sql).schema
+                        statement_ok.append(rule.rule_id)
+            out.append({
+                "rule_binding_id": rbid,
+                "table": binding.table_name.format(**self.table_name_vars),
+                "filter": binding.filter_sql,
+                "column_id": binding.column_id,
+                "row_rules": [r.rule_id for r in
+                              binding.simple_rules + binding.batch_rules],
+                "statement_rules": statement_ok,
+                "physical_plan_head": projected._jdf.queryExecution()
+                    .simpleString().splitlines()[0],
+            })
+        return out
+
     def read_summary(self, deduped: bool = True) -> DataFrame:
         """Read the metrics table through the configured sink. With
         deduped=True the result has one logical row per dq_run_id — the

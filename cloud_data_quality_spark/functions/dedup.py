@@ -321,7 +321,18 @@ def simhash_pairs(
     Pigeonhole completeness: a pair with hamming ≤ n_bands-1 must share at
     least one band, so n_bands defaults to max_hamming+1 — EVERY pair within
     max_hamming is emitted. An explicit n_bands < max_hamming+1 would
-    silently miss pairs and is rejected."""
+    silently miss pairs and is rejected.
+
+    Scale limit (the completeness/selectivity trade-off is intrinsic to
+    single-hash SimHash banding): band keyspace is 2^(60/n_bands), so
+    max_hamming=6 → 7 bands of 8-9 bits → only 256-512 distinct values per
+    band, and on a large corpus nearly every pair shares SOME band —
+    candidate generation degrades toward the quadratic self-join. Keep
+    max_hamming ≤ 3 at web scale (15-bit bands, 32k keys), or use
+    minhash_lsh_pairs, whose bucket keyspace (md5 digests) never collapses.
+    A production fork wanting deep-hamming SimHash needs a wider hash
+    (128-bit) or multi-probe AND-composed bands; the 60-bit variant here is
+    bounded by DuckDB-oracle portability (SURVEY §2.9 md5 trick)."""
     if n_bands is None:
         n_bands = max_hamming + 1
     if max_hamming > n_bands - 1:

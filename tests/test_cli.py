@@ -46,6 +46,50 @@ rule_bindings:
         capsys.readouterr()
         assert rc == 1
 
+    def test_dry_run_executes_nothing(self, spark, tmp_path, capsys):
+        """--dry-run compiles + analyzes every binding and writes NOTHING —
+        the summary path must not exist afterwards (zero write jobs ran)."""
+        summary = tmp_path / "dq_summary"
+        failed = tmp_path / "dq_failed"
+        rc = main(["validate", "--configs", "configs",
+                   "--table-var", "sf_dir=/root/testdata/sf0.001",
+                   "--summary-path", str(summary),
+                   "--failed-records-path", str(failed),
+                   "--dry-run"])
+        assert rc == 0
+        assert not summary.exists() and not failed.exists()
+        out = capsys.readouterr().out.strip().splitlines()
+        plans = [json.loads(line) for line in out]
+        assert len(plans) == 3  # one dict per shipped demo binding
+        assert all(p["row_rules"] or p["statement_rules"] for p in plans)
+        assert all("physical_plan_head" in p for p in plans)
+
+    def test_dry_run_bad_config_fails_at_compile(self, spark, tmp_path):
+        """A rule referencing a column the entity doesn't have must fail the
+        dry run with the analysis/compile error — that's its whole point."""
+        (tmp_path / "c.yml").write_text("""
+entities:
+  DOCS:
+    table_name: "/root/testdata/sf0.001/documents.parquet"
+    columns:
+      DOC_ID: {data_type: INT64}
+      TEXT: {data_type: STRING}
+rules:
+  BROKEN:
+    rule_type: CUSTOM_SQL_EXPR
+    params: {custom_sql_expr: "no_such_column > 1"}
+row_filters:
+  NONE: {filter_sql_expr: "True"}
+rule_bindings:
+  RB:
+    entity_id: DOCS
+    column_id: TEXT
+    row_filter_id: NONE
+    rule_ids: [BROKEN]
+""")
+        with pytest.raises(Exception, match="no_such_column|UNRESOLVED"):
+            main(["validate", "--configs", str(tmp_path), "--dry-run"])
+
     def test_unknown_binding_errors(self, spark, tmp_path):
         (tmp_path / "c.yml").write_text("rules:\n  R1: {rule_type: NOT_NULL}\n")
         from cloud_data_quality_spark.config.model import ConfigError

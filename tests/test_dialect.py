@@ -59,7 +59,36 @@ def test_unnest_comma_join_becomes_lateral_view():
 def test_unnest_nested_parens_and_keyword_not_alias():
     # paren-balanced expr; `inner` after unnest() is a keyword, not an alias
     out = bq_to_spark_sql("from unnest(split(x, ',')) inner join t on 1=1")
-    assert out.startswith("from explode(split(x, ',')) AS __unnest_t(col) inner join")
+    assert out.startswith("from explode(split(x, ',')) AS __unnest_t0(col) inner join")
+
+
+def test_two_anonymous_unnests_get_distinct_aliases():
+    out = bq_to_spark_sql(
+        "select * from unnest(a) cross join unnest(b)")
+    assert "__unnest_t0(col)" in out and "__unnest_t1(col)" in out
+
+
+def test_in_unnest_becomes_array_contains():
+    assert bq_to_spark_sql("x IN UNNEST(arr)") == "array_contains(arr, x)"
+    assert bq_to_spark_sql("d.tag NOT IN UNNEST(r.tags)") == \
+        "not array_contains(r.tags, d.tag)"
+    # inside a larger predicate, and case-insensitive
+    assert bq_to_spark_sql("a = 1 and `c` in unnest(split(x, ','))") == \
+        "a = 1 and array_contains(split(x, ','), `c`)"
+
+
+def test_in_unnest_complex_lhs_raises():
+    from cloud_data_quality_spark.config.model import ConfigError
+    import pytest
+    with pytest.raises(ConfigError, match="IN UNNEST"):
+        bq_to_spark_sql("(a + b) in unnest(arr)")
+
+
+def test_in_unnest_runs_on_spark(spark):
+    out = bq_to_spark_sql("select id from data_iu where id in unnest(array(1, 3))")
+    spark.range(5).createOrReplaceTempView("data_iu")
+    got = sorted(r["id"] for r in spark.sql(out).collect())
+    assert got == [1, 3]
 
 
 def test_dotted_backtick_identifier_split():
