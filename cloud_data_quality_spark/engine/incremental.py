@@ -30,7 +30,10 @@ one scan, lineage lands only when the whole wave finishes.
 ``partitions_per_commit=k`` trades extra scans (⌈remaining/k⌉) for
 finer-grained restart points; only worth it when the partition expression is
 aligned with the table's physical layout so each wave's ``.isin`` filter
-prunes the scan instead of re-reading everything.
+prunes the scan instead of re-reading everything — with an aligned
+``partition_expr`` (e.g. the table's own ``days(warc_ts)`` column) the wave
+filter verifiably lands in the FileScan's PartitionFilters (plan-pinned in
+test_quality_filter.TestResume::test_partition_aligned_waves_prune_the_scan).
 
 Atomicity note: parquet gives write-then-commit ordering (output before
 lineage append), so a crash mid-wave re-processes that wave's partitions —

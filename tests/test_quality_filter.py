@@ -168,6 +168,37 @@ class TestResume:
         out_rows = spark.read.parquet(str(tmp_path / "out_plan")).count()
         assert res.rows_kept == out_rows == t(keyed).count()
 
+    def test_partition_aligned_waves_prune_the_scan(self, spark, pages_parquet,
+                                                    tmp_path):
+        """With a partition_expr aligned to the table's physical layout,
+        each wave's `part_key.isin(wave)` lands in the scan's
+        PartitionFilters — multi-wave commits (partitions_per_commit) then
+        physically prune committed partitions instead of re-reading the
+        whole table, closing the re-scan caveat in the module docstring."""
+        import re
+        # physically partition the input by a derived day-bucket column
+        src = str(tmp_path / "pages_by_day")
+        (spark.read.parquet(pages_parquet)
+         .withColumn("pday", F.pmod(F.xxhash64("url"), F.lit(4)).cast("int"))
+         .write.partitionBy("pday").parquet(src))
+        df = spark.read.parquet(src)
+        runner = ResumableQualityRun(
+            spark, output_path=str(tmp_path / "out_aligned"),
+            lineage_path=str(tmp_path / "lineage_aligned"),
+            n_buckets=4, partition_expr="pday", partitions_per_commit=2)
+        t = lambda d: annotate_quality(d).where(F.col("keep"))  # noqa: E731
+
+        out, _, _ = runner.wave_plan(df, t, [1, 2])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "pday" in m.group(1) and "IN (1,2)" in m.group(1), plan[:2000]
+
+        # and the two-wave run produces the complete, correct output
+        res = runner.run(df, t, run_id="aligned")
+        assert sorted(res.processed_partitions) == [0, 1, 2, 3]
+        got = spark.read.parquet(str(tmp_path / "out_aligned")).count()
+        assert got == t(df).count() == res.rows_kept
+
     def test_lineage_missing_vs_corrupt(self, spark, tmp_path):
         """Missing lineage = first run (empty set, no exception spam in the
         logs); EXISTING-but-unreadable lineage = corrupt state and must fail
