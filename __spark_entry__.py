@@ -8,9 +8,10 @@ value-hash → CORRECTNESS_r{N}.json).
 All queries live in cloud_data_quality_spark/plans/registry.py, where each
 Spark query is paired with a DuckDB oracle generated from the same Python
 constants (stopword lists, thresholds, scrub patterns) so the two sides
-cannot drift. One query (lsh_ann) intentionally has no oracle: LSH ANN is
-approximate by design — recall vs the brute-force baseline is asserted in
-pytest instead. (simhash_pairs gained a full bit-vote DuckDB oracle.)
+cannot drift. Every registered query has a full value oracle — including
+lsh_ann, whose DuckDB SQL replays the exact hyperplane constants (LSH is
+approximate w.r.t. brute force — recall is pytest-asserted — but fully
+deterministic given its planes, so its VALUES are exactly checkable).
 """
 
 from __future__ import annotations

@@ -10,9 +10,9 @@ Conventions:
 * deterministic only — no current_timestamp, no rand, fixed execution_ts
   for engine runs;
 * counts cast to BIGINT on both sides;
-* one query (lsh_ann) is approximate by design and registers no oracle →
-  the driver records the weaker rows-only check; its recall is asserted
-  against the exact baseline in pytest instead.
+* lsh_ann is approximate w.r.t. BRUTE FORCE (recall pytest-asserted) but
+  deterministic given its hyperplanes, so it still carries an exact value
+  oracle generated from the shared plane constants (_oracle_lsh_ann).
 """
 
 from __future__ import annotations
@@ -787,12 +787,54 @@ where ({_SIMHASH_BAND_PRED})
 
 
 def q_lsh_ann(spark, sf_dir):
-    """Approximate by design → no value oracle; recall vs brute force is
-    asserted in pytest."""
+    """LSH ANN — approximate w.r.t. BRUTE FORCE (recall asserted in pytest),
+    but fully DETERMINISTIC given its hyperplanes, so it has an exact value
+    oracle: the generated DuckDB SQL embeds the very same plane constants
+    and replays bucketing → candidate join → cosine → rank identically."""
     emb = _t(spark, sf_dir, "embeddings")
     probes = (emb.where(F.col("vec_id") < 10)
               .select(F.col("vec_id").alias("probe_id"), "embedding"))
     return lsh_bucketed_neighbors(emb, probes, k=5, n_planes=4, n_tables=8)
+
+
+def _oracle_lsh_ann(k: int = 5, n_planes: int = 4, n_tables: int = 8,
+                    dim: int = 64, seed: int = 7) -> str:
+    """DuckDB replay of lsh_bucketed_neighbors, generated from the SAME
+    hyperplane constants the Spark plan uses (similarity._hyperplanes), so
+    the two sides cannot drift: repr(float64) round-trips exactly, the
+    sign-bit signatures use the same left-to-right double dot product, and
+    ranking uses the same (cosine desc, neighbor_id) order."""
+    from cloud_data_quality_spark.functions.similarity import _hyperplanes
+    sig_exprs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        bits = " || ".join(
+            "(case when list_dot_product(v, ["
+            + ", ".join(repr(float(x)) for x in p)
+            + "]) >= 0 then '1' else '0' end)"
+            for p in planes)
+        sig_exprs.append(f"'t{t}:' || {bits}")
+    sigs = ",\n    ".join(sig_exprs)
+    return f"""
+with emb as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+b as (select vec_id, v, unnest([
+    {sigs}
+  ]) as bucket from emb),
+pb as (select vec_id as probe_id, v as pv, bucket from b where vec_id < 10),
+cand as (select distinct probe_id, cb.vec_id as neighbor_id, pv, cb.v as cv
+         from pb join b cb using (bucket) where cb.vec_id != probe_id),
+scored as (select probe_id, neighbor_id,
+                  list_dot_product(pv, cv) /
+                  nullif(sqrt(list_dot_product(pv, pv))
+                       * sqrt(list_dot_product(cv, cv)), 0) as c
+           from cand),
+ranked as (select probe_id, neighbor_id, c,
+                  row_number() over (partition by probe_id
+                                     order by c desc, neighbor_id asc) as rank
+           from scored)
+select probe_id, neighbor_id, rank::INT as rank, round(c, 6) as cosine
+from ranked where rank <= {k}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1243,7 +1285,9 @@ ORACLES = {
     "embedding_pairs": ORACLE_EMBEDDING_PAIRS,
     "ann_topk": ORACLE_ANN_TOPK,
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
-    # lsh_ann: intentionally no oracle (approximate by design; see docstring)
+    # approximate vs brute force, but deterministic given its planes →
+    # exact value oracle generated from the shared hyperplane constants
+    "lsh_ann": _oracle_lsh_ann(),
     "events_volume_per_day": ORACLE_EVENTS_VOLUME_PER_DAY,
     "accuracy_distribution_events": ORACLE_ACCURACY_DISTRIBUTION_EVENTS,
     "accuracy_distribution_true": ORACLE_ACCURACY_DISTRIBUTION_TRUE,
