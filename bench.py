@@ -132,6 +132,40 @@ def build_suite(spark, sf_dir: str, pages_path: str):
     }
 
 
+def ensure_big_pages(spark, sf_dir: str) -> str:
+    """The compute-bound throughput input (16× the suite pages table, 128+
+    partitions) — shared by the scaling children and the headline
+    docs_per_sec measurement so the two numbers are directly comparable."""
+    from cloud_data_quality_spark.sources.pages import generate_pages
+    n_rows = 16 * pages_rows_for(sf_of(sf_dir))
+    path = f"{PAGES_CACHE}/pages128_42_{n_rows}.parquet"
+    if not (Path(path) / "_SUCCESS").exists():
+        generate_pages(spark, n_rows, seed=42,
+                       partitions=max(128, n_rows // 12_500)) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def throughput_docs_per_sec(spark, sf_dir: str) -> dict:
+    """Headline throughput: the full quality-filter job on the compute-bound
+    16× input, in a FRESH JVM, warmed, best-of-3 — byte-for-byte the scaling
+    sweep's local[CPUS] measurement (_scaling_child), so BENCH_r{N}'s
+    docs_per_sec is directly comparable to BENCH/BASELINE.md. The suite's
+    own pages query can't be the headline: 100k rows finish in ~1-2 s at
+    local[32], where fixed overhead and page-cache/daemon noise swing the
+    figure 35% between rounds on an unchanged code path, and measuring
+    inside the suite's aged JVM (grown heap, ~200 accumulated stages) reads
+    ~1.4× slower than the fresh-JVM number the baseline reports."""
+    ensure_big_pages(spark, sf_dir)  # generate once; the child reuses it
+    out = subprocess.run(
+        [sys.executable, __file__, "--scaling-child", f"local[{CPUS}]", sf_dir],
+        capture_output=True, text=True, timeout=1800,
+        env={**os.environ, "SPARK_GRAFT_CPUS": str(CPUS)})
+    child = json.loads(out.stdout.strip().splitlines()[-1])
+    return {"rows": child["rows"], "seconds": child["seconds"],
+            "docs_per_sec": child["docs_per_sec"]}
+
+
 def run_suite(master: str, sf_dir: str) -> dict:
     from cloud_data_quality_spark.sources.session import get_spark
     spark = get_spark(app_name="cdq_bench", master=master)
@@ -153,6 +187,7 @@ def run_suite(master: str, sf_dir: str) -> dict:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    thr = throughput_docs_per_sec(spark, sf_dir)
     return {
         "metric": "headline_suite_wall_time",
         "value": total,
@@ -160,7 +195,9 @@ def run_suite(master: str, sf_dir: str) -> dict:
         "queries": timings,
         "sf": sf,
         "pages_rows": pages_n,
-        "docs_per_sec": round(pages_n / timings["quality_filter_pages"], 1),
+        "docs_per_sec": thr["docs_per_sec"],
+        "throughput_rows": thr["rows"],
+        "throughput_seconds": thr["seconds"],
         "keep_drop_f1": keep_drop_f1(spark, pages_path),
         "cpus": CPUS,
         "master": master,
@@ -207,22 +244,15 @@ def _scaling_child(master: str, sf_dir: str) -> None:
     # 16× the default bench size: small inputs finish in seconds and fixed
     # overhead (scan setup, scheduling, worker spin-up, codegen) swamps the
     # signal — scaling evidence needs a compute-bound input
-    n_rows = 16 * pages_rows_for(sf_of(sf_dir))
-    from cloud_data_quality_spark.sources.pages import generate_pages
-    pages_path = f"{PAGES_CACHE}/pages128_42_{n_rows}.parquet"
-    if not (Path(pages_path) / "_SUCCESS").exists():
-        # 128+ partitions so every parallelism level gets multiple task waves
-        generate_pages(spark, n_rows, seed=42,
-                       partitions=max(128, n_rows // 12_500)) \
-            .write.mode("overwrite").parquet(pages_path)
-    pages = spark.read.parquet(pages_path)
+    pages = spark.read.parquet(ensure_big_pages(spark, sf_dir))
     n = pages.count()
     # warm JIT + python workers on a real slice so timing is steady-state
     annotate_quality_arrow(pages.sample(0.05, seed=1)).where("keep").count()
-    # low parallelism levels show the largest run-to-run variance (JVM
-    # background threads — GC, JIT — take a bigger share of 2 cores, and a
-    # single slow batch stretches the whole wall time): take best-of-3 there
-    n_reps = 3 if int(master.split("[")[1].rstrip("]")) <= 4 else 2
+    # best-of-3 at every level: low-core runs vary from JVM background
+    # threads (GC, JIT) taking a bigger slice of 2 cores; high-core runs
+    # vary from page-cache/daemon interference — and this number is now
+    # also the per-round headline, so stability matters everywhere
+    n_reps = 3
     best = None
     for _ in range(n_reps):
         t0 = time.perf_counter()
