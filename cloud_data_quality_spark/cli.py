@@ -81,8 +81,17 @@ def _quality_filter(args) -> int:
         spark, output_path=args.output, lineage_path=args.lineage,
         n_buckets=args.buckets,
         partitions_per_commit=args.partitions_per_commit)
-    transform = lambda d: (annotate_quality_arrow(d)  # noqa: E731
-                           .where(F.col("keep")))
+    if args.from_html:
+        # raw-capture mode: derive text from the html bytes first (JVM-side
+        # deterministic extraction — the byte-identical-per-url stage), then
+        # annotate the extracted text
+        from cloud_data_quality_spark.functions.html_extract import extract_text
+        transform = lambda d: (annotate_quality_arrow(  # noqa: E731
+            d.withColumn("text", extract_text(F.col("html"))))
+            .where(F.col("keep")))
+    else:
+        transform = lambda d: (annotate_quality_arrow(d)  # noqa: E731
+                               .where(F.col("keep")))
     res = runner.run(df, transform, run_id=args.run_id)
     print(json.dumps({
         "run_id": res.run_id,
@@ -124,6 +133,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--lineage", required=True)
     q.add_argument("--run-id", required=True)
     q.add_argument("--buckets", type=int, default=64)
+    q.add_argument("--from-html", action="store_true",
+                   help="derive text from the html column (deterministic "
+                        "JVM-side extraction) before quality annotation")
     q.add_argument("--partitions-per-commit", type=int, default=None,
                    help="buckets per lineage commit; default = all remaining "
                         "in one single-scan wave (extra waves re-scan unless "

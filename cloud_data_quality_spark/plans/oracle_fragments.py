@@ -122,3 +122,31 @@ def sql_scrub(col: str) -> str:
     for w in TOXICITY_WORDS:
         out = f"regexp_replace({out}, '\\b{w}\\b', '<TOX>', 'g')"
     return out
+
+
+# html → text extraction — generated from the SAME pattern/entity constants
+# as functions/html_extract.py so the two engines cannot drift. DuckDB note:
+# regexp_replace needs the 'g' flag; (?s) inline dotall works in RE2 exactly
+# as in Java regex for these patterns (no backrefs/lookaround).
+def sql_extract_text(col: str) -> str:
+    from cloud_data_quality_spark.functions.html_extract import (
+        HTML_ENTITIES,
+        HTML_STRIP_PATTERNS,
+    )
+    out = col
+    for pat in HTML_STRIP_PATTERNS:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        e, c = ent.replace("'", "''"), ch.replace("'", "''")
+        out = f"replace({out}, '{e}', '{c}')"
+    return out
+
+
+def sql_escape_text(col: str) -> str:
+    from cloud_data_quality_spark.functions.html_extract import HTML_ENTITIES
+    out = col
+    for ent, ch in reversed(HTML_ENTITIES):
+        e, c = ent.replace("'", "''"), ch.replace("'", "''")
+        out = f"replace({out}, '{c}', '{e}')"
+    return out

@@ -380,6 +380,46 @@ from validation_errors cross join errs
 # Web-text analysis queries (documents table)
 # --------------------------------------------------------------------------
 
+# html wrapper used by the extraction round-trip query — one constant, both
+# engines (the pages GENERATOR uses a richer wrapper; this one exercises the
+# same strip classes: head block, body script, comment, tags)
+_HTML_PREFIX = ("<html><head><title>t</title><script>var x=1;</script>"
+                "<style>p{margin:0}</style></head><body><!-- c --><p>")
+_HTML_SUFFIX = "</p><script>track()</script></body></html>"
+
+
+def q_extract_text_roundtrip(spark, sf_dir):
+    """North-rule invariant: byte-identical extracted text per row. Builds
+    html BYTES from documents.text (entity-escape + wrap + utf-8 encode),
+    runs the real extraction operator (functions/html_extract.extract_text,
+    a pure JVM Column expression), and returns the extracted text plus the
+    identity flag. The oracle replays escape→wrap→extract with DuckDB's
+    RE2 engine from the same generated constants — two independent regex
+    engines agreeing on every byte."""
+    from cloud_data_quality_spark.functions.html_extract import (
+        escape_text,
+        extract_text,
+    )
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    html = F.encode(F.concat(F.lit(_HTML_PREFIX), escape_text(F.col("text")),
+                             F.lit(_HTML_SUFFIX)), "UTF-8")
+    return (d.withColumn("extracted", extract_text(html))
+            .select("doc_id", "extracted",
+                    (F.col("extracted") == F.col("text"))
+                    .alias("matches_roundtrip")))
+
+
+def _oracle_extract_text_roundtrip() -> str:
+    pre = _HTML_PREFIX.replace("'", "''")
+    suf = _HTML_SUFFIX.replace("'", "''")
+    h = f"'{pre}' || {OF.sql_escape_text('text')} || '{suf}'"
+    return f"""
+with d as (select doc_id, text, {OF.sql_extract_text(h)} as extracted
+           from documents where text is not null)
+select doc_id, extracted, (extracted = text) as matches_roundtrip from d
+"""
+
+
 def q_text_stats(spark, sf_dir):
     t = F.col("text")
     return _t(spark, sf_dir, "documents").select(
@@ -1232,6 +1272,7 @@ QUERIES = {
     "rb_events_window": q_rb_events_window,
     "failed_records_acctbal": q_failed_records_acctbal,
     "failed_records_dup_statement": q_failed_records_dup_statement,
+    "extract_text_roundtrip": q_extract_text_roundtrip,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -1269,6 +1310,7 @@ ORACLES = {
     "rb_events_window": ORACLE_RB_EVENTS_WINDOW,
     "failed_records_acctbal": ORACLE_FAILED_RECORDS_ACCTBAL,
     "failed_records_dup_statement": ORACLE_FAILED_RECORDS_DUP_STATEMENT,
+    "extract_text_roundtrip": _oracle_extract_text_roundtrip(),
     "text_stats": ORACLE_TEXT_STATS,
     "text_langid": ORACLE_TEXT_LANGID,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,

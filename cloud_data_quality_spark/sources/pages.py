@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from cloud_data_quality_spark.functions.html_extract import HTML_ENTITIES
+
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 def _expand(base: list[str], suffixes: tuple[str, ...]) -> list[str]:
@@ -138,7 +140,19 @@ def generate_rows(ids: np.ndarray, seed: int) -> pd.DataFrame:
             text = None  # NULL text rows
         elif i % 97 == 31:
             text = ""    # blank text rows
-        html = (f"<html><body>{text or ''}</body></html>").encode("utf-8")
+        # realistic capture shape: head block (title/script/style), inline
+        # script + comment in the body, and the text ENTITY-ESCAPED — so
+        # functions.html_extract.extract_text must strip and decode to
+        # recover `text` byte-identically (the north-rule invariant; the
+        # escape table is single-sourced from html_extract.HTML_ENTITIES)
+        esc = text or ""
+        for ent, ch in reversed(HTML_ENTITIES):
+            esc = esc.replace(ch, ent)
+        html = (f"<html><head><title>page {i}</title>"
+                f"<script>var row={i};</script>"
+                f"<style>p{{margin:0}}</style></head>"
+                f"<body><!-- row {i} --><p>{esc}</p>"
+                f"<script>track({i});</script></body></html>").encode("utf-8")
         ts = datetime.fromtimestamp(
             _EPOCH_2023 + (i * 37) % (365 * 24 * 3600), tz=timezone.utc)
         urls.append(url); tss.append(ts); htmls.append(html)

@@ -110,3 +110,26 @@ class TestQualityFilterCommand:
         assert 0 < stats["rows_kept"] < stats["rows_in"]
         out = spark.read.parquet(str(tmp_path / "out"))
         assert out.count() == stats["rows_kept"]
+
+    def test_quality_filter_from_html_matches_text_path(
+            self, spark, pages_parquet, tmp_path, capsys):
+        """--from-html derives text from the html bytes first; since
+        extraction is byte-identical to the stored text column, the kept
+        set must equal the plain-text run exactly (url-for-url)."""
+        rc = main(["quality-filter", "--input", pages_parquet,
+                   "--output", str(tmp_path / "out_html"),
+                   "--lineage", str(tmp_path / "lin_html"),
+                   "--run-id", "t2", "--buckets", "4", "--from-html"])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        kept_html = spark.read.parquet(str(tmp_path / "out_html"))
+        assert kept_html.count() == stats["rows_kept"]
+        from pyspark.sql import functions as F
+
+        from cloud_data_quality_spark.operators.quality_filter import (
+            annotate_quality_arrow,
+        )
+        plain = (annotate_quality_arrow(spark.read.parquet(pages_parquet))
+                 .where(F.col("keep")).select("url"))
+        assert kept_html.select("url").exceptAll(plain).count() == 0
+        assert plain.exceptAll(kept_html.select("url")).count() == 0

@@ -195,3 +195,47 @@ class TestHashedNgramLangid:
         from cloud_data_quality_spark.functions import webtext_rules as W
         assert float(W._LANGID_W.sum()) == float(
             W._train_langid_weights().sum())
+
+
+class TestHtmlExtract:
+    def test_roundtrip_on_pages_fixture(self, spark, pages_parquet):
+        """North-rule invariant: extract_text(html) == text byte-identically
+        for EVERY generated page (the generator entity-escapes the text and
+        wraps it in head/script/style/comment structure — symbol-spam rows
+        contain raw <, >, & so the escape path is genuinely exercised)."""
+        from cloud_data_quality_spark.functions.html_extract import extract_text
+        pages = spark.read.parquet(pages_parquet).where(F.col("text").isNotNull())
+        bad = pages.where(extract_text(F.col("html")) != F.col("text"))
+        assert bad.count() == 0
+        assert pages.count() > 0
+
+    def test_adversarial_cases(self, spark):
+        from cloud_data_quality_spark.functions.html_extract import (
+            escape_text,
+            extract_text,
+        )
+        cases = [
+            "a < b && c > d",              # raw specials
+            "literal entity &lt; stays",   # pre-escaped content survives
+            'quotes "x" and \'y\'',
+            "multi\nline\ntext",
+            "",
+        ]
+        df = spark.createDataFrame([(t,) for t in cases], "text string")
+        html = F.encode(F.concat(
+            F.lit("<html><head><script>var a=1;\nvar b=2;</script></head>"
+                  "<body><!-- multi\nline comment --><p>"),
+            escape_text(F.col("text")),
+            F.lit("</p><style>.x{color:red}</style></body></html>")), "UTF-8")
+        out = df.select("text", extract_text(html).alias("ex")).collect()
+        for r in out:
+            assert r["ex"] == r["text"], r
+
+    def test_extraction_is_jvm_side(self, spark, pages_parquet):
+        """The operator must stay a pure Column expression: no Python eval
+        nodes in the plan (whole-stage codegen keeps it scan-speed)."""
+        from cloud_data_quality_spark.functions.html_extract import extract_text
+        pages = spark.read.parquet(pages_parquet)
+        plan = pages.select(extract_text(F.col("html")))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
