@@ -144,7 +144,10 @@ def compile_binding(registry: ConfigRegistry, rule_binding_id: str,
         # late binding (dq_entity_uri.py semantics): schema comes from the
         # live table at read time, so no declared-column checks here
         from cloud_data_quality_spark.config.model import EntityUri
-        entity = EntityUri.parse(rb.entity_uri).to_entity()
+        entity = EntityUri.parse(
+            rb.entity_uri,
+            registry_defaults=getattr(registry, "registry_defaults", None),
+        ).to_entity()
     else:
         entity = registry.get_entity(rb.entity_id).for_environment(
             environment_target)

@@ -34,6 +34,7 @@ TOP_LEVEL_KEYS = (
     "ENTITIES",
     "REFERENCE_COLUMNS",
     "RULE_DIMENSIONS",
+    "METADATA_REGISTRY_DEFAULTS",
 )
 
 
@@ -67,6 +68,10 @@ class ConfigRegistry:
     entities: dict[str, Entity] = field(default_factory=dict)
     reference_columns: dict[str, ReferenceColumns] = field(default_factory=dict)
     rule_dimensions: list[str] = field(default_factory=list)
+    # metadata_registry_defaults: {scheme: {field: value}} — default URI
+    # path-pair fields per registry scheme (reference:
+    # metadata_registry_defaults.py:40-80; dataplex only, like the reference)
+    registry_defaults: dict[str, dict] = field(default_factory=dict)
 
     def get_rule(self, rule_id: str) -> Rule:
         r = self.rules.get(rule_id.upper())
@@ -103,7 +108,9 @@ class ConfigRegistry:
         rb = self.get_rule_binding(rbid)
         if rb.entity_uri is not None:
             from cloud_data_quality_spark.config.model import EntityUri
-            entity = EntityUri.parse(rb.entity_uri).to_entity()
+            entity = EntityUri.parse(
+                rb.entity_uri, registry_defaults=self.registry_defaults
+            ).to_entity()
         else:
             entity = self.get_entity(rb.entity_id)
         if entity.columns:
@@ -169,6 +176,20 @@ def load_configs(configs_path: str | Path) -> ConfigRegistry:
                     # unknown top-level keys are ignored (forward compat)
 
     reg = ConfigRegistry(rule_dimensions=dim_vocab or [])
+    for scheme, (fields, src) in raw["METADATA_REGISTRY_DEFAULTS"].items():
+        scheme_l = str(scheme).lower()
+        # reference parity: only the dataplex registry is implemented
+        # (metadata_registry_defaults.py:56-63 raises on anything else)
+        if scheme_l != "dataplex":
+            raise ConfigError(
+                f"{src}: metadata_registry_defaults for registry "
+                f"{scheme_l!r} is not supported (dataplex only)")
+        if not isinstance(fields, dict):
+            raise ConfigError(
+                f"{src}: metadata_registry_defaults.{scheme_l} must be a "
+                f"mapping of URI fields")
+        reg.registry_defaults[scheme_l] = {
+            str(k): str(v) for k, v in fields.items()}
     for eid, (edef, _) in raw["ENTITIES"].items():
         reg.entities[eid] = Entity.from_dict(eid, edef or {})
     for fid, (fdef, _) in raw["ROW_FILTERS"].items():

@@ -394,19 +394,35 @@ class EntityUri:
 
     scheme: str
     path: str
+    # metadata_registry_defaults fields for this scheme, merged UNDER the
+    # URI's own path pairs (URI wins) — reference semantics
+    # (dq_entity_uri.py:48-55: all_configs = defaults, then update(uri))
+    defaults: tuple[tuple[str, str], ...] = ()
 
     SCHEMES = ("catalog", "parquet", "csv", "json", "orc",
                "bigquery", "dataplex")
+    # reference parity (dq_entity_uri.py:30): characters never valid inside
+    # a path-pair URI; only enforced for the path-pair schemes, since file
+    # paths legitimately contain ':' on some stores
+    _UNSUPPORTED = re.compile("[@#?:]")
 
     @property
     def path_pairs(self) -> dict[str, str]:
         """The reference's path-pair decoding (dq_entity_uri.py:49-55):
-        a/1/b/2 → {a: 1, b: 2}."""
+        a/1/b/2 → {a: 1, b: 2}, over the scheme's registry defaults."""
         parts = self.path.split("/")
-        return dict(zip(parts[::2], parts[1::2]))
+        out = dict(self.defaults)
+        out.update(zip(parts[::2], parts[1::2]))
+        return out
 
     @classmethod
-    def parse(cls, uri: str) -> "EntityUri":
+    def parse(cls, uri: str,
+              registry_defaults: dict[str, dict] | None = None) -> "EntityUri":
+        """registry_defaults: the loaded `metadata_registry_defaults` block
+        ({scheme: {field: value}}) — lets short URIs like
+        `dataplex://zones/z/entities/e` inherit projects/locations/lakes
+        from config (metadata_registry_defaults.py:28-35). The identity
+        segment (entities/tables) must still come from the URI itself."""
         if "://" not in uri:
             raise ConfigError(
                 f"Invalid entity_uri {uri!r} — expected "
@@ -421,7 +437,18 @@ class EntityUri:
         if "*" in path:
             raise ConfigError(  # reference parity: dq_entity_uri.validate
                 f"Invalid entity_uri {uri!r}: wildcards not allowed")
-        out = cls(scheme=scheme, path=path)
+        defaults: tuple[tuple[str, str], ...] = ()
+        if scheme in ("bigquery", "dataplex"):
+            bad = cls._UNSUPPORTED.search(path)
+            if bad:
+                raise ConfigError(
+                    f"Invalid entity_uri {uri!r}: unsupported character "
+                    f"{bad.group(0)!r}")
+            if registry_defaults and scheme in registry_defaults:
+                defaults = tuple(sorted(
+                    (str(k), str(v))
+                    for k, v in registry_defaults[scheme].items()))
+        out = cls(scheme=scheme, path=path, defaults=defaults)
         if scheme == "bigquery" and not out.path_pairs.get("tables"):
             raise ConfigError(
                 f"Invalid entity_uri {uri!r}: bigquery scheme requires a "

@@ -373,3 +373,75 @@ class TestReferenceConfigTreeCompat:
             EntityUri.parse("bigquery://projects/p/datasets/d")
         with pytest.raises(ConfigError, match="wildcards"):
             EntityUri.parse("bigquery://projects/p/datasets/d/tables/t*")
+
+
+class TestMetadataRegistryDefaults:
+    """Reference parity: `metadata_registry_defaults` fills in missing
+    dataplex URI path-pair fields so short URIs work
+    (metadata_registry_defaults.py:28-35, dq_entity_uri.py:48-55 — defaults
+    merged UNDER the URI's own pairs, URI wins)."""
+
+    YAML = """
+metadata_registry_defaults:
+  dataplex:
+    projects: proj-default
+    locations: loc-default
+    lakes: lake-default
+    zones: zone-default
+entities: {}
+row_filters:
+  NONE: {filter_sql_expr: "True"}
+rules:
+  R_NN: {rule_type: NOT_NULL}
+rule_bindings:
+  RB_SHORT:
+    entity_uri: "dataplex://zones/z-override/entities/docs_view"
+    column_id: TEXT
+    row_filter_id: NONE
+    rule_ids: [R_NN]
+"""
+
+    def test_defaults_merge_under_uri_pairs(self, tmp_path):
+        from cloud_data_quality_spark.config.loader import load_configs
+        from cloud_data_quality_spark.config.model import EntityUri
+        (tmp_path / "c.yml").write_text(self.YAML)
+        reg = load_configs(str(tmp_path))
+        assert reg.registry_defaults == {"dataplex": {
+            "projects": "proj-default", "locations": "loc-default",
+            "lakes": "lake-default", "zones": "zone-default"}}
+        uri = EntityUri.parse(
+            "dataplex://zones/z-override/entities/docs_view",
+            registry_defaults=reg.registry_defaults)
+        pairs = uri.path_pairs
+        assert pairs["projects"] == "proj-default"   # from defaults
+        assert pairs["zones"] == "z-override"        # URI wins over default
+        assert pairs["entities"] == "docs_view"
+        assert uri.to_entity().table_name == "docs_view"
+
+    def test_binding_with_short_uri_compiles_and_runs(self, spark, tmp_path):
+        from cloud_data_quality_spark.config.loader import load_configs
+        from cloud_data_quality_spark.engine.runner import DqEngine
+        (tmp_path / "c.yml").write_text(self.YAML)
+        spark.createDataFrame([("a",), (None,)], "text string") \
+            .createOrReplaceTempView("docs_view")
+        reg = load_configs(str(tmp_path))
+        res = DqEngine(spark, reg).run(["RB_SHORT"], write_summary=False)
+        row = res.summary.collect()[0]
+        assert (row["rows_validated"], row["success_count"]) == (2, 1)
+
+    def test_non_dataplex_registry_rejected(self, tmp_path):
+        from cloud_data_quality_spark.config.loader import load_configs
+        from cloud_data_quality_spark.config.model import ConfigError
+        (tmp_path / "c.yml").write_text("""
+metadata_registry_defaults:
+  bigquery: {projects: p}
+rules:
+  R: {rule_type: NOT_NULL}
+""")
+        with pytest.raises(ConfigError, match="dataplex only"):
+            load_configs(str(tmp_path))
+
+    def test_unsupported_uri_characters_rejected(self):
+        from cloud_data_quality_spark.config.model import ConfigError, EntityUri
+        with pytest.raises(ConfigError, match="unsupported character"):
+            EntityUri.parse("dataplex://zones/z/entities/e?x=1")
