@@ -881,6 +881,54 @@ from ranked where rank <= {k}
 # Aggregation / timeliness queries (events)
 # --------------------------------------------------------------------------
 
+_PACK_BUDGET, _PACK_BUCKETS = 256, 8
+
+
+def q_pack_documents(spark, sf_dir):
+    """Sequence packing (greedy token-budget packing within md5 hash
+    buckets) — the training-data operator downstream of dedup + quality
+    filter. Deterministic: bucket and in-bucket order are pure functions of
+    the data, so the DuckDB oracle replays the greedy fold exactly with a
+    recursive CTE."""
+    from cloud_data_quality_spark.functions.packing import pack_documents
+    return pack_documents(_t(spark, sf_dir, "documents"),
+                          budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS) \
+        .select("doc_id", "pack_id",
+                F.col("pack_seq").cast("int").alias("pack_seq"),
+                F.col("pack_pos").cast("int").alias("pack_pos"),
+                F.col("n_tokens").cast("bigint").alias("n_tokens"))
+
+
+ORACLE_PACK_DOCUMENTS = f"""
+with recursive d as (
+  select doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+          % {_PACK_BUCKETS})::INT as bucket,
+         {OF.sql_word_count('text')} as tok
+  from documents where text is not null),
+ordered as (
+  select doc_id, bucket, tok,
+         row_number() over (partition by bucket order by doc_id) as rn
+  from d),
+packed as (
+  select bucket, rn, doc_id, tok, tok as acc, 0 as pack_seq, 0 as pack_pos
+  from ordered where rn = 1
+  union all
+  select o.bucket, o.rn, o.doc_id, o.tok,
+         case when p.acc + o.tok > {_PACK_BUDGET} then o.tok
+              else p.acc + o.tok end,
+         case when p.acc + o.tok > {_PACK_BUDGET} then p.pack_seq + 1
+              else p.pack_seq end,
+         case when p.acc + o.tok > {_PACK_BUDGET} then 0
+              else p.pack_pos + 1 end
+  from packed p join ordered o on o.bucket = p.bucket and o.rn = p.rn + 1)
+select doc_id, bucket::VARCHAR || '-' || pack_seq::VARCHAR as pack_id,
+       pack_seq::INT as pack_seq, pack_pos::INT as pack_pos,
+       tok::BIGINT as n_tokens
+from packed
+"""
+
+
 def q_events_volume_per_day(spark, sf_dir):
     return (_t(spark, sf_dir, "events")
             .groupBy(F.to_date("ts").alias("day"))
@@ -1273,6 +1321,7 @@ QUERIES = {
     "failed_records_acctbal": q_failed_records_acctbal,
     "failed_records_dup_statement": q_failed_records_dup_statement,
     "extract_text_roundtrip": q_extract_text_roundtrip,
+    "pack_documents": q_pack_documents,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -1311,6 +1360,7 @@ ORACLES = {
     "failed_records_acctbal": ORACLE_FAILED_RECORDS_ACCTBAL,
     "failed_records_dup_statement": ORACLE_FAILED_RECORDS_DUP_STATEMENT,
     "extract_text_roundtrip": _oracle_extract_text_roundtrip(),
+    "pack_documents": ORACLE_PACK_DOCUMENTS,
     "text_stats": ORACLE_TEXT_STATS,
     "text_langid": ORACLE_TEXT_LANGID,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
