@@ -102,6 +102,20 @@ def build_suite(spark, sf_dir: str, pages_path: str):
     def q_unigram_logprob():
         return QUERIES["unigram_logprob"](spark, sf_dir).count()
 
+    def q_html_extract():
+        """JVM-side extraction over every page's html bytes (decode + strip
+        chain + entity decode) — byte-sum forces full evaluation."""
+        from cloud_data_quality_spark.functions.html_extract import extract_text
+        return pages.agg(
+            F.sum(F.length(extract_text(F.col("html"))))).collect()[0][0]
+
+    def q_pack_pages():
+        """Sequence packing over the pages corpus (one bucket shuffle +
+        Arrow greedy stage)."""
+        from cloud_data_quality_spark.functions.packing import pack_documents
+        return pack_documents(pages, budget=2048, id_col="url",
+                              n_buckets=32).count()
+
     def q_resumable_write():
         """The shipped quality-filter CLI path: annotate → keep → single-scan
         partitionBy write with Observation-metric lineage (16 buckets)."""
@@ -128,6 +142,8 @@ def build_suite(spark, sf_dir: str, pages_path: str):
         "dedup_exact_pages": q_dedup_exact_pages,
         "ann_topk": q_ann_topk,
         "unigram_logprob_docs": q_unigram_logprob,
+        "html_extract_pages": q_html_extract,
+        "pack_pages": q_pack_pages,
         "resumable_filter_write": q_resumable_write,
     }
 

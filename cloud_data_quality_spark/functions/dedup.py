@@ -37,6 +37,25 @@ from pyspark.storagelevel import StorageLevel
 from cloud_data_quality_spark.functions.text import fingerprint, tokens
 
 
+def guard_exact_baseline(df: DataFrame, operator: str, scale_path: str,
+                         max_exact_rows: int | None) -> DataFrame:
+    """Refuse to run a deliberately-quadratic exact baseline on an input
+    that is clearly too big for it. The check is bounded (limit+count — it
+    stops scanning at the threshold, never counts the full table) and
+    disabled with max_exact_rows=None for callers who know what they're
+    doing. Failing fast with the name of the bucketed scale path beats an
+    executor-melting O(n²) join a user discovers hours in."""
+    if max_exact_rows is None:
+        return df
+    probe = df.limit(max_exact_rows + 1).count()
+    if probe > max_exact_rows:
+        raise ValueError(
+            f"{operator} is an exact quadratic baseline; input exceeds "
+            f"max_exact_rows={max_exact_rows}. Use {scale_path} at scale, "
+            f"or pass max_exact_rows=None to force.")
+    return df
+
+
 def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Small inputs often arrive as one parquet file → one partition, which
     serializes the expensive narrow stages (per-doc shingling + k·md5).
@@ -218,14 +237,20 @@ def ngram_jaccard_pairs(
     n: int = 3,
     jaccard_threshold: float = 0.5,
     length_bucket: int = 32,
+    max_exact_rows: int | None = 500_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs, blocked by character-length bucket so the
     self-join is bucket-local (near-dups have near-equal length; docs whose
     lengths differ by more than one bucket can't clear a high threshold).
+    O(bucket²) worst case — the SMALL-N EXACT BASELINE that
+    minhash_lsh_pairs is recall-tested against; refuses inputs beyond
+    max_exact_rows (bounded probe; None disables).
     Compares pairs within the same or adjacent bucket, SYMMETRICALLY: the
     exploded side covers lb-1/lb/lb+1, so a pair is compared whenever
     |lb_a - lb_b| <= 1 regardless of which doc has the lower id (the
     two-bucket explode only caught the higher-id doc being same-or-longer)."""
+    df = guard_exact_baseline(df, "ngram_jaccard_pairs",
+                              "minhash_lsh_pairs", max_exact_rows)
     base = (
         ensure_min_partitions(df.where(F.col(text_col).isNotNull()))
         .select(F.col(id_col).alias("id"),
@@ -465,10 +490,15 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    max_exact_rows: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold. Brute-force O(n²/2) — correct
-    baseline for modest n; the scale path is lsh_bucketed_neighbors in
-    functions/similarity.py (random-hyperplane buckets first)."""
+    baseline for modest n; the scale path is embedding_lsh_pairs in
+    functions/similarity.py (random-hyperplane buckets first). Refuses
+    inputs beyond max_exact_rows (bounded probe; None disables)."""
+    df = guard_exact_baseline(df, "embedding_cosine_pairs",
+                              "similarity.embedding_lsh_pairs",
+                              max_exact_rows)
     # precompute per-vector double cast + norm ONCE (inlining cosine() per
     # pair evaluates three array folds per pair — measured 3× slower on an
     # O(n²) join)

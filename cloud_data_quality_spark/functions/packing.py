@@ -39,8 +39,11 @@ from pyspark.sql import functions as F
 
 from cloud_data_quality_spark.functions.text import word_count
 
-PACKED_SCHEMA = ("doc_id bigint, bucket int, pack_id string, pack_seq int, "
-                 "pack_pos int, n_tokens bigint")
+def _packed_schema(id_type: str) -> str:
+    """Output schema follows the id column's type (bigint doc ids, string
+    urls, ... all valid pack keys)."""
+    return (f"doc_id {id_type}, bucket int, pack_id string, pack_seq int, "
+            f"pack_pos int, n_tokens bigint")
 
 
 def _bucket_col(id_col: str, n_buckets: int):
@@ -97,7 +100,9 @@ def pack_documents(
         return pdf[["doc_id", "bucket", "pack_id", "pack_seq",
                     "pack_pos", "n_tokens"]]
 
-    return base.groupBy("bucket").applyInPandas(pack, schema=PACKED_SCHEMA)
+    id_type = dict(df.dtypes)[id_col]
+    return base.groupBy("bucket").applyInPandas(
+        pack, schema=_packed_schema(id_type))
 
 
 def pack_stats(packed: DataFrame, budget: int) -> DataFrame:

@@ -342,3 +342,22 @@ class TestDuplicateClusters:
             # union-find roots are min ids because we always parent the max
             expect = {x: uf[x] for x in touched}
             assert got == expect, f"seed {seed}"
+
+
+class TestQuadraticGuards:
+    def test_guard_raises_beyond_threshold(self, spark):
+        from cloud_data_quality_spark.functions.dedup import (
+            embedding_cosine_pairs,
+            ngram_jaccard_pairs,
+        )
+        docs = spark.range(50).selectExpr(
+            "id as doc_id", "concat('w', id, ' x y z') as text")
+        with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+            ngram_jaccard_pairs(docs, max_exact_rows=10).count()
+        emb = spark.range(50).selectExpr(
+            "id as vec_id", "array(cast(id as float), 1.0f) as embedding")
+        with pytest.raises(ValueError, match="embedding_lsh_pairs"):
+            embedding_cosine_pairs(emb, max_exact_rows=10).count()
+        # None disables; small inputs under default threshold just work
+        assert embedding_cosine_pairs(emb, threshold=2.0,
+                                      max_exact_rows=None).count() == 0
