@@ -134,3 +134,57 @@ class TestStreaming:
         assert len(rows) > 0
         total = sum(r["n_docs"] for r in rows)
         assert total == spark.read.parquet(pages_parquet).count()
+
+
+class TestStreamingDqContract:
+    def test_rule_bindings_on_stream_match_batch(self, spark, pages_parquet,
+                                                 webtext_registry, tmp_path):
+        """The CloudDQ contract runs CONTINUOUSLY: per-micro-batch summary
+        rows through the sink, and the totals over all batches equal one
+        batch run over the same data (same compiled plan both ways)."""
+        from cloud_data_quality_spark.engine.runner import DqEngine
+        from cloud_data_quality_spark.engine.sinks import ParquetAppendSink
+        from cloud_data_quality_spark.streaming.dq_stream import (
+            run_bindings_on_stream,
+        )
+        sink = ParquetAppendSink(str(tmp_path / "dq_summary_stream"))
+        engine = DqEngine(spark, webtext_registry, summary_sink=sink)
+        schema = ("url string, warc_ts timestamp, html binary, "
+                  "text string, lang string")
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)   # force >1 micro-batch
+                  .parquet(pages_parquet))
+        q = run_bindings_on_stream(engine, ["RB_WEBTEXT"], stream,
+                                   run_id="s1",
+                                   checkpoint_path=str(tmp_path / "ckpt"))
+        q.awaitTermination(300)
+
+        got = sink.read(spark, deduped=True)
+        rows = [r.asDict() for r in got.collect()]
+        assert all(r["invocation_id"].startswith("s1-b") for r in rows)
+        # batch-stable idempotency key
+        assert all(r["dq_run_id"].startswith("s1-b") for r in rows)
+        n_batches = len({r["invocation_id"] for r in rows})
+        assert n_batches >= 1
+
+        # restart with the same checkpoint: nothing new to process, and the
+        # deduped summary (MERGE-on-dq_run_id semantics) is unchanged
+        total_before = got.count()
+        q2 = run_bindings_on_stream(engine, ["RB_WEBTEXT"], stream,
+                                    run_id="s1",
+                                    checkpoint_path=str(tmp_path / "ckpt"))
+        q2.awaitTermination(300)
+        assert sink.read(spark, deduped=True).count() == total_before
+
+        # totals across micro-batches == one batch run on the same table
+        batch_engine = DqEngine(spark, webtext_registry)
+        batch = batch_engine.run(["RB_WEBTEXT"], write_summary=False)
+        batch_rows = {r["rule_id"]: r.asDict()
+                      for r in batch.summary.collect()}
+        for rule_id, b in batch_rows.items():
+            stream_rows = [r for r in rows if r["rule_id"] == rule_id]
+            assert sum(r["rows_validated"] for r in stream_rows) == \
+                b["rows_validated"], rule_id
+            if b["success_count"] is not None:
+                assert sum(r["success_count"] for r in stream_rows) == \
+                    b["success_count"], rule_id
