@@ -90,11 +90,8 @@ class ResumableQualityRun:
         a lineage table that EXISTS and fails to read is corrupt state — a
         silent empty set there would quietly re-run and double-write every
         partition, so that error must propagate."""
-        jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(self.lineage_path)
-        fs = hpath.getFileSystem(
-            self.spark._jsc.hadoopConfiguration())
-        return fs.exists(hpath)
+        from .sinks import _hadoop_path_exists
+        return _hadoop_path_exists(self.spark, self.lineage_path)
 
     def committed_partitions(self, run_id: str) -> set[int]:
         if not self._lineage_exists():

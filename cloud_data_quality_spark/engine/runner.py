@@ -187,15 +187,13 @@ class DqEngine:
         configured SummarySink — NOT a raw parquet path, so incremental runs
         work with every sink (MERGE INTO tables have no summary_path at all).
         A sink whose backing table/path doesn't exist yet means no prior run:
-        EPOCH. deduped=False: max(execution_ts) needs no per-run dedupe."""
-        if self.summary_sink is None:
+        EPOCH — probed via sink.exists(), never by catching a read failure,
+        so a store that EXISTS but can't be read (corrupt state that would
+        silently re-scan everything forever) propagates loudly.
+        deduped=False: max(execution_ts) needs no per-run dedupe."""
+        if self.summary_sink is None or not self.summary_sink.exists(self.spark):
             return EPOCH
-        try:
-            summary = self.summary_sink.read(self.spark, deduped=False)
-        except Exception:
-            # first run: backing store not created yet (AnalysisException /
-            # missing table). Corrupt stores surface on the write path.
-            return EPOCH
+        summary = self.summary_sink.read(self.spark, deduped=False)
         row = (
             summary.where(
                 (F.col("rule_binding_id") == binding.rule_binding_id)
@@ -300,7 +298,9 @@ class DqEngine:
                         column_id=None,
                         errors_count=int(errors),
                         failed_records_query=self._statement_failed_records_sql(
-                            binding, rule, invocation_id),
+                            binding, rule, invocation_id,
+                            high_watermark=hwm,
+                            current_ts=execution_ts if hwm is not None else None),
                     ))
 
         # ---- failed records: one pass, explode failing rule ids ----
@@ -344,9 +344,17 @@ class DqEngine:
         ref = ", ".join(binding.reference_columns) or binding.column_id
         if rule.rule_type == RuleType.NOT_NULL:
             fail = f"{binding.column_id} IS NULL"
+        elif rule.predicate_sql is None:
+            # CUSTOM_PANDAS_BATCH validity is computed in an Arrow stage —
+            # not SQL-expressible, so the stored query says so explicitly
+            # and returns zero rows rather than pretending (the actual
+            # failing rows are in the dq_failed_records output, keyed by
+            # _dq_validation_rule_id)
+            fail = (f"FALSE /* {rule.batch_function}: Arrow batch rule; "
+                    f"query dq_failed_records for failing rows */")
         else:
-            pred = rule.predicate_sql or f"/* batch rule {rule.batch_function} */ NULL"
-            fail = f"{binding.column_id} IS NOT NULL AND NOT ({pred})"
+            fail = (f"{binding.column_id} IS NOT NULL "
+                    f"AND NOT ({rule.predicate_sql})")
         return (
             f"SELECT {ref}, {binding.column_id} AS column_value "
             f"FROM {self._table_ref(binding)} data "
@@ -365,7 +373,9 @@ class DqEngine:
 
     def _statement_failed_records_sql(self, binding: CompiledBinding,
                                       rule: CompiledRule,
-                                      invocation_id: str) -> str:
+                                      invocation_id: str,
+                                      high_watermark: datetime | None = None,
+                                      current_ts: datetime | None = None) -> str:
         """Ready-to-run triage query for a CUSTOM_SQL_STATEMENT rule,
         matching the reference's failed-records contract
         (failed_records_query.sql:36-116 and
@@ -383,13 +393,23 @@ class DqEngine:
                else "CAST(NULL AS STRING)")
         stmt = "\n".join("  " + line for line in
                          rule.statement_sql.strip().splitlines())
+        # incremental runs reproduce the run's watermark window in the data
+        # CTE (reference failed_records_query.sql:48-58 interpolates
+        # high_watermark_value/current_timestamp_value the same way)
+        where = f"({binding.filter_sql})"
+        if high_watermark is not None and binding.incremental_column:
+            hi = current_ts or datetime.now(timezone.utc)
+            where += (
+                f" AND CAST({binding.incremental_column} AS TIMESTAMP) "
+                f"BETWEEN CAST('{high_watermark.isoformat()}' AS TIMESTAMP) "
+                f"AND CAST('{hi.isoformat()}' AS TIMESTAMP)")
         # the `src` alias is load-bearing: without it Spark's parser reads
         # `...parquet.`path` WHERE (True)` as table alias WHERE with a
         # column-alias list (True) → ASSIGNMENT_ARITY_MISMATCH
         return (
             f"WITH data AS (\n"
             f"  SELECT * FROM {self._table_ref(binding)} src "
-            f"WHERE ({binding.filter_sql})\n"
+            f"WHERE {where}\n"
             f"),\n"
             f"validation_errors AS (\n{stmt}\n"
             f"),\n"

@@ -42,6 +42,17 @@ def _latest_per_run(df: DataFrame) -> DataFrame:
             .where(F.col("__rn") == 1).drop("__rn"))
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe (file://, hdfs://, s3a://...). Probing
+    instead of catching a read exception keeps 'first run, store not created
+    yet' distinct from 'store exists but is corrupt' — and avoids the
+    ~70-line JVM stack the JVM logs for a failed read even when Python
+    catches it."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()).exists(hpath)
+
+
 class SummarySink(ABC):
     @abstractmethod
     def write(self, summary: DataFrame) -> None:
@@ -51,6 +62,17 @@ class SummarySink(ABC):
     def read(self, spark: SparkSession, deduped: bool = True) -> DataFrame:
         """Read the metrics table; deduped=True guarantees one logical row
         per dq_run_id regardless of the sink's physical strategy."""
+
+    def exists(self, spark: SparkSession) -> bool:
+        """Whether the backing store has been created. Callers use this to
+        distinguish 'no prior run' (EPOCH watermark) from a corrupt store,
+        which read() must surface loudly. Override with a cheap probe; the
+        base fallback conservatively attempts a read."""
+        try:
+            self.read(spark, deduped=False)
+            return True
+        except Exception:
+            return False
 
 
 class ParquetAppendSink(SummarySink):
@@ -63,6 +85,9 @@ class ParquetAppendSink(SummarySink):
     def read(self, spark: SparkSession, deduped: bool = True) -> DataFrame:
         df = spark.read.parquet(self.path)
         return _latest_per_run(df) if deduped else df
+
+    def exists(self, spark: SparkSession) -> bool:
+        return _hadoop_path_exists(spark, self.path)
 
 
 class CompactingParquetSink(SummarySink):
@@ -128,6 +153,9 @@ class CompactingParquetSink(SummarySink):
                 f"CompactingParquetSink at {self.path!r}: no version written yet")
         return spark.read.parquet(current)  # already one row per dq_run_id
 
+    def exists(self, spark: SparkSession) -> bool:
+        return self.current_version_path() is not None
+
 
 class MergeIntoSink(SummarySink):
     """`MERGE INTO <table> t USING <updates> u ON t.dq_run_id = u.dq_run_id`
@@ -176,3 +204,7 @@ class MergeIntoSink(SummarySink):
 
     def read(self, spark: SparkSession, deduped: bool = True) -> DataFrame:
         return spark.table(self.table)
+
+    def exists(self, spark: SparkSession) -> bool:
+        return (self.available(spark, self.table)
+                and spark.catalog.tableExists(self.table))

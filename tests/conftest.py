@@ -142,6 +142,15 @@ rule_bindings:
     rule_ids:
       - NOT_NULL_SIMPLE
     metadata: {{}}
+  T10_DUP_INCREMENTAL:
+    entity_id: CONTACT_DETAILS
+    column_id: VALUE
+    row_filter_id: NONE
+    incremental_time_filter_column_id: TS
+    rule_ids:
+      - NO_DUPLICATES_IN_COLUMN_GROUPS:
+          column_names: "contact_type,value"
+    metadata: {{}}
 """
 
 

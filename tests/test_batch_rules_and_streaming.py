@@ -87,6 +87,22 @@ class TestPandasBatchRules:
         row = {r["rule_id"]: r for r in res.summary.collect()}["IS_ENGLISH"]
         assert row["success_count"] == expected_en
 
+    def test_batch_rule_stored_query_is_honest_and_runnable(
+            self, spark, webtext_registry):
+        """An Arrow-batch rule's validity isn't SQL-expressible, so its
+        stored failed_records_query must say so explicitly and return zero
+        rows when run — never a half-SQL guess (the failing rows live in
+        dq_failed_records, keyed by _dq_validation_rule_id)."""
+        eng = DqEngine(spark, webtext_registry)
+        res = eng.run(["RB_WEBTEXT"], execution_ts=TS, write_summary=False)
+        rows = {r["rule_id"]: r.asDict() for r in res.summary.collect()}
+        q = rows["GOPHER_OK"]["failed_records_query"]
+        assert "GOPHER_QUALITY" in q and "dq_failed_records" in q
+        assert spark.sql(q).collect() == []  # ready-to-run, zero rows
+        # SQL rules in the same binding keep real failing-row queries
+        qn = rows["TEXT_NOT_NULL"]["failed_records_query"]
+        assert "IS NULL" in qn and "Arrow batch rule" not in qn
+
     def test_unknown_batch_function_rejected(self):
         from cloud_data_quality_spark.config.model import Rule
         from cloud_data_quality_spark.compiler.binding import compile_rule

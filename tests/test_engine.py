@@ -192,6 +192,45 @@ class TestFailedRecords:
         stored = result.summary.collect()[0]["failed_records_query"]
         assert stored == sql
 
+    def test_statement_failed_records_incremental_window(
+            self, engine, spark, contact_registry):
+        """Incremental runs store a triage query whose `data` CTE reproduces
+        the run's watermark window (the reference interpolates
+        high_watermark_value / current_timestamp_value into the same CTE,
+        failed_records_query.sql:48-58) — re-running the stored query later
+        must triage the rows THAT RUN saw, not whatever is newest."""
+        b = compile_binding(contact_registry, "T10_DUP_INCREMENTAL")
+        rule = b.statement_rules[0]
+        lo = datetime(2020, 1, 1, tzinfo=timezone.utc)
+
+        # full window covers both copies of the duplicate pair → 2 error rows
+        hi = datetime(2026, 2, 1, tzinfo=timezone.utc)
+        sql = engine._statement_failed_records_sql(
+            b, rule, "inv-9", high_watermark=lo, current_ts=hi)
+        assert f"CAST({b.incremental_column} AS TIMESTAMP) BETWEEN" in sql
+        assert "2020-01-01" in sql and "2026-02-01" in sql
+        assert len(spark.sql(sql).collect()) == 2
+
+        # window cut between the two copies (2024-01-01 / 2024-01-07) →
+        # only one copy in scope → no duplicate → zero error rows
+        mid = datetime(2024, 1, 5, tzinfo=timezone.utc)
+        sql_cut = engine._statement_failed_records_sql(
+            b, rule, "inv-9", high_watermark=lo, current_ts=mid)
+        assert spark.sql(sql_cut).collect() == []
+
+        # non-incremental bindings never get a window, even if asked
+        b4 = compile_binding(contact_registry, "T4_DUPLICATES")
+        sql4 = engine._statement_failed_records_sql(
+            b4, b4.statement_rules[0], "inv-9", high_watermark=lo, current_ts=hi)
+        assert "BETWEEN" not in sql4
+
+        # and an incremental engine run stores exactly the windowed rendering
+        res = engine.run(["T10_DUP_INCREMENTAL"], execution_ts=TS,
+                         invocation_id="inv-9", incremental=True,
+                         write_summary=False)
+        stored = res.summary.collect()[0]["failed_records_query"]
+        assert "BETWEEN" in stored and TS.isoformat() in stored
+
 
 class TestSummarySink:
     def test_append_and_merge_dedupe(self, engine, spark):

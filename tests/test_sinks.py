@@ -36,6 +36,31 @@ class TestSinkContract:
         rows = {r["dq_run_id"]: r["failed_count"] for r in out.collect()}
         assert rows == {"run1": 7, "run2": 1}     # latest wins, run2 intact
 
+    def test_exists_probe(self, spark, tmp_path, sink_cls):
+        """exists() distinguishes 'no prior run' from 'corrupt store' without
+        a read attempt — a failed read logs a ~70-line JVM stack even when
+        Python catches it, and a broad except would silently turn corrupt
+        state into a full re-scan."""
+        sink = sink_cls(str(tmp_path / "dq_summary3"))
+        assert sink.exists(spark) is False
+        import datetime as dt
+        sink.write(_rows(spark, "r", 1, dt.datetime(2026, 1, 1)))
+        assert sink.exists(spark) is True
+
+    def test_corrupt_store_read_propagates(self, spark, tmp_path, sink_cls):
+        """A store that EXISTS but cannot be read raises — high_watermark
+        must not swallow it into an EPOCH (silent full re-scan forever)."""
+        import datetime as dt
+        sink = sink_cls(str(tmp_path / "dq_corrupt"))
+        sink.write(_rows(spark, "r", 1, dt.datetime(2026, 1, 1)))
+        # corrupt every parquet data file in place
+        import pathlib
+        for f in pathlib.Path(tmp_path / "dq_corrupt").rglob("*.parquet"):
+            f.write_bytes(b"not a parquet file")
+        assert sink.exists(spark) is True
+        with pytest.raises(Exception):
+            sink.read(spark, deduped=False).collect()
+
     def test_raw_read_shape(self, spark, tmp_path, sink_cls):
         sink = sink_cls(str(tmp_path / "dq_summary2"))
         import datetime as dt
