@@ -1,0 +1,232 @@
+"""Corpus-level curation operators for LLM training-data pipelines.
+
+* span_dedup            — C4-style cross-document span dedup: split each doc into
+                          spans (lines, or fixed word-count chunks), keep each
+                          distinct span only at its canonical occurrence
+                          (smallest (doc_id, position) corpus-wide), reassemble
+                          the surviving spans per document in original order.
+                          C4 removed duplicated three-sentence spans this way;
+                          the reference DQ engine has no corpus-rewrite
+                          operator, so this is a pipeline extension, not a
+                          parity item.
+* contamination         — benchmark decontamination: per-document count of
+                          word shingles that also occur in a (small) benchmark
+                          /eval corpus, the standard train/test-leak gate.
+* stratified_sample     — deterministic hash-threshold sampling with per-
+                          stratum rates: keep iff the top-60-bits of
+                          md5(id‖salt) fall below floor(rate·2^60). Exactly
+                          replayable (no rand()), so sampling decisions are
+                          stable across re-runs, resumable waves, and engines.
+
+Scale posture (10^12 docs):
+* span_dedup's only wide stages are (a) one shuffle on the md5 span
+  fingerprint feeding a PARTITIONED window (uniform keys — never a global
+  window) and (b) one shuffle on doc_id to reassemble; the per-doc
+  collect_list is bounded by the document's own span count. The exploded
+  corpus is scanned exactly once — a groupBy-min + re-join design would
+  scan it twice and shuffle the same rows to the same reducers anyway.
+  A viral boilerplate span occurring 10^7 times lands its occurrences on
+  one reducer under ANY keyed plan; here that reducer does an external
+  (disk-spilling) sort rather than holding state, so it degrades to I/O,
+  not OOM.
+* contamination broadcasts the benchmark shingle set (eval corpora are
+  (thousands of docs — tiny next to the corpus); the corpus side is one
+  explode + broadcast semi-join + groupBy(doc) count, all map-side until the
+  final per-doc count shuffle. broadcast=False switches to a shuffle join
+  for pathological benchmark sizes.
+* stratified_sample is a pure narrow filter — no shuffle at all.
+
+All three use md5-derived keys (not xxhash64) so every decision has an
+exact DuckDB oracle — see plans/registry.py. A production fork can swap
+xxhash64 behind the same shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cloud_data_quality_spark.functions.dedup import word_shingles
+
+_HASH_BITS = 60  # top 15 hex chars of md5 → fits a signed 64-bit integer
+
+
+def _span_fp(span: Column) -> Column:
+    """Normalization-insensitive span fingerprint (lower+trim, like
+    exact_duplicates)."""
+    return F.md5(F.lower(F.trim(span)))
+
+
+def _chunk_spans(text: Column, chunk_words: int) -> Column:
+    """Consecutive chunk_words-word spans (last span may be shorter).
+    Empty/NULL text → empty array: sequence(0, -1) would DESCEND."""
+    from cloud_data_quality_spark.functions.text import tokens
+    words = tokens(text)
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    return F.when(n_chunks <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * chunk_words + 1, chunk_words), " ")))
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str | None = None,
+    chunk_words: int | None = None,
+) -> DataFrame:
+    """Cross-document span dedup (C4's duplicated-span removal, C4 §2.2:
+    'we discard all but one of any three-sentence span occurring more than
+    once').
+
+    Exactly one of `delimiter` (split spans on a literal separator, e.g.
+    "\\n" for lines) or `chunk_words` (fixed word-count spans, for corpora
+    without line structure) must be given. A span survives only at its
+    canonical occurrence — the corpus-wide smallest (doc_id, position) —
+    so output is deterministic and order-insensitive to partitioning.
+
+    Returns one row per input document that has at least one non-empty
+    span: (id_col, text_deduped, n_spans, n_spans_kept). Documents whose
+    every span lost its race reassemble to ''.
+    """
+    if (delimiter is None) == (chunk_words is None):
+        raise ValueError("span_dedup: exactly one of delimiter/chunk_words")
+    text = F.col(text_col)
+    if delimiter is not None:
+        # delimiter is a regex for splitting but a literal when rejoining —
+        # fine for the plain separators this is meant for ("\n", "\n\n")
+        spans_arr, joiner = F.split(text, delimiter, -1), delimiter
+    else:
+        spans_arr, joiner = _chunk_spans(text, chunk_words), " "
+
+    from pyspark.sql.window import Window
+
+    spans = (
+        df.select(F.col(id_col), F.posexplode(spans_arr).alias("pos", "span"))
+        .where(F.length(F.trim("span")) > 0)
+        .withColumn("fp", _span_fp(F.col("span")))
+    )
+    # canonical occurrence = row_number 1 within the fingerprint partition.
+    # A window here — NOT a groupBy(fp).min(struct) + re-join — because the
+    # join design shuffles every occurrence of a fingerprint to one reducer
+    # ANYWAY (same skew exposure) while also scanning the exploded corpus
+    # twice; the window is one scan + one shuffle, and its per-key sort is
+    # external/spillable. Keys are uniform md5, so this is a partitioned
+    # window, never a global one.
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc(),
+                                         F.col("pos").asc())
+    flagged = spans.withColumn("kept", F.row_number().over(w) == 1)
+    # one groupBy(doc): collect_list ignores the NULLs when() leaves for
+    # lost spans, so kept spans are gathered without a second aggregation
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("kept"),
+                               F.struct(F.col("pos"), F.col("span"))))),
+                    lambda s: s.span),
+                joiner).alias("text_deduped"),
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.count_if(F.col("kept")).cast("bigint").alias("n_spans_kept"),
+        )
+    )
+
+
+def contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 8,
+    bench_text_col: str | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per-document overlap with an eval corpus.
+
+    Counts how many of the document's DISTINCT word shingles (shingle_words
+    each) also occur anywhere in `benchmark`. Emits
+    (id_col, n_shingles, n_contaminated, contaminated_frac, is_contaminated)
+    — the caller drops/keeps on is_contaminated (any overlap) or thresholds
+    contaminated_frac. Shingle matching is on md5 of the lower+trimmed
+    shingle text, identical to the dedup family.
+
+    broadcast_benchmark=True (default) is the 10^12-doc plan: eval sets are
+    tiny, the join is map-side. Set False only if the benchmark itself is
+    data-sized."""
+    bench_text = F.col(bench_text_col or text_col)
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(bench_text, shingle_words)).alias("s"))
+        .select(_span_fp(F.col("s")).alias("h")).distinct()
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("s"),
+    ).select(id_col, _span_fp(F.col("s")).alias("h"))
+    hits = (doc_sh.join(bench_sh, "h", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated")))
+    base = df.select(
+        F.col(id_col),
+        F.size(word_shingles(F.col(text_col), shingle_words))
+         .cast("bigint").alias("n_shingles"))
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).cast("bigint")
+             .alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.nullif(F.col("n_shingles"), F.lit(0)), 6)
+             .alias("contaminated_frac"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0)
+             .alias("is_contaminated"),
+        )
+    )
+
+
+def sample_threshold(fraction: float) -> int:
+    """floor(fraction · 2^60) — the integer keep-threshold shared verbatim
+    by the Spark plan and the generated DuckDB oracle (no float compares)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction out of [0,1]: {fraction}")
+    return int(fraction * (1 << _HASH_BITS))
+
+
+def sample_hash(id_col: str, salt: str = "") -> Column:
+    """Uniform 60-bit integer from md5(id‖salt) — the md5-prefix trick that
+    DuckDB reproduces bit-identically (('0x'||substr(md5(x),1,15))::BIGINT)."""
+    key = F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its 60-bit id-hash
+    falls below floor(rate·2^60) for its stratum. Unlike df.sample()/rand()
+    this is reproducible across runs, partitionings, and engines — the
+    property a resumable 10^12-doc pipeline needs so a re-run wave samples
+    the SAME rows. Pure narrow filter: no shuffle, pushdown-friendly.
+
+    `fractions` maps stratum value → keep rate; unmatched strata use
+    default_fraction. `salt` decorrelates independent samples over the same
+    ids."""
+    thresholds = {k: sample_threshold(v) for k, v in fractions.items()}
+    cond = F.lit(sample_threshold(default_fraction))
+    for value, thr in sorted(thresholds.items()):
+        cond = F.when(F.col(stratum_col) == value, F.lit(thr)).otherwise(cond)
+    return df.where(sample_hash(id_col, salt) < cond)

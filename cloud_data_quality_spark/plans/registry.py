@@ -1309,6 +1309,99 @@ qualify rank <= 3
 """
 
 
+def q_span_dedup_docs(spark, sf_dir):
+    """C4-style cross-document span dedup (functions/corpus.span_dedup):
+    3-word chunks, each distinct span survives only at its corpus-wide
+    smallest (doc_id, pos); documents reassembled from surviving spans.
+    The oracle replays the identical canonical-occurrence rule with a
+    window (oracle-side only — the Spark plan is a groupBy struct-min)."""
+    from cloud_data_quality_spark.functions.corpus import span_dedup
+    return span_dedup(_t(spark, sf_dir, "documents"),
+                      text_col="text", id_col="doc_id", chunk_words=3)
+
+
+ORACLE_SPAN_DEDUP_DOCS = f"""
+with s0 as (select doc_id, {OF.sql_tokens('text')} as words from documents),
+spans as (
+  select doc_id, g.i - 1 as pos,
+         array_to_string(words[(g.i-1)*3+1:(g.i-1)*3+3], ' ') as span
+  from s0 cross join unnest(generate_series(1, ((len(words)+2)//3)::INT)) as g(i)),
+nz as (select doc_id, pos, span, md5(lower(trim(span))) as fp
+       from spans where length(trim(span)) > 0),
+flagged as (select *,
+                   (row_number() over (partition by fp
+                                       order by doc_id, pos)) = 1 as kept
+            from nz)
+select doc_id,
+       coalesce(string_agg(span, ' ' order by pos) filter (where kept), '')
+         as text_deduped,
+       count(*)::BIGINT as n_spans,
+       (count(*) filter (where kept))::BIGINT as n_spans_kept
+from flagged group by doc_id
+"""
+
+
+def q_decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination (functions/corpus.contamination): the
+    'benchmark' is the deterministic doc_id%50==0 slice standing in for an
+    eval set; every remaining doc reports its 4-word-shingle overlap."""
+    from cloud_data_quality_spark.functions.corpus import contamination
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return contamination(corpus, bench, text_col="text", id_col="doc_id",
+                         shingle_words=4)
+
+
+ORACLE_DECONTAMINATE_DOCS = f"""
+with d as (select doc_id, {OF.sql_word_shingles('text', 4)} as sh
+           from documents),
+bench as (select distinct md5(lower(trim(u.s))) as h
+          from d cross join unnest(sh) as u(s) where doc_id % 50 = 0),
+corpus_sh as (select doc_id, md5(lower(trim(u.s))) as h
+              from d cross join unnest(sh) as u(s) where doc_id % 50 != 0),
+hits as (select doc_id, count(*)::BIGINT as n_contaminated
+         from corpus_sh where h in (select h from bench) group by doc_id)
+select d.doc_id, len(sh)::BIGINT as n_shingles,
+       coalesce(n_contaminated, 0)::BIGINT as n_contaminated,
+       round(coalesce(n_contaminated, 0)::DOUBLE / nullif(len(sh), 0), 6)
+         as contaminated_frac,
+       coalesce(n_contaminated, 0) > 0 as is_contaminated
+from d left join hits using (doc_id)
+where d.doc_id % 50 != 0
+"""
+
+
+def _oracle_stratified_sample() -> str:
+    """Generated from the SAME fraction dict + sample_threshold constants as
+    the Spark query — thresholds are exact integers, so the two engines make
+    bit-identical keep decisions (md5-prefix trick)."""
+    from cloud_data_quality_spark.functions.corpus import sample_threshold
+    cases = " ".join(
+        f"when '{k}' then {sample_threshold(v)}"
+        for k, v in sorted(STRATIFIED_FRACTIONS.items()))
+    return f"""
+select doc_id, lang from documents
+where ('0x' || substr(md5(doc_id::VARCHAR || '|r3'), 1, 15))::BIGINT <
+      case lang {cases} else {sample_threshold(0.0)} end
+"""
+
+
+STRATIFIED_FRACTIONS = {"en": 0.5, "de": 0.2}
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic hash-threshold stratified sampling
+    (functions/corpus.stratified_sample): keep 50% of en, 20% of de, 0%
+    elsewhere — decisions replayable bit-identically by the oracle, unlike
+    rand()-based df.sample()."""
+    from cloud_data_quality_spark.functions.corpus import stratified_sample
+    return stratified_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        STRATIFIED_FRACTIONS, stratum_col="lang", id_col="doc_id",
+        salt="r3")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1350,6 +1443,9 @@ QUERIES = {
     "integrity_lineitem_part": q_integrity_lineitem_part,
     "integrity_unnest_join": q_integrity_unnest_join,
     "timeliness_recent_events": q_timeliness_recent_events,
+    "span_dedup_docs": q_span_dedup_docs,
+    "decontaminate_docs": q_decontaminate_docs,
+    "stratified_sample_docs": q_stratified_sample_docs,
 }
 
 ORACLES = {
@@ -1391,4 +1487,7 @@ ORACLES = {
     "integrity_lineitem_part": ORACLE_INTEGRITY_LINEITEM_PART,
     "integrity_unnest_join": ORACLE_INTEGRITY_UNNEST_JOIN,
     "timeliness_recent_events": ORACLE_TIMELINESS_RECENT_EVENTS,
+    "span_dedup_docs": ORACLE_SPAN_DEDUP_DOCS,
+    "decontaminate_docs": ORACLE_DECONTAMINATE_DOCS,
+    "stratified_sample_docs": _oracle_stratified_sample(),
 }

@@ -1,0 +1,181 @@
+"""Corpus curation operators: C4-style span dedup, benchmark
+decontamination, deterministic stratified sampling.
+
+Expectations are hand-computed or replayed with plain Python over the same
+rows — the same independent-recompute style as the dedup family tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_data_quality_spark.functions.corpus import (
+    contamination,
+    sample_threshold,
+    span_dedup,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id bigint, text string")
+
+
+class TestSpanDedup:
+    def test_line_dedup_keeps_canonical_occurrence(self, spark):
+        df = _docs(spark, [
+            (1, "alpha\nshared line\nbeta"),
+            (2, "shared line\ngamma\nshared line"),  # within-doc dup too
+            (3, "delta"),
+        ])
+        out = {r["doc_id"]: r.asDict()
+               for r in span_dedup(df, delimiter="\n").collect()}
+        # 'shared line' survives only at its smallest (doc_id, pos) = (1, 1)
+        assert out[1]["text_deduped"] == "alpha\nshared line\nbeta"
+        assert out[2]["text_deduped"] == "gamma"
+        assert out[2]["n_spans"] == 3 and out[2]["n_spans_kept"] == 1
+        assert out[3]["text_deduped"] == "delta"
+
+    def test_normalization_insensitive_key_preserves_original_text(self, spark):
+        df = _docs(spark, [(1, "Hello World"), (2, "  hello world  ")])
+        out = {r["doc_id"]: r for r in span_dedup(df, delimiter="\n").collect()}
+        assert out[1]["text_deduped"] == "Hello World"  # original bytes kept
+        assert out[2]["n_spans_kept"] == 0 and out[2]["text_deduped"] == ""
+
+    def test_chunk_mode_matches_python_replay(self, spark):
+        rows = [(i, " ".join(f"w{(i * 7 + j) % 5}" for j in range(11)))
+                for i in range(20)]
+        df = _docs(spark, rows)
+        out = {r["doc_id"]: r.asDict()
+               for r in span_dedup(df, chunk_words=3).collect()}
+
+        # independent replay
+        spans = []
+        for i, text in rows:
+            ws = text.split()
+            for p, k in enumerate(range(0, len(ws), 3)):
+                spans.append((i, p, " ".join(ws[k:k + 3])))
+        winners = {}
+        for i, p, s in sorted(spans):
+            winners.setdefault(s.lower().strip(), (i, p))
+        for i, text in rows:
+            kept = [s for (d, p, s) in spans
+                    if d == i and winners[s.lower().strip()] == (d, p)]
+            assert out[i]["text_deduped"] == " ".join(kept), i
+            assert out[i]["n_spans_kept"] == len(kept)
+
+    def test_empty_and_null_text(self, spark):
+        df = spark.createDataFrame([(1, ""), (2, None), (3, "x")],
+                                   schema="doc_id bigint, text string")
+        out = span_dedup(df, chunk_words=2)
+        # docs with no non-empty spans produce no row (caller left-joins)
+        assert {r["doc_id"] for r in out.collect()} == {3}
+
+    def test_exactly_one_mode_required(self, spark):
+        df = _docs(spark, [(1, "x")])
+        with pytest.raises(ValueError):
+            span_dedup(df)
+        with pytest.raises(ValueError):
+            span_dedup(df, delimiter="\n", chunk_words=3)
+
+    def test_on_pages_fixture_real_lines(self, spark, pages_parquet):
+        """Boilerplate lines repeated across pages are removed everywhere
+        but their first occurrence; total kept spans == distinct keys."""
+        pages = spark.read.parquet(pages_parquet).select(
+            F.monotonically_increasing_id().alias("doc_id"), "text") \
+            .where(F.col("text").isNotNull())
+        out = span_dedup(pages, delimiter="\n")
+        agg = out.agg(F.sum("n_spans").alias("n"),
+                      F.sum("n_spans_kept").alias("k")).collect()[0]
+        n_distinct = (
+            pages.select(F.explode(F.split("text", "\n", -1)).alias("s"))
+            .where(F.length(F.trim("s")) > 0)
+            .select(F.lower(F.trim("s"))).distinct().count())
+        assert agg["k"] == n_distinct
+        assert agg["k"] < agg["n"]  # the fixture does repeat boilerplate
+
+
+class TestContamination:
+    def test_overlap_counts(self, spark):
+        corpus = _docs(spark, [
+            (1, "a b c d e"),       # shingles(3): 'a b c','b c d','c d e'
+            (2, "x y z w"),
+            (3, "c d e f g"),
+        ])
+        bench = _docs(spark, [(100, "b c d e")])  # 'b c d', 'c d e'
+        out = {r["doc_id"]: r.asDict()
+               for r in contamination(corpus, bench, shingle_words=3).collect()}
+        assert out[1]["n_contaminated"] == 2 and out[1]["is_contaminated"]
+        assert out[2]["n_contaminated"] == 0 and not out[2]["is_contaminated"]
+        assert out[3]["n_contaminated"] == 1
+        assert out[1]["contaminated_frac"] == pytest.approx(2 / 3)
+
+    def test_short_docs_have_zero_shingles(self, spark):
+        corpus = _docs(spark, [(1, "too short")])
+        bench = _docs(spark, [(2, "anything at all here")])
+        r = contamination(corpus, bench, shingle_words=8).collect()[0]
+        assert r["n_shingles"] == 0 and r["contaminated_frac"] is None
+        assert not r["is_contaminated"]
+
+    def test_broadcast_flag_matches_shuffle_join(self, spark):
+        corpus = _docs(spark, [(i, f"w{i} w{i+1} w{i+2} w{i+3}")
+                               for i in range(40)])
+        bench = _docs(spark, [(999, "w10 w11 w12 w13")])
+        a = sorted(contamination(corpus, bench, shingle_words=3,
+                                 broadcast_benchmark=True).collect())
+        b = sorted(contamination(corpus, bench, shingle_words=3,
+                                 broadcast_benchmark=False).collect())
+        assert a == b
+
+
+class TestStratifiedSample:
+    def test_matches_md5_replay_and_is_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(i, "en" if i % 3 else "de") for i in range(500)],
+            schema="doc_id bigint, lang string")
+        fr = {"en": 0.5, "de": 0.1}
+        out = stratified_sample(df, fr, stratum_col="lang", salt="s1")
+        got = {r["doc_id"] for r in out.collect()}
+
+        def keep(i, lang):
+            h = int(hashlib.md5(f"{i}|s1".encode()).hexdigest()[:15], 16)
+            return h < sample_threshold(fr[lang])
+        expect = {i for i in range(500) if keep(i, "en" if i % 3 else "de")}
+        assert got == expect
+        # re-run identical (no rand())
+        assert {r["doc_id"] for r in out.collect()} == expect
+
+    def test_rates_roughly_honored(self, spark):
+        df = spark.createDataFrame([(i, "en") for i in range(4000)],
+                                   schema="doc_id bigint, lang string")
+        n = stratified_sample(df, {"en": 0.25}, "lang").count()
+        assert 800 < n < 1200  # 0.25 ± sampling noise
+
+    def test_default_fraction_and_salt_decorrelation(self, spark):
+        df = spark.createDataFrame([(i, "xx") for i in range(1000)],
+                                   schema="doc_id bigint, lang string")
+        assert stratified_sample(df, {"en": 0.9}, "lang").count() == 0
+        s1 = {r["doc_id"] for r in stratified_sample(
+            df, {"xx": 0.3}, "lang", salt="a").collect()}
+        s2 = {r["doc_id"] for r in stratified_sample(
+            df, {"xx": 0.3}, "lang", salt="b").collect()}
+        assert s1 != s2
+        # independent samples: overlap ≈ 0.09·1000, far below either size
+        assert len(s1 & s2) < min(len(s1), len(s2))
+
+    def test_bad_fraction_rejected(self, spark):
+        df = spark.createDataFrame([(1, "en")],
+                                   schema="doc_id bigint, lang string")
+        with pytest.raises(ValueError):
+            stratified_sample(df, {"en": 1.5}, "lang")
+
+    def test_no_shuffle_in_plan(self, spark):
+        """Sampling is a pure narrow filter — any Exchange in the plan means
+        it stopped being free at 10^12 rows."""
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+        plan = stratified_sample(df, {"en": 0.5}, "lang") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
