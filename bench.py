@@ -116,6 +116,14 @@ def build_suite(spark, sf_dir: str, pages_path: str):
         return pack_documents(pages, budget=2048, id_col="url",
                               n_buckets=32).count()
 
+    def q_span_dedup():
+        """C4-style cross-corpus line dedup over the pages table (explode →
+        fp-window → reassemble): the heaviest pure-shuffle corpus rewrite."""
+        from cloud_data_quality_spark.functions.corpus import span_dedup
+        return span_dedup(pages.where(F.col("text").isNotNull()),
+                          text_col="text", id_col="url", delimiter="\n") \
+            .agg(F.sum("n_spans_kept")).collect()[0][0]
+
     def q_resumable_write():
         """The shipped quality-filter CLI path: annotate → keep → single-scan
         partitionBy write with Observation-metric lineage (16 buckets)."""
@@ -144,6 +152,7 @@ def build_suite(spark, sf_dir: str, pages_path: str):
         "unigram_logprob_docs": q_unigram_logprob,
         "html_extract_pages": q_html_extract,
         "pack_pages": q_pack_pages,
+        "span_dedup_pages": q_span_dedup,
         "resumable_filter_write": q_resumable_write,
     }
 
