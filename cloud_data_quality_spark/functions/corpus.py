@@ -230,3 +230,93 @@ def stratified_sample(
     for value, thr in sorted(thresholds.items()):
         cond = F.when(F.col(stratum_col) == value, F.lit(thr)).otherwise(cond)
     return df.where(sample_hash(id_col, salt) < cond)
+
+
+# ------------------------------------------------------- incremental dedup
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_fps: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Cross-run exact dedup: within the incoming wave keep the min-id
+    representative per fingerprint, then drop every document whose
+    fingerprint appears in `seen_fps` (the accumulated store of all prior
+    runs — see SeenFingerprintStore). Returns the surviving rows WITH their
+    fingerprint column, so the caller can append exactly those fps to the
+    store: survivor fps are new by construction, so the store needs no
+    dedupe on append.
+
+    Same shape as dedup_exact (groupBy-min + semi join — O(1) aggregation
+    state per key, no window) plus one anti join on the uniform md5 key.
+    NULL-text docs are never duplicates: they get a per-id sentinel key and
+    always survive."""
+    from cloud_data_quality_spark.functions.text import fingerprint
+    with_fp = new_df.withColumn(
+        fp_col,
+        F.coalesce(fingerprint(F.col(text_col)),
+                   F.concat(F.lit("__null__"), F.col(id_col).cast("string"))))
+    canon = with_fp.groupBy(fp_col).agg(F.min(id_col).alias(id_col))
+    wave = with_fp.join(canon, [fp_col, id_col], "left_semi")
+    if seen_fps is not None:
+        wave = wave.join(seen_fps.select(fp_col), fp_col, "left_anti")
+    return wave
+
+
+class SeenFingerprintStore:
+    """Accumulated fingerprint memory for incremental dedup across crawl
+    waves, backed by a catalog table BUCKETED on the fingerprint.
+
+    Why bucketed: at 10^12 documents the store dwarfs every nightly wave.
+    A plain parquet store would shuffle BOTH sides of the anti join every
+    night; a table bucketed on fp joins with no Exchange on the store side —
+    only the wave (orders of magnitude smaller) shuffles, into the store's
+    bucket layout. test_corpus pins that plan shape mechanically.
+
+    Appends use saveAsTable(mode=append), which preserves the bucket spec;
+    each wave's survivors are disjoint from the store by construction
+    (incremental_dedup anti-joined them), so appends never need a merge."""
+
+    def __init__(self, spark, table: str, n_buckets: int = 64,
+                 fp_col: str = "fp"):
+        self.spark = spark
+        self.table = table
+        self.n_buckets = n_buckets
+        self.fp_col = fp_col
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
+    def read(self) -> DataFrame:
+        return self.spark.table(self.table).select(self.fp_col)
+
+    def append(self, fps: DataFrame) -> None:
+        (fps.select(self.fp_col).write
+         .bucketBy(self.n_buckets, self.fp_col).sortBy(self.fp_col)
+         .mode("append").format("parquet").saveAsTable(self.table))
+
+    def dedup_wave(self, new_df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+        """One crawl wave end-to-end: dedup against the store (if any),
+        record the survivors' fingerprints, return the survivors.
+
+        The survivor frame is CHECKPOINTED (lineage truncated) before the
+        store append. persist()+count() is NOT enough: saveAsTable(append)
+        recaches every cached plan that reads the target table, so the
+        'pinned' survivors would silently recompute against the updated
+        store and collapse to zero rows. A checkpoint's plan no longer
+        references the table at all. Reliable checkpoint when a checkpoint
+        dir is configured (cluster runs — survives executor loss),
+        localCheckpoint otherwise — same auto-selection as
+        duplicate_clusters."""
+        spark = new_df.sparkSession
+        seen = self.read() if self.exists() else None
+        survivors = incremental_dedup(new_df, seen, text_col=text_col,
+                                      id_col=id_col, fp_col=self.fp_col)
+        reliable = spark.sparkContext.getCheckpointDir() is not None
+        survivors = (survivors.checkpoint(eager=True) if reliable
+                     else survivors.localCheckpoint(eager=True))
+        self.append(survivors)
+        return survivors.drop(self.fp_col)

@@ -1402,6 +1402,30 @@ def q_stratified_sample_docs(spark, sf_dir):
         salt="r3")
 
 
+def q_incremental_dedup_docs(spark, sf_dir):
+    """Cross-run incremental dedup (functions/corpus.incremental_dedup):
+    the 'previously seen' store is the fingerprints of the doc_id%7==0
+    slice (standing in for all prior crawl waves); the wave is the whole
+    corpus on 40-char prefix fingerprints (prefix collisions stand in for
+    exact dups). Survivors = within-wave min-id canonicals whose
+    fingerprint is new."""
+    from cloud_data_quality_spark.functions.corpus import incremental_dedup
+    wave = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("text"))
+    seen = (wave.where(F.col("doc_id") % 7 == 0)
+            .select(F.md5(F.lower(F.trim("text"))).alias("fp")).distinct())
+    return incremental_dedup(wave, seen).select("doc_id", "fp")
+
+
+ORACLE_INCREMENTAL_DEDUP_DOCS = """
+with w as (select doc_id, md5(lower(trim(substr(text, 1, 40)))) as fp
+           from documents),
+seen as (select distinct fp from w where doc_id % 7 = 0),
+canon as (select fp, min(doc_id) as doc_id from w group by fp)
+select doc_id, fp from canon where fp not in (select fp from seen)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1444,6 +1468,7 @@ QUERIES = {
     "integrity_unnest_join": q_integrity_unnest_join,
     "timeliness_recent_events": q_timeliness_recent_events,
     "span_dedup_docs": q_span_dedup_docs,
+    "incremental_dedup_docs": q_incremental_dedup_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
 }
@@ -1488,6 +1513,7 @@ ORACLES = {
     "integrity_unnest_join": ORACLE_INTEGRITY_UNNEST_JOIN,
     "timeliness_recent_events": ORACLE_TIMELINESS_RECENT_EVENTS,
     "span_dedup_docs": ORACLE_SPAN_DEDUP_DOCS,
+    "incremental_dedup_docs": ORACLE_INCREMENTAL_DEDUP_DOCS,
     "decontaminate_docs": ORACLE_DECONTAMINATE_DOCS,
     "stratified_sample_docs": _oracle_stratified_sample(),
 }

@@ -179,3 +179,92 @@ class TestStratifiedSample:
         plan = stratified_sample(df, {"en": 0.5}, "lang") \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestIncrementalDedup:
+    def test_wave_semantics(self, spark):
+        from cloud_data_quality_spark.functions.corpus import incremental_dedup
+        wave = _docs(spark, [(1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, None)])
+        seen = spark.createDataFrame(
+            [(hashlib.md5(b"b").hexdigest(),)], schema="fp string")
+        out = incremental_dedup(wave, seen)
+        ids = {r["doc_id"] for r in out.collect()}
+        # within-wave: 2 loses to 1; cross-run: 3's 'b' already seen;
+        # NULL text always survives
+        assert ids == {1, 4, 5}
+        assert "fp" in out.columns
+
+    def test_no_store_first_run(self, spark):
+        from cloud_data_quality_spark.functions.corpus import incremental_dedup
+        wave = _docs(spark, [(1, "a"), (2, "a")])
+        assert {r["doc_id"] for r in incremental_dedup(wave, None).collect()} \
+            == {1}
+
+    def test_store_across_waves_and_lazy_safety(self, spark, tmp_path):
+        """dedup_wave must return the PRE-append survivors even though the
+        anti-join plan reads the store table lazily (regression: without the
+        materialization barrier the returned frame re-evaluates against the
+        updated store and collapses to zero rows)."""
+        from cloud_data_quality_spark.functions.corpus import (
+            SeenFingerprintStore)
+        spark.sql("drop table if exists seen_fps_test")
+        store = SeenFingerprintStore(spark, "seen_fps_test", n_buckets=4)
+        try:
+            w1 = store.dedup_wave(_docs(spark, [(1, "a"), (2, "b")]))
+            assert {r["doc_id"] for r in w1.collect()} == {1, 2}
+            w2 = store.dedup_wave(
+                _docs(spark, [(10, "a"), (11, "c"), (12, "c")]))
+            # 'a' seen in wave 1; 'c' dedups within wave 2
+            assert {r["doc_id"] for r in w2.collect()} == {11}
+            # the collect above ran AFTER append — barrier proven
+            assert store.read().count() == 3  # a, b, c
+            w3 = store.dedup_wave(_docs(spark, [(20, "c")]))
+            assert w3.count() == 0
+        finally:
+            spark.sql("drop table if exists seen_fps_test")
+
+    def test_bucketed_store_join_has_no_store_side_exchange(self, spark):
+        """The 100 TB story: the store dwarfs every nightly wave, so it's
+        bucketed on fp and the anti join must read it WITHOUT an Exchange —
+        only the wave shuffles (into the store's bucket layout). Verified
+        two ways: the store scan reports Bucketed, and the identical plan
+        over a NON-bucketed copy of the store needs one more Exchange
+        (broadcast disabled to force the sort-merge path both times)."""
+        import re
+
+        from cloud_data_quality_spark.functions.corpus import (
+            SeenFingerprintStore, incremental_dedup)
+
+        def plan_for(seen):
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                wave = _docs(spark, [(i, f"t{i}") for i in range(30)])
+                return incremental_dedup(wave, seen) \
+                    ._jdf.queryExecution().executedPlan().toString()
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+        spark.sql("drop table if exists seen_fps_plan")
+        spark.sql("drop table if exists seen_fps_flat")
+        store = SeenFingerprintStore(spark, "seen_fps_plan", n_buckets=4)
+        try:
+            fps = spark.createDataFrame(
+                [(hashlib.md5(str(i).encode()).hexdigest(),)
+                 for i in range(50)], schema="fp string")
+            store.append(fps)
+            fps.write.format("parquet").saveAsTable("seen_fps_flat")
+
+            bucketed = plan_for(store.read())
+            flat = plan_for(spark.table("seen_fps_flat").select("fp"))
+
+            store_scan = [l for l in bucketed.splitlines()
+                          if "seen_fps_plan" in l and "Scan" in l]
+            assert store_scan and "Bucketed: true" in store_scan[0]
+            assert "SortMergeJoin" in bucketed
+            n = lambda p: len(re.findall(r"Exchange hashpartitioning", p))
+            # the flat store needs exactly one extra Exchange: its own
+            assert n(flat) == n(bucketed) + 1, (n(bucketed), n(flat))
+        finally:
+            spark.sql("drop table if exists seen_fps_plan")
+            spark.sql("drop table if exists seen_fps_flat")
