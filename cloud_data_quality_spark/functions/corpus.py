@@ -232,6 +232,46 @@ def stratified_sample(
     return df.where(sample_hash(id_col, salt) < cond)
 
 
+def importance_resample(
+    df: DataFrame,
+    target: dict[str, float],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Rebalance the corpus toward a target stratum distribution by
+    deterministic downsampling (the data-mixing step of an LLM pipeline —
+    e.g. flatten an English-heavy crawl to a target language mix).
+
+    Keep rate per stratum: r_s = C·t_s/n_s with C = min_s(n_s/t_s), i.e.
+    the stratum whose observed share falls shortest of its target is kept
+    in full and every other stratum is thinned so post-sample counts are
+    exactly proportional to `target`. Downsampling only — never replicates.
+    Strata absent from `target` are dropped.
+
+    Fully distributed: the per-stratum counts are a tiny aggregate joined
+    back via broadcast — no driver collect, no shuffle of the corpus
+    itself; the keep decision is the same md5-threshold filter as
+    stratified_sample, so it is deterministic and exactly replayable
+    (thresholds are computed with the same double-precision expression
+    shape the DuckDB oracle uses — IEEE ops in identical order)."""
+    t_map = F.create_map(*[F.lit(x) for kv in sorted(target.items())
+                           for x in kv])
+    counts = (df.groupBy(stratum_col)
+              .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+              .withColumn("__t", t_map[F.col(stratum_col)].cast("double"))
+              .where(F.col("__t").isNotNull() & (F.col("__t") > 0)))
+    c = counts.agg(F.min(F.col("__n") / F.col("__t")).alias("__c"))
+    rates = (counts.crossJoin(F.broadcast(c))
+             .select(stratum_col,
+                     F.floor(F.col("__c") * F.col("__t") / F.col("__n")
+                             * F.lit(float(1 << _HASH_BITS)))
+                     .cast("bigint").alias("__thr")))
+    return (df.join(F.broadcast(rates), stratum_col)
+            .where(sample_hash(id_col, salt) < F.col("__thr"))
+            .select(*df.columns))
+
+
 # ------------------------------------------------------- incremental dedup
 
 def incremental_dedup(

@@ -1426,6 +1426,41 @@ select doc_id, fp from canon where fp not in (select fp from seen)
 """
 
 
+RESAMPLE_TARGET = {"en": 0.4, "es": 0.2, "de": 0.2, "fr": 0.2}  # zh dropped
+
+
+def q_importance_resample_docs(spark, sf_dir):
+    """Data-mixing rebalance (functions/corpus.importance_resample): thin
+    the English-heavy corpus to a target language mix; the scarcest-vs-
+    target stratum is kept in full, everything else downsampled
+    proportionally via the deterministic md5-threshold."""
+    from cloud_data_quality_spark.functions.corpus import importance_resample
+    return importance_resample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        RESAMPLE_TARGET, stratum_col="lang", id_col="doc_id", salt="mix")
+
+
+def _oracle_importance_resample() -> str:
+    """Generated from the SAME target dict; the threshold expression keeps
+    the exact double-op order of the Spark plan (C·t/n·2^60) so both
+    engines floor identical IEEE values."""
+    cases = " ".join(f"when '{k}' then {v}"
+                     for k, v in sorted(RESAMPLE_TARGET.items()))
+    two60 = float(1 << 60)
+    return f"""
+with counts as (
+  select lang, count(*)::DOUBLE as n,
+         (case lang {cases} end)::DOUBLE as t
+  from documents group by lang),
+valid as (select * from counts where t is not null and t > 0),
+c as (select min(n / t) as c from valid),
+rates as (select lang, floor(c.c * t / n * {two60!r})::BIGINT as thr
+          from valid cross join c)
+select d.doc_id, d.lang from documents d join rates using (lang)
+where ('0x' || substr(md5(d.doc_id::VARCHAR || '|mix'), 1, 15))::BIGINT < thr
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1469,6 +1504,7 @@ QUERIES = {
     "timeliness_recent_events": q_timeliness_recent_events,
     "span_dedup_docs": q_span_dedup_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
+    "importance_resample_docs": q_importance_resample_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
 }
@@ -1514,6 +1550,7 @@ ORACLES = {
     "timeliness_recent_events": ORACLE_TIMELINESS_RECENT_EVENTS,
     "span_dedup_docs": ORACLE_SPAN_DEDUP_DOCS,
     "incremental_dedup_docs": ORACLE_INCREMENTAL_DEDUP_DOCS,
+    "importance_resample_docs": _oracle_importance_resample(),
     "decontaminate_docs": ORACLE_DECONTAMINATE_DOCS,
     "stratified_sample_docs": _oracle_stratified_sample(),
 }

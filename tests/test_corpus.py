@@ -268,3 +268,50 @@ class TestIncrementalDedup:
         finally:
             spark.sql("drop table if exists seen_fps_plan")
             spark.sql("drop table if exists seen_fps_flat")
+
+
+class TestImportanceResample:
+    def _df(self, spark):
+        rows = [(i, "en") for i in range(300)] + \
+               [(i + 1000, "de") for i in range(80)] + \
+               [(i + 2000, "fr") for i in range(40)] + \
+               [(i + 3000, "zz") for i in range(25)]
+        return spark.createDataFrame(rows, schema="doc_id bigint, lang string")
+
+    def test_matches_python_replay_and_proportions(self, spark):
+        from cloud_data_quality_spark.functions.corpus import (
+            importance_resample, sample_hash)
+        target = {"en": 0.4, "de": 0.4, "fr": 0.2}
+        df = self._df(spark)
+        out = importance_resample(df, target, "lang", salt="ir")
+        got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+
+        # replay: C = min(n_s/t_s); thr_s = floor(C*t_s/n_s * 2^60)
+        n = {"en": 300.0, "de": 80.0, "fr": 40.0}
+        c = min(n[s] / target[s] for s in target)
+        thr = {s: int((c * target[s] / n[s]) * float(1 << 60)) for s in target}
+
+        def h(i):
+            return int(hashlib.md5(f"{i}|ir".encode()).hexdigest()[:15], 16)
+        expect = {(i, s) for (i, s) in
+                  ((r["doc_id"], r["lang"]) for r in df.collect())
+                  if s in thr and h(i) < thr[s]}
+        assert got == expect
+        # 'zz' absent from target → dropped entirely
+        assert not any(s == "zz" for _, s in got)
+        # fr is the binding stratum (40/0.2=200 < others) → kept in full
+        assert sum(1 for _, s in got if s == "fr") == 40
+        # proportions ≈ target (binomial noise on en/de)
+        kept = {s: sum(1 for _, x in got if x == s) for s in target}
+        assert abs(kept["en"] - 80) <= 25 and abs(kept["de"] - 80) <= 20
+
+    def test_never_replicates_and_is_deterministic(self, spark):
+        from cloud_data_quality_spark.functions.corpus import (
+            importance_resample)
+        df = self._df(spark)
+        out = importance_resample(df, {"en": 0.9, "fr": 0.1}, "lang")
+        assert out.count() == out.dropDuplicates(["doc_id"]).count()
+        assert sorted(out.collect()) == sorted(
+            importance_resample(df, {"en": 0.9, "fr": 0.1}, "lang").collect())
+        # column order preserved
+        assert out.columns == df.columns
