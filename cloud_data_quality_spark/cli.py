@@ -15,6 +15,8 @@ Subcommands:
   validate        run rule bindings → dq_summary (+ failed records)
   quality-filter  resumable web-text filter pipeline (annotate → keep →
                   scrubbed output) with per-partition lineage
+  corpus          corpus curation ops: span-dedup | decontaminate | sample |
+                  resample | incremental-dedup (see functions/corpus.py)
 """
 
 from __future__ import annotations
@@ -102,6 +104,66 @@ def _quality_filter(args) -> int:
     return 0
 
 
+def _parse_fractions(spec: str) -> dict[str, float]:
+    """'en=0.5,de=0.2' → {'en': 0.5, 'de': 0.2}"""
+    out = {}
+    for kv in spec.split(","):
+        k, v = kv.split("=", 1)
+        out[k.strip()] = float(v)
+    return out
+
+
+def _corpus(args) -> int:
+    from pyspark.sql import functions as F
+
+    from cloud_data_quality_spark.functions import corpus as C
+    from cloud_data_quality_spark.sources.session import get_spark
+
+    spark = get_spark(app_name="cdq_corpus", master=args.master)
+    df = spark.read.parquet(args.input)
+    if args.op == "span-dedup":
+        if (args.delimiter is None) == (args.chunk_words is None):
+            raise SystemExit("span-dedup needs exactly one of "
+                             "--delimiter / --chunk-words")
+        out = C.span_dedup(df, text_col=args.text_col, id_col=args.id_col,
+                           delimiter=args.delimiter,
+                           chunk_words=args.chunk_words)
+    elif args.op == "decontaminate":
+        if not args.benchmark:
+            raise SystemExit("decontaminate needs --benchmark")
+        bench = spark.read.parquet(args.benchmark)
+        stats = C.contamination(df, bench, text_col=args.text_col,
+                                id_col=args.id_col,
+                                shingle_words=args.shingle_words)
+        if args.drop:
+            clean = stats.where(~F.col("is_contaminated")).select(args.id_col)
+            out = df.join(clean, args.id_col, "left_semi")
+        else:
+            out = stats
+    elif args.op == "sample":
+        out = C.stratified_sample(df, _parse_fractions(args.fractions),
+                                  stratum_col=args.stratum_col,
+                                  id_col=args.id_col,
+                                  default_fraction=args.default_fraction,
+                                  salt=args.salt)
+    elif args.op == "resample":
+        out = C.importance_resample(df, _parse_fractions(args.fractions),
+                                    stratum_col=args.stratum_col,
+                                    id_col=args.id_col, salt=args.salt)
+    else:  # incremental-dedup
+        if not args.store:
+            raise SystemExit("incremental-dedup needs --store")
+        store = C.SeenFingerprintStore(spark, args.store,
+                                       n_buckets=args.buckets)
+        out = store.dedup_wave(df, text_col=args.text_col,
+                               id_col=args.id_col)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"op": args.op, "rows_in": df.count(), "rows_out": n,
+                      "output": args.output}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cloud_data_quality_spark")
     p.add_argument("--master", default=None,
@@ -141,9 +203,38 @@ def main(argv: list[str] | None = None) -> int:
                         "in one single-scan wave (extra waves re-scan unless "
                         "the partition expr is aligned with physical layout)")
 
+    c = sub.add_parser("corpus", help="corpus curation operators")
+    c.add_argument("--op", required=True,
+                   choices=["span-dedup", "decontaminate", "sample",
+                            "resample", "incremental-dedup"])
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--delimiter", default=None,
+                   help="span-dedup: split spans on this separator")
+    c.add_argument("--chunk-words", type=int, default=None,
+                   help="span-dedup: fixed word-count spans")
+    c.add_argument("--benchmark", default=None,
+                   help="decontaminate: parquet path of the eval corpus")
+    c.add_argument("--shingle-words", type=int, default=8)
+    c.add_argument("--drop", action="store_true",
+                   help="decontaminate: emit the clean corpus rows instead "
+                        "of per-doc contamination stats")
+    c.add_argument("--fractions", default="",
+                   help="sample/resample: 'en=0.5,de=0.2' (sample: keep "
+                        "rates; resample: target distribution)")
+    c.add_argument("--stratum-col", default="lang")
+    c.add_argument("--default-fraction", type=float, default=0.0)
+    c.add_argument("--salt", default="")
+    c.add_argument("--store", default=None,
+                   help="incremental-dedup: fp-bucketed catalog table name")
+    c.add_argument("--buckets", type=int, default=64)
+
     args = p.parse_args(argv)
     args.master = getattr(args, "master", None)
-    return {"validate": _validate, "quality-filter": _quality_filter}[args.cmd](args)
+    return {"validate": _validate, "quality-filter": _quality_filter,
+            "corpus": _corpus}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -133,3 +133,57 @@ class TestQualityFilterCommand:
                  .where(F.col("keep")).select("url"))
         assert kept_html.select("url").exceptAll(plain).count() == 0
         assert plain.exceptAll(kept_html.select("url")).count() == 0
+
+
+class TestCorpus:
+    def test_span_dedup_and_sample_ops(self, spark, tmp_path, capsys):
+        inp = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            [(1, "a\nshared\nb", "en"), (2, "shared\nc", "en"),
+             (3, "d", "de")],
+            schema="doc_id bigint, text string, lang string") \
+            .write.parquet(inp)
+
+        out1 = str(tmp_path / "deduped")
+        rc = main(["corpus", "--op", "span-dedup", "--input", inp,
+                   "--output", out1, "--delimiter", "\n"])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip())
+        assert stats["rows_in"] == 3 and stats["rows_out"] == 3
+        got = {r["doc_id"]: r["text_deduped"]
+               for r in spark.read.parquet(out1).collect()}
+        assert got[2] == "c"  # 'shared' kept only in doc 1
+
+        out2 = str(tmp_path / "sampled")
+        rc = main(["corpus", "--op", "sample", "--input", inp,
+                   "--output", out2, "--fractions", "en=1.0"])
+        assert rc == 0
+        assert {r["doc_id"] for r in spark.read.parquet(out2).collect()} \
+            == {1, 2}  # de defaults to 0
+
+    def test_decontaminate_drop(self, spark, tmp_path, capsys):
+        inp = str(tmp_path / "corp.parquet")
+        ben = str(tmp_path / "bench.parquet")
+        spark.createDataFrame(
+            [(1, "p q r s"), (2, "x y z w")],
+            schema="doc_id bigint, text string").write.parquet(inp)
+        spark.createDataFrame(
+            [(9, "p q r")], schema="doc_id bigint, text string") \
+            .write.parquet(ben)
+        out = str(tmp_path / "clean")
+        rc = main(["corpus", "--op", "decontaminate", "--input", inp,
+                   "--benchmark", ben, "--shingle-words", "3",
+                   "--drop", "--output", out])
+        assert rc == 0
+        assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [2]
+
+    def test_bad_mode_combos_exit(self, spark, tmp_path):
+        inp = str(tmp_path / "d.parquet")
+        spark.createDataFrame([(1, "x")], "doc_id bigint, text string") \
+            .write.parquet(inp)
+        with pytest.raises(SystemExit):
+            main(["corpus", "--op", "span-dedup", "--input", inp,
+                  "--output", str(tmp_path / "o")])
+        with pytest.raises(SystemExit):
+            main(["corpus", "--op", "decontaminate", "--input", inp,
+                  "--output", str(tmp_path / "o")])
