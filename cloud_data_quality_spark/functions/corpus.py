@@ -232,6 +232,69 @@ def stratified_sample(
     return df.where(sample_hash(id_col, salt) < cond)
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style within-document n-gram repetition signals (Rae et al.
+    2021 quality heuristics: 'fraction of characters in the most frequent
+    n-gram' and 'fraction of characters in duplicate n-grams'), as exact,
+    deterministic definitions:
+
+      top_gram_char_frac = max over grams g of count(g)·chars(g) / chars(doc)
+      dup_gram_char_frac = Σ over grams with count>1 of count(g)·chars(g)
+                           / chars(doc)
+
+    where chars(g) counts the gram's words plus its internal single spaces
+    (grams are normalized whitespace joins) and chars(doc) = length(text).
+    Taking the max of count·chars (not "the chars of the argmax gram")
+    makes ties a non-issue — the statistic is deterministic without a
+    tie-break rule. The annotate_quality gates keep their cheaper
+    line/token-level signals; this operator is the full-strength n-gram
+    variant for corpora where boilerplate repeats below line granularity.
+
+    Shape: one explode + one (id, gram) aggregation + one per-doc roll-up —
+    shuffles on uniform composite keys only. Docs with fewer than n words
+    emit n_grams=0 with NULL fractions. complement to the corpus-wide
+    span_dedup (this is WITHIN-doc)."""
+    from cloud_data_quality_spark.functions.text import tokens
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
+    base = df.select(F.col(id_col),
+                     F.length(F.col(text_col)).alias("__chars"),
+                     grams.alias("__grams"))
+    per_gram = (
+        base.select(id_col, "__chars", F.explode("__grams").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.first("__chars").alias("__chars"))
+        .withColumn("gchars", F.col("cnt") * F.length("g"))
+    )
+    stats = (
+        per_gram.groupBy(id_col)
+        .agg(F.sum("cnt").cast("bigint").alias("n_grams"),
+             F.round(F.max("gchars") / F.first("__chars"), 6)
+              .alias("top_gram_char_frac"),
+             F.round(F.coalesce(
+                 F.sum(F.when(F.col("cnt") > 1, F.col("gchars"))), F.lit(0))
+                 / F.first("__chars"), 6)
+              .alias("dup_gram_char_frac"))
+    )
+    return (
+        df.select(F.col(id_col)).join(stats, id_col, "left")
+        .select(id_col,
+                F.coalesce("n_grams", F.lit(0)).cast("bigint")
+                 .alias("n_grams"),
+                "top_gram_char_frac", "dup_gram_char_frac")
+    )
+
+
 def importance_resample(
     df: DataFrame,
     target: dict[str, float],

@@ -1461,6 +1461,37 @@ where ('0x' || substr(md5(d.doc_id::VARCHAR || '|mix'), 1, 15))::BIGINT < thr
 """
 
 
+def q_repetition_stats_docs(spark, sf_dir):
+    """Gopher n-gram repetition signals (functions/corpus.repetition_stats):
+    per-doc duplicate-2-gram and top-2-gram character fractions."""
+    from cloud_data_quality_spark.functions.corpus import repetition_stats
+    return repetition_stats(_t(spark, sf_dir, "documents"),
+                            text_col="text", id_col="doc_id", n=2)
+
+
+ORACLE_REPETITION_STATS_DOCS = f"""
+with t as (select doc_id, length(text) as chars,
+                  {OF.sql_tokens('text')} as toks from documents),
+grams as (
+  select doc_id, chars,
+         array_to_string(toks[g.i:g.i+1], ' ') as g
+  from t cross join unnest(generate_series(1, len(toks) - 1)) as g(i)
+  where len(toks) >= 2),
+per_gram as (select doc_id, g, count(*) as cnt,
+                    any_value(chars) as chars from grams group by 1, 2),
+stats as (
+  select doc_id, sum(cnt)::BIGINT as n_grams,
+         round(max(cnt * length(g))::DOUBLE / any_value(chars), 6)
+           as top_gram_char_frac,
+         round(coalesce(sum(case when cnt > 1 then cnt * length(g) end), 0)
+               ::DOUBLE / any_value(chars), 6) as dup_gram_char_frac
+  from per_gram group by doc_id)
+select d.doc_id, coalesce(n_grams, 0)::BIGINT as n_grams,
+       top_gram_char_frac, dup_gram_char_frac
+from documents d left join stats using (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1505,6 +1536,7 @@ QUERIES = {
     "span_dedup_docs": q_span_dedup_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "importance_resample_docs": q_importance_resample_docs,
+    "repetition_stats_docs": q_repetition_stats_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
 }
@@ -1551,6 +1583,7 @@ ORACLES = {
     "span_dedup_docs": ORACLE_SPAN_DEDUP_DOCS,
     "incremental_dedup_docs": ORACLE_INCREMENTAL_DEDUP_DOCS,
     "importance_resample_docs": _oracle_importance_resample(),
+    "repetition_stats_docs": ORACLE_REPETITION_STATS_DOCS,
     "decontaminate_docs": ORACLE_DECONTAMINATE_DOCS,
     "stratified_sample_docs": _oracle_stratified_sample(),
 }

@@ -315,3 +315,34 @@ class TestImportanceResample:
             importance_resample(df, {"en": 0.9, "fr": 0.1}, "lang").collect())
         # column order preserved
         assert out.columns == df.columns
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, spark):
+        from cloud_data_quality_spark.functions.corpus import repetition_stats
+        #  doc 1: "a b a b a" → 2-grams: 'a b'×2, 'b a'×2 (4 grams, all dup)
+        #    chars=9; top = 2*3/9; dup = (2*3 + 2*3)/9
+        #  doc 2: "x y z" → 'x y', 'y z' each once → dup 0, top 3/5... chars=5
+        #  doc 3: "solo" → <2 words → no grams
+        df = _docs(spark, [(1, "a b a b a"), (2, "x y z"), (3, "solo")])
+        out = {r["doc_id"]: r.asDict()
+               for r in repetition_stats(df, n=2).collect()}
+        assert out[1]["n_grams"] == 4
+        assert out[1]["top_gram_char_frac"] == pytest.approx(6 / 9, abs=1e-6)
+        assert out[1]["dup_gram_char_frac"] == pytest.approx(12 / 9, abs=1e-6)
+        assert out[2]["n_grams"] == 2
+        assert out[2]["dup_gram_char_frac"] == 0.0
+        assert out[2]["top_gram_char_frac"] == pytest.approx(3 / 5, abs=1e-6)
+        assert out[3]["n_grams"] == 0
+        assert out[3]["top_gram_char_frac"] is None
+
+    def test_repeated_boilerplate_scores_high(self, spark):
+        from cloud_data_quality_spark.functions.corpus import repetition_stats
+        clean = " ".join(f"w{i}" for i in range(50))
+        spam = " ".join(["buy now"] * 25)
+        df = _docs(spark, [(1, clean), (2, spam)])
+        out = {r["doc_id"]: r.asDict()
+               for r in repetition_stats(df, n=2).collect()}
+        assert out[1]["dup_gram_char_frac"] == 0.0
+        assert out[2]["dup_gram_char_frac"] > 1.0  # overlapping dup grams
+        assert out[2]["top_gram_char_frac"] == pytest.approx(175 / 199, abs=1e-6)
