@@ -43,6 +43,8 @@ xxhash64 behind the same shape.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -255,44 +257,52 @@ def repetition_stats(
     line/token-level signals; this operator is the full-strength n-gram
     variant for corpora where boilerplate repeats below line granularity.
 
-    Shape: one explode + one (id, gram) aggregation + one per-doc roll-up —
-    shuffles on uniform composite keys only. Docs with fewer than n words
-    emit n_grams=0 with NULL fractions. complement to the corpus-wide
-    span_dedup (this is WITHIN-doc)."""
-    from cloud_data_quality_spark.functions.text import tokens
-    toks = tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) < n, F.array().cast("array<string>")
-    ).otherwise(F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
-    base = df.select(F.col(id_col),
-                     F.length(F.col(text_col)).alias("__chars"),
-                     grams.alias("__grams"))
-    per_gram = (
-        base.select(id_col, "__chars", F.explode("__grams").alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("cnt"),
-             F.first("__chars").alias("__chars"))
-        .withColumn("gchars", F.col("cnt") * F.length("g"))
-    )
-    stats = (
-        per_gram.groupBy(id_col)
-        .agg(F.sum("cnt").cast("bigint").alias("n_grams"),
-             F.round(F.max("gchars") / F.first("__chars"), 6)
-              .alias("top_gram_char_frac"),
-             F.round(F.coalesce(
-                 F.sum(F.when(F.col("cnt") > 1, F.col("gchars"))), F.lit(0))
-                 / F.first("__chars"), 6)
-              .alias("dup_gram_char_frac"))
-    )
-    return (
-        df.select(F.col(id_col)).join(stats, id_col, "left")
-        .select(id_col,
-                F.coalesce("n_grams", F.lit(0)).cast("bigint")
-                 .alias("n_grams"),
-                "top_gram_char_frac", "dup_gram_char_frac")
-    )
+    Shape: a within-document statistic must NOT round-trip the corpus
+    through a shuffle (an explode + groupBy(doc, gram) design multiplies
+    the shuffled bytes by ~n_words). This is one narrow Arrow stage — a
+    per-doc gram Counter inside the batch, O(words) per document; the work
+    is variable-length-string counting, where a Counter is the honest cost
+    (there is no bincount-style vectorization win for string keys). Docs
+    with fewer than n words emit n_grams=0 with NULL fractions. Complements
+    the corpus-wide span_dedup (this one is WITHIN-doc)."""
+
+    @F.pandas_udf("struct<n_grams:bigint,"
+                  "top_gram_char_frac:double,dup_gram_char_frac:double>")
+    def _rep(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+        n_grams, top_f, dup_f = [], [], []
+        for t in texts:
+            toks = t.split() if isinstance(t, str) and t.strip() else []
+            if len(toks) < n:
+                n_grams.append(0)
+                top_f.append(None)
+                dup_f.append(None)
+                continue
+            counts = Counter(
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+            chars = len(t)
+            gchars = [(c * len(g), c) for g, c in counts.items()]
+            n_grams.append(sum(c for _, c in gchars))
+            # no Python round() here: banker's rounding disagrees with
+            # SQL ROUND (half away from zero) at exact .5 ulps — the final
+            # projection rounds with F.round, which matches the oracle
+            top_f.append(max(gc for gc, _ in gchars) / chars)
+            dup_f.append(sum(gc for gc, c in gchars if c > 1) / chars)
+        return pd.DataFrame({"n_grams": pd.array(n_grams, dtype="Int64"),
+                             "top_gram_char_frac": top_f,
+                             "dup_gram_char_frac": dup_f})
+
+    # one struct-returning UDF evaluated once per row, fields projected in a
+    # second select (the annotate_quality pattern — avoids re-inlining the
+    # UDF per field)
+    tmp = df.select(F.col(id_col), _rep(F.col(text_col)).alias("__s"))
+    return tmp.select(
+        id_col,
+        F.col("__s.n_grams").alias("n_grams"),
+        F.round(F.col("__s.top_gram_char_frac"), 6)
+         .alias("top_gram_char_frac"),
+        F.round(F.col("__s.dup_gram_char_frac"), 6)
+         .alias("dup_gram_char_frac"))
 
 
 def importance_resample(
