@@ -234,6 +234,33 @@ def stratified_sample(
     return df.where(sample_hash(id_col, salt) < cond)
 
 
+def repetition_fractions_batch(texts: pd.Series, n: int = 2) -> pd.DataFrame:
+    """Batch core shared by repetition_stats and the REPETITION_OK rule:
+    per-doc n-gram counts and UNROUNDED character fractions (Python round()
+    is banker's rounding and disagrees with SQL ROUND at exact .5 ulps —
+    callers round Spark-side). Docs with fewer than n words: n_grams=0,
+    NULL fractions."""
+    from collections import Counter
+    n_grams, top_f, dup_f = [], [], []
+    for t in texts:
+        toks = t.split() if isinstance(t, str) and t.strip() else []
+        if len(toks) < n:
+            n_grams.append(0)
+            top_f.append(None)
+            dup_f.append(None)
+            continue
+        counts = Counter(
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+        chars = len(t)
+        gchars = [(c * len(g), c) for g, c in counts.items()]
+        n_grams.append(sum(c for _, c in gchars))
+        top_f.append(max(gc for gc, _ in gchars) / chars)
+        dup_f.append(sum(gc for gc, c in gchars if c > 1) / chars)
+    return pd.DataFrame({"n_grams": pd.array(n_grams, dtype="Int64"),
+                         "top_gram_char_frac": top_f,
+                         "dup_gram_char_frac": dup_f})
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -269,28 +296,7 @@ def repetition_stats(
     @F.pandas_udf("struct<n_grams:bigint,"
                   "top_gram_char_frac:double,dup_gram_char_frac:double>")
     def _rep(texts: pd.Series) -> pd.DataFrame:
-        from collections import Counter
-        n_grams, top_f, dup_f = [], [], []
-        for t in texts:
-            toks = t.split() if isinstance(t, str) and t.strip() else []
-            if len(toks) < n:
-                n_grams.append(0)
-                top_f.append(None)
-                dup_f.append(None)
-                continue
-            counts = Counter(
-                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
-            chars = len(t)
-            gchars = [(c * len(g), c) for g, c in counts.items()]
-            n_grams.append(sum(c for _, c in gchars))
-            # no Python round() here: banker's rounding disagrees with
-            # SQL ROUND (half away from zero) at exact .5 ulps — the final
-            # projection rounds with F.round, which matches the oracle
-            top_f.append(max(gc for gc, _ in gchars) / chars)
-            dup_f.append(sum(gc for gc, c in gchars if c > 1) / chars)
-        return pd.DataFrame({"n_grams": pd.array(n_grams, dtype="Int64"),
-                             "top_gram_char_frac": top_f,
-                             "dup_gram_char_frac": dup_f})
+        return repetition_fractions_batch(texts, n=n)
 
     # one struct-returning UDF evaluated once per row, fields projected in a
     # second select (the annotate_quality pattern — avoids re-inlining the

@@ -539,6 +539,27 @@ def quality_annotations_batch(texts: pd.Series, thresholds=None,
     return pd.DataFrame(out, index=texts.index)
 
 
+@register_batch_function("REPETITION_OK")
+def repetition_ok(texts: pd.Series, params: dict) -> pd.Series:
+    """Validity rule over the Gopher n-gram repetition signals
+    (functions/corpus.repetition_fractions_batch): TRUE iff
+    dup_gram_char_frac <= max_dup_frac AND top_gram_char_frac <=
+    max_top_frac. Docs too short to form an n-gram are not judged (TRUE);
+    NULL text → NULL. params: n (2), max_dup_frac (0.20),
+    max_top_frac (0.18) — Gopher's published 2-gram bounds."""
+    from cloud_data_quality_spark.functions.corpus import (
+        repetition_fractions_batch,
+    )
+    n = int(params.get("n", 2))
+    max_dup = float(params.get("max_dup_frac", 0.20))
+    max_top = float(params.get("max_top_frac", 0.18))
+    fr = repetition_fractions_batch(texts, n=n)
+    fr.index = texts.index
+    ok = ((fr["dup_gram_char_frac"].fillna(0.0) <= max_dup)
+          & (fr["top_gram_char_frac"].fillna(0.0) <= max_top))
+    return ok.where(texts.notna(), other=pd.NA)
+
+
 @register_batch_function("NO_PII")
 def no_pii(texts: pd.Series, params: dict) -> pd.Series:
     """Validity rule: TRUE iff no PII pattern matches. NULL text → NULL."""

@@ -204,3 +204,35 @@ class TestStreamingDqContract:
             if b["success_count"] is not None:
                 assert sum(r["success_count"] for r in stream_rows) == \
                     b["success_count"], rule_id
+
+
+class TestRepetitionRule:
+    def test_repetition_ok_through_engine(self, spark, tmp_path):
+        reg = ConfigRegistry()
+        src = str(tmp_path / "rep.parquet")
+        spark.createDataFrame(
+            [("u1", " ".join(f"w{i}" for i in range(40))),   # clean
+             ("u2", " ".join(["buy now"] * 30)),             # repeated spam
+             ("u3", "solo"),                                 # too short: pass
+             ("u4", None)],                                  # NULL
+            schema="url string, text string").write.parquet(src)
+        reg.entities["P"] = Entity.from_dict("P", {
+            "table_name": src,
+            "columns": {"URL": {"data_type": "STRING"},
+                        "TEXT": {"data_type": "STRING"}}})
+        reg.row_filters["NONE"] = RowFilter.from_dict(
+            "NONE", {"filter_sql_expr": "True"})
+        reg.rules["REP"] = Rule.from_dict("REP", {
+            "rule_type": "CUSTOM_PANDAS_BATCH",
+            "params": {"function": "REPETITION_OK", "max_dup_frac": 0.2,
+                       "max_top_frac": 0.18}})
+        reg.rule_bindings["RB"] = RuleBinding.from_dict("RB", {
+            "entity_id": "P", "column_id": "TEXT", "row_filter_id": "NONE",
+            "rule_ids": ["REP"]})
+        res = DqEngine(spark, reg).run(["RB"], execution_ts=TS,
+                                       write_summary=False)
+        row = res.summary.collect()[0]
+        assert row["rows_validated"] == 4
+        assert row["success_count"] == 2   # clean + too-short
+        assert row["failed_count"] == 1    # the spam doc
+        assert row["null_count"] == 1
