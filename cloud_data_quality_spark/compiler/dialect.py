@@ -78,6 +78,25 @@ _RULES: list[tuple[re.Pattern, object]] = [
     (re.compile(r"\bFLOAT64\b", re.IGNORECASE), "DOUBLE"),
     (re.compile(r"\bINT64\b", re.IGNORECASE), "BIGINT"),
     (re.compile(r"\bTIMESTAMP_MILLIS\s*\(", re.IGNORECASE), "timestamp_millis("),
+    # common user-authored BQ-isms beyond the shipped rule library
+    (re.compile(r"\bSAFE_CAST\s*\(", re.IGNORECASE), "try_cast("),
+    (re.compile(r"\bARRAY_LENGTH\s*\(", re.IGNORECASE), "size("),
+    (re.compile(r"\bSTARTS_WITH\s*\(", re.IGNORECASE), "startswith("),
+    (re.compile(r"\bENDS_WITH\s*\(", re.IGNORECASE), "endswith("),
+    (re.compile(r"\bLOGICAL_AND\s*\(", re.IGNORECASE), "bool_and("),
+    (re.compile(r"\bLOGICAL_OR\s*\(", re.IGNORECASE), "bool_or("),
+    # BQ TIMESTAMP_DIFF(a, b, UNIT) = a - b in UNITs;
+    # Spark timestampdiff(UNIT, start, end) = end - start → swap the args
+    (re.compile(r"(?:TIMESTAMP|DATETIME)_DIFF\s*\(\s*([^,]+?)\s*,\s*([^,]+?)\s*,\s*(\w+)\s*\)",
+                re.IGNORECASE),
+     lambda m: f"timestampdiff({m.group(3).upper()}, {m.group(2)}, {m.group(1)})"),
+    (re.compile(r"\bDATE_DIFF\s*\(\s*([^,]+?)\s*,\s*([^,]+?)\s*,\s*DAY\s*\)",
+                re.IGNORECASE),
+     lambda m: f"datediff({m.group(1)}, {m.group(2)})"),
+    (re.compile(r"FORMAT_(?:DATE|TIMESTAMP)\s*\(\s*'([^']+)'\s*,\s*([^)]+?)\s*\)",
+                re.IGNORECASE),
+     lambda m: f"date_format({m.group(2)}, "
+               f"'{_DATE_FMT.get(m.group(1), m.group(1))}')"),
 ]
 
 

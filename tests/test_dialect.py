@@ -113,3 +113,37 @@ def test_reference_unnest_rules_are_verbatim():
     comp = yaml.safe_load(open(f"{base}/correctness_complex_rule.yaml"))
     assert REF_UNNEST_SUM_EXPR == comp["rules"][
         "NO_COMPLEX_RULES_MISMATCH"]["params"]["custom_sql_expr"]
+
+
+def test_user_authored_bq_functions():
+    assert bq_to_spark_sql("SAFE_CAST(x AS INT64)") == "try_cast(x AS BIGINT)"
+    assert bq_to_spark_sql("ARRAY_LENGTH(arr) > 0") == "size(arr) > 0"
+    assert bq_to_spark_sql("STARTS_WITH(url, 'https')") == \
+        "startswith(url, 'https')"
+    assert bq_to_spark_sql("ENDS_WITH(url, '.html')") == \
+        "endswith(url, '.html')"
+    assert bq_to_spark_sql("LOGICAL_AND(ok)") == "bool_and(ok)"
+    assert bq_to_spark_sql("LOGICAL_OR(ok)") == "bool_or(ok)"
+
+
+def test_diff_functions_swap_args():
+    # BQ TIMESTAMP_DIFF(a, b, HOUR) = a - b; Spark timestampdiff = end-start
+    assert bq_to_spark_sql("TIMESTAMP_DIFF(ts_a, ts_b, HOUR)") == \
+        "timestampdiff(HOUR, ts_b, ts_a)"
+    assert bq_to_spark_sql("DATE_DIFF(d1, d2, DAY)") == "datediff(d1, d2)"
+    assert bq_to_spark_sql("FORMAT_DATE('%Y%m', d)") == \
+        "date_format(d, 'yyyyMM')"
+
+
+def test_user_authored_functions_execute(spark):
+    """The translations aren't just string-shaped — Spark runs them and the
+    values match BQ semantics (hand-computed)."""
+    row = spark.sql(bq_to_spark_sql(
+        "SELECT SAFE_CAST('x' AS INT64) AS a, ARRAY_LENGTH(array(1,2)) AS b, "
+        "STARTS_WITH('https://e', 'https') AS c, "
+        "TIMESTAMP_DIFF(TIMESTAMP '2026-01-02 00:00:00', "
+        "TIMESTAMP '2026-01-01 00:00:00', HOUR) AS d, "
+        "DATE_DIFF(DATE '2026-01-05', DATE '2026-01-02', DAY) AS e, "
+        "FORMAT_DATE('%Y%m', DATE '2026-03-05') AS f")).collect()[0]
+    assert row["a"] is None and row["b"] == 2 and row["c"] is True
+    assert row["d"] == 24 and row["e"] == 3 and row["f"] == "202603"
