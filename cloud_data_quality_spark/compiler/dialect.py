@@ -14,7 +14,11 @@ PARSE_DATE('%Y%m', x) → to_date(x,'yyyyMM'), PARSE_TIMESTAMP,
 TIMESTAMP_SUB/DATE_SUB(…, INTERVAL n unit) → interval arithmetic,
 TIMESTAMP_TRUNC/DATE_TRUNC argument order, CAST('inf' AS FLOAT64),
 FLOAT64/INT64 type names, UNNEST (three forms — see _rewrite_unnest),
-`dotted.table.names` quoted whole → per-part backtick quoting.
+`dotted.table.names` quoted whole → per-part backtick quoting; plus
+user-authored BQ-isms beyond the shipped library: SAFE_CAST → try_cast,
+ARRAY_LENGTH → size, STARTS_WITH/ENDS_WITH, LOGICAL_AND/OR → bool_and/or,
+TIMESTAMP_DIFF/DATE_DIFF (BQ's a−b becomes Spark's (unit, b, a) order),
+FORMAT_DATE/FORMAT_TIMESTAMP → date_format.
 
 Regex-dialect caveat (SURVEY.md hard-part #2): BQ regexes are RE2, Spark's
 are java.util.regex. Common classes (\\d \\w \\s, character classes,
