@@ -346,3 +346,23 @@ class TestRepetitionStats:
         assert out[1]["dup_gram_char_frac"] == 0.0
         assert out[2]["dup_gram_char_frac"] > 1.0  # overlapping dup grams
         assert out[2]["top_gram_char_frac"] == pytest.approx(175 / 199, abs=1e-6)
+
+
+class TestPartitioningInvariance:
+    def test_results_identical_at_1_and_16_partitions(self, spark):
+        """North-star invariant: outcomes depend on row content only, never
+        on partitioning/parallelism."""
+        from cloud_data_quality_spark.functions.corpus import (
+            importance_resample, span_dedup)
+        rows = [(i, " ".join(f"w{(i * 3 + j) % 7}" for j in range(9)),
+                 "en" if i % 4 else "de") for i in range(200)]
+        base = spark.createDataFrame(
+            rows, schema="doc_id bigint, text string, lang string")
+        for parts in (1, 16):
+            d = base.repartition(parts)
+            sd = sorted(map(tuple, span_dedup(d, chunk_words=3).collect()))
+            ir = sorted(map(tuple, importance_resample(
+                d, {"en": 0.5, "de": 0.5}, "lang").collect()))
+            if parts == 1:
+                sd1, ir1 = sd, ir
+        assert sd == sd1 and ir == ir1
