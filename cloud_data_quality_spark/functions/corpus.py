@@ -234,6 +234,50 @@ def stratified_sample(
     return df.where(sample_hash(id_col, salt) < cond)
 
 
+def chunk_documents(
+    df: DataFrame,
+    budget_tokens: int,
+    overlap_tokens: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into context-window-sized token chunks with optional
+    overlap (the training-data sibling of sequence packing: packing fills a
+    budget with many short docs, chunking cuts one long doc down to
+    budget). Chunk starts advance by (budget − overlap) tokens; the final
+    chunk may be short; a document shorter than the budget yields itself as
+    chunk 0. Tokens are whitespace words (functions/text.tokens), chunk
+    text is the space-rejoin — byte-stable for single-space corpora and
+    deterministic everywhere.
+
+    Pure narrow transform (per-doc expression + posexplode) — no shuffle;
+    ordering metadata (chunk_id) makes downstream reassembly exact.
+    Returns (id_col, chunk_id, chunk_text, n_tokens)."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if not 0 <= overlap_tokens < budget_tokens:
+        raise ValueError("need 0 <= overlap_tokens < budget_tokens")
+    from cloud_data_quality_spark.functions.text import tokens
+    stride = budget_tokens - overlap_tokens
+    toks = tokens(F.col(text_col))
+    # number of stride-steps whose window is non-empty:
+    # ceil(max(size - overlap, 0) / stride), min 1 when the doc has tokens
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - overlap_tokens) / F.lit(stride)).cast("int"),
+        F.when(F.size(toks) > 0, F.lit(1)).otherwise(F.lit(0)))
+    chunks = F.when(n_chunks <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * stride + 1, budget_tokens), " ")))
+    out = df.select(F.col(id_col),
+                    F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+    return out.select(
+        id_col, "chunk_id", "chunk_text",
+        F.size(F.split("chunk_text", r"\s+")).cast("bigint")
+         .alias("n_tokens"))
+
+
 def repetition_fractions_batch(texts: pd.Series, n: int = 2) -> pd.DataFrame:
     """Batch core shared by repetition_stats and the REPETITION_OK rule:
     per-doc n-gram counts and UNROUNDED character fractions (Python round()

@@ -1492,6 +1492,31 @@ from documents d left join stats using (doc_id)
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (functions/corpus.chunk_documents): 64-token
+    windows, 8-token overlap — the long-doc sibling of pack_documents."""
+    from cloud_data_quality_spark.functions.corpus import chunk_documents
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           budget_tokens=64, overlap_tokens=8,
+                           text_col="text", id_col="doc_id")
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+with t as (select doc_id, {OF.sql_tokens('text')} as toks from documents),
+n as (select doc_id, toks,
+             greatest(ceil((len(toks) - 8) / 56.0)::INT,
+                      case when len(toks) > 0 then 1 else 0 end) as n_chunks
+      from t),
+chunks as (
+  select doc_id, (g.i - 1)::INT as chunk_id,
+         toks[(g.i-1)*56+1:(g.i-1)*56+64] as ctoks
+  from n cross join unnest(generate_series(1, n_chunks)) as g(i))
+select doc_id, chunk_id, array_to_string(ctoks, ' ') as chunk_text,
+       len(ctoks)::BIGINT as n_tokens
+from chunks
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1537,6 +1562,7 @@ QUERIES = {
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "importance_resample_docs": q_importance_resample_docs,
     "repetition_stats_docs": q_repetition_stats_docs,
+    "chunk_documents": q_chunk_documents,
     "decontaminate_docs": q_decontaminate_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
 }
@@ -1584,6 +1610,7 @@ ORACLES = {
     "incremental_dedup_docs": ORACLE_INCREMENTAL_DEDUP_DOCS,
     "importance_resample_docs": _oracle_importance_resample(),
     "repetition_stats_docs": ORACLE_REPETITION_STATS_DOCS,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "decontaminate_docs": ORACLE_DECONTAMINATE_DOCS,
     "stratified_sample_docs": _oracle_stratified_sample(),
 }

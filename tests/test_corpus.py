@@ -366,3 +366,52 @@ class TestPartitioningInvariance:
             if parts == 1:
                 sd1, ir1 = sd, ir
         assert sd == sd1 and ir == ir1
+
+
+class TestChunkDocuments:
+    def test_hand_computed_with_overlap(self, spark):
+        from cloud_data_quality_spark.functions.corpus import chunk_documents
+        df = _docs(spark, [(1, "a b c d e f g"), (2, "x y"), (3, None)])
+        out = sorted((r["doc_id"], r["chunk_id"], r["chunk_text"],
+                      r["n_tokens"])
+                     for r in chunk_documents(df, budget_tokens=4,
+                                              overlap_tokens=1).collect())
+        # doc 1: stride 3 → starts 0,3 → 'a b c d', 'd e f g'; a third
+        # window at 6 ('g') would be fully contained in chunk 1 and is
+        # correctly not emitted (coverage is already complete)
+        assert out == [
+            (1, 0, "a b c d", 4), (1, 1, "d e f g", 4),
+            (2, 0, "x y", 2),
+        ]
+
+    def test_no_overlap_covers_exactly_and_reassembles(self, spark):
+        from cloud_data_quality_spark.functions.corpus import chunk_documents
+        text = " ".join(f"w{i}" for i in range(103))
+        df = _docs(spark, [(1, text)])
+        rows = sorted((r["chunk_id"], r["chunk_text"]) for r in
+                      chunk_documents(df, budget_tokens=10).collect())
+        assert len(rows) == 11 and rows[-1][1].split()[-1] == "w102"
+        assert " ".join(t for _, t in rows) == text  # exact reassembly
+        assert sum(len(t.split()) for _, t in rows) == 103
+
+    def test_short_doc_is_single_chunk(self, spark):
+        from cloud_data_quality_spark.functions.corpus import chunk_documents
+        df = _docs(spark, [(1, "tiny doc")])
+        rows = chunk_documents(df, budget_tokens=100,
+                               overlap_tokens=10).collect()
+        assert len(rows) == 1 and rows[0]["chunk_text"] == "tiny doc"
+
+    def test_bad_params_rejected(self, spark):
+        from cloud_data_quality_spark.functions.corpus import chunk_documents
+        df = _docs(spark, [(1, "x")])
+        with pytest.raises(ValueError):
+            chunk_documents(df, budget_tokens=0)
+        with pytest.raises(ValueError):
+            chunk_documents(df, budget_tokens=4, overlap_tokens=4)
+
+    def test_no_shuffle_in_plan(self, spark):
+        from cloud_data_quality_spark.functions.corpus import chunk_documents
+        df = _docs(spark, [(1, "a b c")])
+        plan = chunk_documents(df, budget_tokens=2) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
