@@ -453,6 +453,11 @@ class SeenFingerprintStore:
         return self.spark.catalog.tableExists(self.table)
 
     def read(self) -> DataFrame:
+        # appends may come from another session over the same catalog (e.g.
+        # foreachBatch's cloned micro-batch session): this session's
+        # table-relation cache would keep serving the stale file listing,
+        # silently missing recent fingerprints — refresh before reading
+        self.spark.catalog.refreshTable(self.table)
         return self.spark.table(self.table).select(self.fp_col)
 
     def append(self, fps: DataFrame) -> None:

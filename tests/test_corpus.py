@@ -415,3 +415,71 @@ class TestChunkDocuments:
         plan = chunk_documents(df, budget_tokens=2) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestStreamingIncrementalDedup:
+    def test_cross_batch_dedup_through_store(self, spark, tmp_path):
+        """Two file-stream batches: duplicates WITHIN a batch, ACROSS the
+        two batches, and across a restarted second run are all removed;
+        the store accumulates every distinct fingerprint."""
+        from cloud_data_quality_spark.streaming.corpus_stream import (
+            run_incremental_dedup_stream,
+        )
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.sql("drop table if exists seen_fps_stream")
+
+        def _write(name, rows):
+            spark.createDataFrame(rows, "doc_id bigint, text string") \
+                .coalesce(1).write.mode("overwrite") \
+                .parquet(str(src / name))
+
+        _write("b1", [(1, "alpha"), (2, "alpha"), (3, "beta")])
+        try:
+            stream = spark.readStream.schema("doc_id bigint, text string") \
+                .option("maxFilesPerTrigger", "1").parquet(str(src / "*"))
+            q = run_incremental_dedup_stream(
+                spark, stream, str(tmp_path / "out"),
+                str(tmp_path / "ckpt"), "seen_fps_stream", n_buckets=4)
+            q.awaitTermination(300)
+            out1 = spark.read.parquet(str(tmp_path / "out"))
+            assert {r["doc_id"] for r in out1.collect()} == {1, 3}
+
+            # second wave arrives: 'beta' already seen, 'gamma' is new
+            _write("b2", [(10, "beta"), (11, "gamma"), (12, "gamma")])
+            q = run_incremental_dedup_stream(
+                spark, stream, str(tmp_path / "out"),
+                str(tmp_path / "ckpt"), "seen_fps_stream", n_buckets=4)
+            q.awaitTermination(300)
+            out2 = spark.read.parquet(str(tmp_path / "out"))
+            assert {r["doc_id"] for r in out2.collect()} == {1, 3, 11}
+            from cloud_data_quality_spark.functions.corpus import (
+                SeenFingerprintStore)
+            # read THROUGH the store: appends came from foreachBatch's
+            # cloned session, and a raw spark.table() would serve this
+            # session's stale file-listing cache
+            assert SeenFingerprintStore(
+                spark, "seen_fps_stream").read().count() == 3
+        finally:
+            spark.sql("drop table if exists seen_fps_stream")
+
+
+class TestSpanDedupHotKey:
+    def test_viral_span_100k_occurrences(self, spark):
+        """A boilerplate span repeated 10^5 times lands every occurrence on
+        one fp-window reducer; the sort is external/spillable so this must
+        complete and keep exactly one occurrence (the corpus-wide smallest
+        (doc_id, pos))."""
+        df = spark.range(100_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("unique head "), F.col("id").cast("string"),
+                     F.lit("\nSubscribe to our newsletter!")).alias("text"))
+        out = span_dedup(df, delimiter="\n")
+        agg = out.agg(F.sum("n_spans").alias("n"),
+                      F.sum("n_spans_kept").alias("k")).collect()[0]
+        assert agg["n"] == 200_000
+        # 100k unique heads + exactly ONE surviving boilerplate span
+        assert agg["k"] == 100_001
+        keeper = out.where(
+            F.col("text_deduped").contains("Subscribe")).collect()
+        assert len(keeper) == 1 and keeper[0]["doc_id"] == 0
