@@ -209,3 +209,96 @@ def lsh_bucketed_neighbors(
             .where(F.col("rank") <= k)
             .select("probe_id", "neighbor_id", "rank",
                     F.round("cos", 6).alias("cosine")))
+
+
+# ------------------------------------------------------------------- IVF
+
+def kmeans_centroids(vectors: np.ndarray, n_centroids: int,
+                     n_iter: int = 10, seed: int = 7) -> np.ndarray:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer, trained
+    OFFLINE on a bounded sample (production IVF ships the trained centroids
+    to executors as an artifact — the north rule's 'broadcast model
+    artifacts' pattern; at 10^12 vectors you train on ~10^5 sampled rows,
+    never the corpus). Seeded init, fixed iteration count, empty clusters
+    keep their previous centroid — bit-reproducible for a given input."""
+    X = np.asarray(vectors, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = X[rng.choice(len(X), n_centroids, replace=False)].copy()
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _cell_scores(vec: Column, centroids: np.ndarray) -> Column:
+    """Array of (squared-distance-score, cell-index) structs, one per
+    centroid: score_i = |c_i|² − 2·v·c_i (the |v|² term is constant across
+    cells, so argmin is unchanged). Dot products are the same left-to-right
+    JVM fold as the LSH signatures — bit-identical to the oracle's
+    list_dot_product."""
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    entries = []
+    for i, c in enumerate(centroids):
+        lits = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(F.zip_with(vd, lits, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        c2 = float(np.dot(c, c))  # python-float dot of CONSTANTS: exact in
+        # both engines because it is evaluated once here and embedded as a
+        # literal, never recomputed
+        entries.append(F.struct((F.lit(c2) - 2.0 * dot).alias("d"),
+                                F.lit(i).alias("i")))
+    return F.array(*entries)
+
+
+def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid cell id; ties broken by smallest index (struct min
+    compares d first, then i — deterministic with no epsilon games)."""
+    return F.array_min(_cell_scores(vec, centroids))["i"]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """IVF ANN: corpus vectors are bucketed by nearest centroid (the
+    inverted file); each probe searches only its n_probe nearest cells.
+    Approximate w.r.t. brute force (recall grows with n_probe — pytest
+    measures it) but fully deterministic given the centroid artifact, so
+    every emitted (probe, neighbor, cosine) is exactly oracle-checkable —
+    the same determinism contract as lsh_bucketed_neighbors.
+
+    Scale shape: assignment is a narrow pass (centroid literals live in the
+    plan, broadcast with the task closure); the candidate join keys on cell
+    id — cells are balanced by construction of k-means on a representative
+    sample — and scoring is cell-local. Output schema matches
+    brute_force_topk."""
+    cells = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cv"),
+                          ivf_assign(F.col(vec_col), centroids).alias("cell"))
+    probe_cells = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
+        F.explode(F.transform(
+            F.slice(F.array_sort(_cell_scores(F.col(vec_col), centroids)),
+                    1, n_probe),
+            lambda s: s["i"])).alias("cell"))
+    cand = (cells.join(F.broadcast(probe_cells), "cell")
+            .where(F.col("neighbor_id") != F.col("probe_id"))
+            .select("probe_id", "neighbor_id", "pv", "cv"))
+    scored = cand.select("probe_id", "neighbor_id",
+                         cosine(F.col("pv"), F.col("cv")).alias("cos"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("probe_id", "neighbor_id", "rank",
+                    F.round("cos", 6).alias("cosine")))

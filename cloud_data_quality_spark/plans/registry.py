@@ -1517,6 +1517,69 @@ from chunks
 """
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN (functions/similarity.ivf_topk): corpus bucketed by nearest
+    k-means centroid (offline-trained artifact, functions/ivf_artifact),
+    probes search their 4 nearest cells. Approximate vs brute force (recall
+    pytest-gated) but deterministic given the centroids → exact value
+    oracle, like lsh_ann."""
+    from cloud_data_quality_spark.functions.ivf_artifact import (
+        IVF_CENTROIDS_64,
+    )
+    from cloud_data_quality_spark.functions.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = (emb.where(F.col("vec_id") < 10)
+              .select(F.col("vec_id").alias("probe_id"), "embedding"))
+    return ivf_topk(emb, probes, IVF_CENTROIDS_64, k=5, n_probe=4)
+
+
+def _oracle_ivf_ann(k: int = 5, n_probe: int = 4) -> str:
+    """DuckDB replay of ivf_topk from the SAME centroid artifact: per-cell
+    score |c|²−2·v·c with the identical left-to-right double dot product,
+    ties by centroid index, probe cells by (score, index) rank."""
+    from cloud_data_quality_spark.functions.ivf_artifact import (
+        IVF_CENTROIDS_64,
+    )
+    import numpy as np
+    cells = []
+    for i, c in enumerate(IVF_CENTROIDS_64):
+        lits = ", ".join(repr(float(x)) for x in c)
+        c2 = repr(float(np.dot(c, c)))
+        cells.append(f"({i}, {c2} - 2 * list_dot_product(v, [{lits}]))")
+    cell_rows = ",\n      ".join(cells)
+    return f"""
+with emb as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+scores as (
+  select vec_id, v, s.i as cell, s.d
+  from emb cross join lateral (
+    select * from (values
+      {cell_rows}
+    ) as t(i, d)) s),
+assigned as (
+  select vec_id, v, cell from (
+    select *, row_number() over (partition by vec_id order by d, cell) as rn
+    from scores) where rn = 1),
+probe_cells as (
+  select vec_id as probe_id, v as pv, cell from (
+    select *, row_number() over (partition by vec_id order by d, cell) as rn
+    from scores where vec_id < 10) where rn <= {n_probe}),
+cand as (select probe_id, a.vec_id as neighbor_id, pv, a.v as cv
+         from probe_cells p join assigned a using (cell)
+         where a.vec_id != p.probe_id),
+scored as (select probe_id, neighbor_id,
+                  list_dot_product(pv, cv) /
+                  nullif(sqrt(list_dot_product(pv, pv))
+                       * sqrt(list_dot_product(cv, cv)), 0) as c
+           from cand),
+ranked as (select probe_id, neighbor_id, c,
+                  row_number() over (partition by probe_id
+                                     order by c desc, neighbor_id asc) as rank
+           from scored)
+select probe_id, neighbor_id, rank::INT as rank, round(c, 6) as cosine
+from ranked where rank <= {k}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1563,6 +1626,7 @@ QUERIES = {
     "importance_resample_docs": q_importance_resample_docs,
     "repetition_stats_docs": q_repetition_stats_docs,
     "chunk_documents": q_chunk_documents,
+    "ivf_ann": q_ivf_ann,
     "decontaminate_docs": q_decontaminate_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
 }
@@ -1611,6 +1675,7 @@ ORACLES = {
     "importance_resample_docs": _oracle_importance_resample(),
     "repetition_stats_docs": ORACLE_REPETITION_STATS_DOCS,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+    "ivf_ann": _oracle_ivf_ann(),
     "decontaminate_docs": ORACLE_DECONTAMINATE_DOCS,
     "stratified_sample_docs": _oracle_stratified_sample(),
 }

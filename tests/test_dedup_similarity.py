@@ -361,3 +361,56 @@ class TestQuadraticGuards:
         # None disables; small inputs under default threshold just work
         assert embedding_cosine_pairs(emb, threshold=2.0,
                                       max_exact_rows=None).count() == 0
+
+
+class TestIvfAnn:
+    def test_kmeans_deterministic_and_sane(self):
+        import numpy as np
+
+        from cloud_data_quality_spark.functions.similarity import (
+            kmeans_centroids)
+        rng = np.random.RandomState(0)
+        X = np.vstack([rng.randn(50, 8) + 5, rng.randn(50, 8) - 5])
+        a = kmeans_centroids(X, 2, seed=7)
+        b = kmeans_centroids(X, 2, seed=7)
+        assert np.array_equal(a, b)
+        # the two planted clusters are separated
+        assert {tuple(np.sign(c).astype(int)[:1]) for c in a} == {(1,), (-1,)}
+
+    def test_ivf_recall_vs_brute_force(self, spark):
+        from cloud_data_quality_spark.functions.ivf_artifact import (
+            IVF_CENTROIDS_64)
+        from cloud_data_quality_spark.functions.similarity import (
+            brute_force_topk, ivf_topk)
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        probes = (emb.where(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("probe_id"), "embedding"))
+        exact = brute_force_topk(emb, probes, k=5).collect()
+        approx = ivf_topk(emb, probes, IVF_CENTROIDS_64,
+                          k=5, n_probe=4).collect()
+        exact_set = {(r["probe_id"], r["neighbor_id"]) for r in exact}
+        approx_set = {(r["probe_id"], r["neighbor_id"]) for r in approx}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.5, f"IVF recall too low: {recall}"
+        # every emitted cosine is exact (checked against the brute-force
+        # cosine for the pairs both paths ranked)
+        exact_cos = {(r["probe_id"], r["neighbor_id"]): r["cosine"]
+                     for r in exact}
+        for r in approx:
+            key = (r["probe_id"], r["neighbor_id"])
+            if key in exact_cos:
+                assert r["cosine"] == exact_cos[key]
+
+    def test_every_vector_assigned_to_one_cell(self, spark):
+        from cloud_data_quality_spark.functions.ivf_artifact import (
+            IVF_CENTROIDS_64)
+        from cloud_data_quality_spark.functions.similarity import ivf_assign
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cells = emb.select(
+            ivf_assign(F.col("embedding"), IVF_CENTROIDS_64).alias("cell"))
+        stats = cells.groupBy("cell").count().collect()
+        assert sum(r["count"] for r in stats) == emb.count()
+        assert all(0 <= r["cell"] < 16 for r in stats)
+        # the trained quantizer actually spreads the corpus (no mega-cell)
+        assert max(r["count"] for r in stats) < emb.count() * 0.5
+        assert len(stats) >= 8
