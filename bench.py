@@ -99,6 +99,17 @@ def build_suite(spark, sf_dir: str, pages_path: str):
                   .select(F.col("vec_id").alias("probe_id"), "embedding"))
         return brute_force_topk_np(emb, probes, k=10).count()
 
+    def q_ivf_ann():
+        """IVF ANN from the offline centroid artifact (cell-local scoring;
+        the scale path next to the benched brute-force ann_topk)."""
+        from cloud_data_quality_spark.functions.ivf_artifact import (
+            IVF_CENTROIDS_64)
+        from cloud_data_quality_spark.functions.similarity import ivf_topk_np
+        probes = (emb.where(F.col("vec_id") < 100)
+                  .select(F.col("vec_id").alias("probe_id"), "embedding"))
+        return ivf_topk_np(emb, probes, IVF_CENTROIDS_64, k=10,
+                           n_probe=4).count()
+
     def q_unigram_logprob():
         return QUERIES["unigram_logprob"](spark, sf_dir).count()
 
@@ -149,6 +160,7 @@ def build_suite(spark, sf_dir: str, pages_path: str):
         "dedup_minhash_docs": q_dedup_minhash_docs,
         "dedup_exact_pages": q_dedup_exact_pages,
         "ann_topk": q_ann_topk,
+        "ivf_ann": q_ivf_ann,
         "unigram_logprob_docs": q_unigram_logprob,
         "html_extract_pages": q_html_extract,
         "pack_pages": q_pack_pages,

@@ -16,7 +16,7 @@ Subcommands:
   quality-filter  resumable web-text filter pipeline (annotate → keep →
                   scrubbed output) with per-partition lineage
   corpus          corpus curation ops: span-dedup | decontaminate | sample |
-                  resample | incremental-dedup (see functions/corpus.py)
+                  resample | incremental-dedup | chunk (functions/corpus.py)
 """
 
 from __future__ import annotations
@@ -150,6 +150,10 @@ def _corpus(args) -> int:
         out = C.importance_resample(df, _parse_fractions(args.fractions),
                                     stratum_col=args.stratum_col,
                                     id_col=args.id_col, salt=args.salt)
+    elif args.op == "chunk":
+        out = C.chunk_documents(df, budget_tokens=args.budget_tokens,
+                                overlap_tokens=args.overlap_tokens,
+                                text_col=args.text_col, id_col=args.id_col)
     else:  # incremental-dedup
         if not args.store:
             raise SystemExit("incremental-dedup needs --store")
@@ -206,7 +210,7 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("corpus", help="corpus curation operators")
     c.add_argument("--op", required=True,
                    choices=["span-dedup", "decontaminate", "sample",
-                            "resample", "incremental-dedup"])
+                            "resample", "incremental-dedup", "chunk"])
     c.add_argument("--input", required=True)
     c.add_argument("--output", required=True)
     c.add_argument("--text-col", default="text")
@@ -227,6 +231,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--stratum-col", default="lang")
     c.add_argument("--default-fraction", type=float, default=0.0)
     c.add_argument("--salt", default="")
+    c.add_argument("--budget-tokens", type=int, default=2048,
+                   help="chunk: tokens per context window")
+    c.add_argument("--overlap-tokens", type=int, default=0,
+                   help="chunk: overlapping tokens between windows")
     c.add_argument("--store", default=None,
                    help="incremental-dedup: fp-bucketed catalog table name")
     c.add_argument("--buckets", type=int, default=64)

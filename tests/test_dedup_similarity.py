@@ -414,3 +414,20 @@ class TestIvfAnn:
         # the trained quantizer actually spreads the corpus (no mega-cell)
         assert max(r["count"] for r in stats) < emb.count() * 0.5
         assert len(stats) >= 8
+
+    def test_ivf_np_path_identical_to_jvm(self, spark):
+        """The BLAS IVF twin must match the JVM-fold path element-wise
+        (same cells → same candidates → same ranks and rounded cosines)."""
+        from cloud_data_quality_spark.functions.ivf_artifact import (
+            IVF_CENTROIDS_64)
+        from cloud_data_quality_spark.functions.similarity import (
+            ivf_topk, ivf_topk_np)
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        probes = (emb.where(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("probe_id"), "embedding"))
+        a = ivf_topk(emb, probes, IVF_CENTROIDS_64, k=5, n_probe=4) \
+            .orderBy("probe_id", "rank")
+        b = ivf_topk_np(emb, probes, IVF_CENTROIDS_64, k=5, n_probe=4) \
+            .orderBy("probe_id", "rank")
+        assert [tuple(r) for r in a.collect()] == \
+            [tuple(r) for r in b.collect()]
