@@ -164,30 +164,34 @@ def contamination(
         benchmark.select(
             F.explode(word_shingles(bench_text, shingle_words)).alias("s"))
         .select(_span_fp(F.col("s")).alias("h")).distinct()
+        .withColumn("__hit", F.lit(True))
     )
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
+    # ONE corpus pass: a marked LEFT join (not semi + a second size() scan,
+    # which would shingle the whole corpus twice) — bench_sh is distinct on
+    # h, so the join never duplicates a shingle row, and n_shingles falls
+    # out of the same aggregation as the hit count
     doc_sh = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_words)).alias("s"),
     ).select(id_col, _span_fp(F.col("s")).alias("h"))
-    hits = (doc_sh.join(bench_sh, "h", "left_semi")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated")))
-    base = df.select(
-        F.col(id_col),
-        F.size(word_shingles(F.col(text_col), shingle_words))
-         .cast("bigint").alias("n_shingles"))
+    per_doc = (doc_sh.join(bench_sh, "h", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+                    F.count_if(F.col("__hit")).cast("bigint")
+                     .alias("n_contaminated")))
     return (
-        base.join(hits, id_col, "left")
+        df.select(F.col(id_col)).join(per_doc, id_col, "left")
         .select(
             id_col,
-            "n_shingles",
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint")
+             .alias("n_shingles"),
             F.coalesce("n_contaminated", F.lit(0)).cast("bigint")
              .alias("n_contaminated"),
             F.round(
                 F.coalesce("n_contaminated", F.lit(0))
-                / F.nullif(F.col("n_shingles"), F.lit(0)), 6)
+                / F.nullif(F.coalesce("n_shingles", F.lit(0)), F.lit(0)), 6)
              .alias("contaminated_frac"),
             (F.coalesce("n_contaminated", F.lit(0)) > 0)
              .alias("is_contaminated"),
