@@ -17,6 +17,15 @@
                           md5(id‖salt) fall below floor(rate·2^60). Exactly
                           replayable (no rand()), so sampling decisions are
                           stable across re-runs, resumable waves, and engines.
+* importance_resample   — data mixing: thin the corpus to a target stratum
+                          distribution (downsample-only, hash-threshold).
+* chunk_documents       — context-window token chunks with overlap (the
+                          long-doc sibling of sequence packing).
+* repetition_stats      — Gopher within-doc n-gram repetition fractions
+                          (one narrow Arrow stage; REPETITION_OK rule twin).
+* incremental_dedup /
+  SeenFingerprintStore  — cross-run exact dedup against an fp-bucketed
+                          catalog table of everything previously crawled.
 
 Scale posture (10^12 docs):
 * span_dedup's only wide stages are (a) one shuffle on the md5 span
