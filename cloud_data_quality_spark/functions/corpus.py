@@ -68,11 +68,19 @@ def _span_fp(span: Column) -> Column:
     return F.md5(F.lower(F.trim(span)))
 
 
+def _clean_tokens(text: Column) -> Column:
+    """tokens() minus phantom empties: Spark's trim() strips SPACES only,
+    so 'w0\n' splits to ['w0', ''] — the empty token would otherwise leak
+    a trailing separator into reassembled chunk/span text. The DuckDB
+    oracles apply the matching list_filter."""
+    from cloud_data_quality_spark.functions.text import tokens
+    return F.filter(tokens(text), lambda t: F.length(t) > 0)
+
+
 def _chunk_spans(text: Column, chunk_words: int) -> Column:
     """Consecutive chunk_words-word spans (last span may be shorter).
     Empty/NULL text → empty array: sequence(0, -1) would DESCEND."""
-    from cloud_data_quality_spark.functions.text import tokens
-    words = tokens(text)
+    words = _clean_tokens(text)
     n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
     return F.when(n_chunks <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -270,9 +278,8 @@ def chunk_documents(
         raise ValueError("budget_tokens must be positive")
     if not 0 <= overlap_tokens < budget_tokens:
         raise ValueError("need 0 <= overlap_tokens < budget_tokens")
-    from cloud_data_quality_spark.functions.text import tokens
     stride = budget_tokens - overlap_tokens
-    toks = tokens(F.col(text_col))
+    toks = _clean_tokens(F.col(text_col))
     # number of stride-steps whose window is non-empty:
     # ceil(max(size - overlap, 0) / stride), min 1 when the doc has tokens
     n_chunks = F.greatest(
