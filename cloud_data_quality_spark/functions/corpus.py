@@ -69,12 +69,10 @@ def _span_fp(span: Column) -> Column:
 
 
 def _clean_tokens(text: Column) -> Column:
-    """tokens() minus phantom empties: Spark's trim() strips SPACES only,
-    so 'w0\n' splits to ['w0', ''] — the empty token would otherwise leak
-    a trailing separator into reassembled chunk/span text. The DuckDB
-    oracles apply the matching list_filter."""
+    """Alias kept for history: tokens() itself now filters the phantom
+    empty tokens (see functions/text.tokens)."""
     from cloud_data_quality_spark.functions.text import tokens
-    return F.filter(tokens(text), lambda t: F.length(t) > 0)
+    return tokens(text)
 
 
 def _chunk_spans(text: Column, chunk_words: int) -> Column:

@@ -28,11 +28,16 @@ DE_MARKERS = ["der", "die", "und", "das", "den", "von", "mit", "ist", "des", "ei
 
 def tokens(col: Column) -> Column:
     """Whitespace tokens; empty/blank text → empty array (both engines would
-    otherwise disagree on splitting '')."""
+    otherwise disagree on splitting ''). Empty tokens are filtered: Spark's
+    trim() strips SPACES only, so a trailing newline ('w0\n') would
+    otherwise split into a phantom '' token — off-by-one word counts and
+    trailing separators in rejoined text. sql_tokens applies the matching
+    list_filter."""
     trimmed = F.trim(col)
-    return F.when(F.coalesce(F.length(trimmed), F.lit(0)) == 0,
-                  F.array().cast("array<string>")
-                  ).otherwise(F.split(trimmed, r"\s+"))
+    raw = F.when(F.coalesce(F.length(trimmed), F.lit(0)) == 0,
+                 F.array().cast("array<string>")
+                 ).otherwise(F.split(trimmed, r"\s+"))
+    return F.filter(raw, lambda t: F.length(t) > 0)
 
 
 def word_count(col: Column) -> Column:

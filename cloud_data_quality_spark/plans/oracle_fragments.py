@@ -29,9 +29,12 @@ def sql_list(words: list[str]) -> str:
 
 
 def sql_tokens(col: str) -> str:
+    # list_filter mirrors tokens()'s empty-token filter (trim strips spaces
+    # only, so trailing newlines would otherwise yield a phantom '' token)
     return (f"case when length(trim({col})) = 0 or {col} is null "
             f"then []::VARCHAR[] "
-            f"else regexp_split_to_array(trim({col}), '\\s+') end")
+            f"else list_filter(regexp_split_to_array(trim({col}), '\\s+'), "
+            f"t -> t != '') end")
 
 
 def sql_word_count(col: str) -> str:

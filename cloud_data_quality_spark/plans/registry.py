@@ -1321,9 +1321,7 @@ def q_span_dedup_docs(spark, sf_dir):
 
 
 ORACLE_SPAN_DEDUP_DOCS = f"""
-with s0 as (select doc_id,
-                   list_filter({OF.sql_tokens('text')}, t -> t != '') as words
-            from documents),
+with s0 as (select doc_id, {OF.sql_tokens('text')} as words from documents),
 spans as (
   select doc_id, g.i - 1 as pos,
          array_to_string(words[(g.i-1)*3+1:(g.i-1)*3+3], ' ') as span
@@ -1473,8 +1471,7 @@ def q_repetition_stats_docs(spark, sf_dir):
 
 ORACLE_REPETITION_STATS_DOCS = f"""
 with t as (select doc_id, length(text) as chars,
-                  list_filter({OF.sql_tokens('text')}, t -> t != '') as toks
-           from documents),
+                  {OF.sql_tokens('text')} as toks from documents),
 grams as (
   select doc_id, chars,
          array_to_string(toks[g.i:g.i+1], ' ') as g
@@ -1505,9 +1502,7 @@ def q_chunk_documents(spark, sf_dir):
 
 
 ORACLE_CHUNK_DOCUMENTS = f"""
-with t as (select doc_id,
-                  list_filter({OF.sql_tokens('text')}, t -> t != '') as toks
-           from documents),
+with t as (select doc_id, {OF.sql_tokens('text')} as toks from documents),
 n as (select doc_id, toks,
              greatest(ceil((len(toks) - 8) / 56.0)::INT,
                       case when len(toks) > 0 then 1 else 0 end) as n_chunks
