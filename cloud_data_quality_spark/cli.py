@@ -159,8 +159,19 @@ def _corpus(args) -> int:
             raise SystemExit("incremental-dedup needs --store")
         store = C.SeenFingerprintStore(spark, args.store,
                                        n_buckets=args.buckets)
-        out = store.dedup_wave(df, text_col=args.text_col,
-                               id_col=args.id_col)
+        # dedup_wave writes the output BEFORE appending fps to the store:
+        # a failed output write leaves the store untouched (rerun re-emits)
+        # instead of permanently suppressing the wave's documents. A stable
+        # --wave-id additionally makes full reruns replay-idempotent.
+        out = store.dedup_wave(
+            df, text_col=args.text_col, id_col=args.id_col,
+            wave_id=args.wave_id,
+            output_writer=lambda s: s.write.mode("overwrite")
+                                     .parquet(args.output))
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"op": args.op, "rows_in": df.count(),
+                          "rows_out": n, "output": args.output}))
+        return 0
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(json.dumps({"op": args.op, "rows_in": df.count(), "rows_out": n,
@@ -235,6 +246,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="chunk: tokens per context window")
     c.add_argument("--overlap-tokens", type=int, default=0,
                    help="chunk: overlapping tokens between windows")
+    c.add_argument("--wave-id", default=None,
+                   help="stable wave tag for incremental-dedup: reruns of "
+                        "the same wave exclude their own store fps and "
+                        "recompute identically (replay-idempotent)")
     c.add_argument("--store", default=None,
                    help="incremental-dedup: fp-bucketed catalog table name")
     c.add_argument("--buckets", type=int, default=64)

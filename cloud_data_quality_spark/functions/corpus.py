@@ -458,7 +458,16 @@ class SeenFingerprintStore:
 
     Appends use saveAsTable(mode=append), which preserves the bucket spec;
     each wave's survivors are disjoint from the store by construction
-    (incremental_dedup anti-joined them), so appends never need a merge."""
+    (incremental_dedup anti-joined them), so appends never need a merge.
+
+    Replay safety: every appended row carries a `wave_id` tag (NULL for
+    untagged batch runs). A caller that may re-run the same wave (streaming
+    foreachBatch replay after a crash) passes its wave_id to dedup_wave;
+    the store read then EXCLUDES that wave's own fingerprints, so the
+    replay recomputes the identical survivor set instead of anti-joining
+    everything away against its own half-committed append. Re-appending
+    under the same wave_id only duplicates fp rows, which is harmless for
+    anti-join existence semantics."""
 
     def __init__(self, spark, table: str, n_buckets: int = 64,
                  fp_col: str = "fp"):
@@ -470,23 +479,30 @@ class SeenFingerprintStore:
     def exists(self) -> bool:
         return self.spark.catalog.tableExists(self.table)
 
-    def read(self) -> DataFrame:
+    def read(self, exclude_wave: str | None = None) -> DataFrame:
         # appends may come from another session over the same catalog (e.g.
         # foreachBatch's cloned micro-batch session): this session's
         # table-relation cache would keep serving the stale file listing,
         # silently missing recent fingerprints — refresh before reading
         self.spark.catalog.refreshTable(self.table)
-        return self.spark.table(self.table).select(self.fp_col)
+        df = self.spark.table(self.table)
+        if exclude_wave is not None and "wave_id" in df.columns:
+            # narrow filter — does not disturb the bucketed no-Exchange join
+            df = df.where(~F.col("wave_id").eqNullSafe(F.lit(exclude_wave)))
+        return df.select(self.fp_col)
 
-    def append(self, fps: DataFrame) -> None:
-        (fps.select(self.fp_col).write
+    def append(self, fps: DataFrame, wave_id: str | None = None) -> None:
+        (fps.select(self.fp_col)
+         .withColumn("wave_id", F.lit(wave_id).cast("string"))
+         .write
          .bucketBy(self.n_buckets, self.fp_col).sortBy(self.fp_col)
          .mode("append").format("parquet").saveAsTable(self.table))
 
     def dedup_wave(self, new_df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id", wave_id: str | None = None,
+                   output_writer=None) -> DataFrame:
         """One crawl wave end-to-end: dedup against the store (if any),
-        record the survivors' fingerprints, return the survivors.
+        write the survivors out, record their fingerprints, return them.
 
         The survivor frame is CHECKPOINTED (lineage truncated) before the
         store append. persist()+count() is NOT enough: saveAsTable(append)
@@ -496,13 +512,25 @@ class SeenFingerprintStore:
         references the table at all. Reliable checkpoint when a checkpoint
         dir is configured (cluster runs — survives executor loss),
         localCheckpoint otherwise — same auto-selection as
-        duplicate_clusters."""
+        duplicate_clusters.
+
+        Ordering: `output_writer(survivors)` runs BEFORE the store append.
+        If the output write fails, the store is untouched and a rerun
+        re-emits the wave; the opposite order would suppress the wave's
+        documents from every future run without ever emitting them. The
+        remaining window (output written, append crashed) re-emits
+        duplicates on rerun — the safe direction — and is closed entirely
+        when the caller also passes a stable `wave_id` (replayed waves
+        exclude their own fps, recompute identically, and overwrite)."""
         spark = new_df.sparkSession
-        seen = self.read() if self.exists() else None
+        seen = (self.read(exclude_wave=wave_id) if self.exists() else None)
         survivors = incremental_dedup(new_df, seen, text_col=text_col,
                                       id_col=id_col, fp_col=self.fp_col)
         reliable = spark.sparkContext.getCheckpointDir() is not None
         survivors = (survivors.checkpoint(eager=True) if reliable
                      else survivors.localCheckpoint(eager=True))
-        self.append(survivors)
-        return survivors.drop(self.fp_col)
+        result = survivors.drop(self.fp_col)
+        if output_writer is not None:
+            output_writer(result)
+        self.append(survivors, wave_id=wave_id)
+        return result

@@ -13,13 +13,22 @@ Two dedup modes exist for streams:
   against the store (store side never shuffles — bucketed), survivors
   appended to both the output and the store.
 
-Restart semantics: foreachBatch may REPLAY a batch after a crash. The
-store append is not transactional with the output write, so a replayed
-batch's docs are already in the store and would be (correctly) dropped —
-but their output files were possibly also already written. Output
-idempotency therefore comes from per-batch subdirectories keyed by
-batch_id (overwrite-on-replay), the standard exactly-once recipe for
-foreachBatch file sinks."""
+Restart semantics: foreachBatch may REPLAY a batch after a crash, and the
+store append is not transactional with the output write. Exactly-once
+therefore needs BOTH halves of the recipe:
+
+* output side — per-batch subdirectories keyed by batch_id, overwritten
+  on replay (the standard foreachBatch file-sink pattern);
+* store side — every append is tagged wave_id=f"stream_{batch_id}" and
+  the replayed batch's store read EXCLUDES its own wave's fingerprints
+  (SeenFingerprintStore.dedup_wave(wave_id=...)). Without the exclusion a
+  replay would anti-join against its own half-committed fps, drop every
+  document, and overwrite the batch dir with an empty frame — permanent
+  data loss. With it, the replay recomputes the identical survivor set
+  (same source offsets → same input), rewrites the same output, and
+  re-appends the same fps (duplicate rows under one wave_id are harmless
+  for anti-join existence). The output write runs BEFORE the append, so
+  a crash between them re-emits rather than suppresses."""
 
 from __future__ import annotations
 
@@ -44,10 +53,12 @@ def run_incremental_dedup_stream(
     store = SeenFingerprintStore(spark, store_table, n_buckets=n_buckets)
 
     def _batch(batch_df, batch_id: int) -> None:
-        survivors = store.dedup_wave(batch_df, text_col=text_col,
-                                     id_col=id_col)
-        (survivors.write.mode("overwrite")
-         .parquet(f"{output_path}/batch_id={batch_id}"))
+        store.dedup_wave(
+            batch_df, text_col=text_col, id_col=id_col,
+            wave_id=f"stream_{batch_id}",
+            output_writer=lambda survivors: (
+                survivors.write.mode("overwrite")
+                .parquet(f"{output_path}/batch_id={batch_id}")))
 
     writer = stream_df.writeStream.foreachBatch(_batch) \
         .option("checkpointLocation", checkpoint_path)

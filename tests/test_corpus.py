@@ -463,6 +463,39 @@ class TestStreamingIncrementalDedup:
         finally:
             spark.sql("drop table if exists seen_fps_stream")
 
+    def test_batch_replay_does_not_lose_documents(self, spark, tmp_path):
+        """Crash-replay regression: foreachBatch may re-run a batch whose
+        store append already committed (crash before the checkpoint
+        commit). The replay must recompute the SAME survivors — excluding
+        its own wave's fps from the store read — and rewrite the same
+        output, not anti-join everything away and overwrite the batch dir
+        with an empty frame. Simulated by invoking dedup_wave twice with
+        the identical wave_id + input, exactly what a replay does."""
+        from cloud_data_quality_spark.functions.corpus import (
+            SeenFingerprintStore)
+        spark.sql("drop table if exists seen_fps_replay")
+        store = SeenFingerprintStore(spark, "seen_fps_replay", n_buckets=4)
+        out = str(tmp_path / "batch_id=0")
+        writer = lambda s: s.write.mode("overwrite").parquet(out)
+        batch = _docs(spark, [(1, "alpha"), (2, "alpha"), (3, "beta")])
+        try:
+            first = store.dedup_wave(batch, wave_id="stream_0",
+                                     output_writer=writer)
+            assert {r["doc_id"] for r in first.collect()} == {1, 3}
+            # replay: store already holds stream_0's fps
+            replay = store.dedup_wave(batch, wave_id="stream_0",
+                                      output_writer=writer)
+            assert {r["doc_id"] for r in replay.collect()} == {1, 3}
+            assert {r["doc_id"] for r in
+                    spark.read.parquet(out).collect()} == {1, 3}
+            # a LATER wave still dedups against stream_0's fingerprints
+            later = store.dedup_wave(
+                _docs(spark, [(10, "alpha"), (11, "gamma")]),
+                wave_id="stream_1", output_writer=lambda s: None)
+            assert {r["doc_id"] for r in later.collect()} == {11}
+        finally:
+            spark.sql("drop table if exists seen_fps_replay")
+
 
 class TestSpanDedupHotKey:
     def test_viral_span_100k_occurrences(self, spark):
