@@ -430,9 +430,19 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25,
               else df.localCheckpoint())
         return df, obs.get["s"]
 
-    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-             .unionByName(pairs.select(F.col("id_b").alias("src"),
-                                       F.col("id_a").alias("dst"))))
+    # Materialize edges ONCE. `pairs` is usually the un-materialized MinHash
+    # LSH pipeline (q_minhash_clusters / dedup_near_duplicates pass it
+    # straight in); without this barrier every one of the O(log d) rounds
+    # would re-run shingling + the band join from scratch — at 100 TB that
+    # is one candidate-generation pass vs ~10. explode(array(...)) emits
+    # both directions in a SINGLE scan of the pair pipeline (a unionByName
+    # of two selects would evaluate it twice even inside one checkpoint).
+    both_dirs = F.explode(F.array(
+        F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))))
+    edges = pairs.select(both_dirs.alias("e")).select("e.src", "e.dst")
+    edges = (edges.checkpoint(eager=True) if reliable_checkpoint
+             else edges.localCheckpoint(eager=True))
     labels, prev_sum = _materialize(
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -26,6 +26,30 @@ from pyspark.sql.window import Window
 
 from cloud_data_quality_spark.functions.dedup import cosine
 
+#: Default ceiling on probe-set size for the entry points that collect or
+#: broadcast the probes. 10^4 probes × a few-hundred-dim float64 is a few
+#: tens of MB — comfortably closure/broadcast-sized; a corpus-sized probe
+#: frame would OOM the driver instead of erroring.
+MAX_PROBES = 10_000
+
+
+def _guard_probes(probes: DataFrame, operator: str,
+                  max_probes: int | None) -> DataFrame:
+    """Fail fast when a probe frame is too large to collect/broadcast —
+    same contract as dedup.guard_exact_baseline: bounded limit+count probe
+    (never a full count), None disables, and the error names the scale
+    path (lsh_bucketed_neighbors — probes are bucketed like the corpus,
+    nothing is collected)."""
+    if max_probes is None:
+        return probes
+    n = probes.limit(max_probes + 1).count()
+    if n > max_probes:
+        raise ValueError(
+            f"{operator} collects/broadcasts the probe set; input exceeds "
+            f"max_probes={max_probes}. Use lsh_bucketed_neighbors for "
+            f"corpus-sized probe sets, or pass max_probes=None to force.")
+    return probes
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -34,12 +58,14 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
+    max_probes: int | None = MAX_PROBES,
 ) -> DataFrame:
     """Exact top-k by cosine per probe: broadcast the probes, score the corpus
     in one pass, take k per probe with a rank window partitioned by probe
     (bounded partitions: one per probe, each corpus-sized scores but the
     window only sorts within probe groups — acceptable for probe counts in
     the thousands; for probe~corpus use lsh_bucketed_neighbors)."""
+    probes = _guard_probes(probes, "brute_force_topk", max_probes)
     p = probes.select(F.col(probe_id_col).alias("probe_id"),
                       F.col(vec_col).alias("pv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
@@ -63,6 +89,7 @@ def brute_force_topk_np(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
+    max_probes: int | None = MAX_PROBES,
 ) -> DataFrame:
     """Exact cosine top-k, BLAS path: probes collected (small by contract)
     and shipped in the task closure; each corpus Arrow batch is scored as ONE
@@ -74,6 +101,7 @@ def brute_force_topk_np(
 
     Scale posture: identical to the JVM path (one corpus pass, probe set
     broadcast via closure, no shuffle before the k·|probes|-row window)."""
+    probes = _guard_probes(probes, "brute_force_topk_np", max_probes)
     pr = probes.select(F.col(probe_id_col), F.col(vec_col)).collect()
     pids = np.array([r[0] for r in pr], dtype=np.int64)
     P = np.array([list(r[1]) for r in pr], dtype=np.float64)
@@ -269,6 +297,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
+    max_probes: int | None = MAX_PROBES,
 ) -> DataFrame:
     """IVF ANN: corpus vectors are bucketed by nearest centroid (the
     inverted file); each probe searches only its n_probe nearest cells.
@@ -282,6 +311,7 @@ def ivf_topk(
     id — cells are balanced by construction of k-means on a representative
     sample — and scoring is cell-local. Output schema matches
     brute_force_topk."""
+    probes = _guard_probes(probes, "ivf_topk", max_probes)
     cells = corpus.select(F.col(id_col).alias("neighbor_id"),
                           F.col(vec_col).alias("cv"),
                           ivf_assign(F.col(vec_col), centroids).alias("cell"))
@@ -313,6 +343,7 @@ def ivf_topk_np(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
+    max_probes: int | None = MAX_PROBES,
 ) -> DataFrame:
     """IVF ANN, BLAS path — the performance twin of ivf_topk (same results,
     asserted element-wise in pytest; same pairing as brute_force_topk vs
@@ -322,6 +353,7 @@ def ivf_topk_np(
     scores masked to each probe's n_probe cells before the per-batch top-k
     prefilter. Use ivf_topk when oracle-grade bit parity of every
     intermediate matters; use this in pipelines."""
+    probes = _guard_probes(probes, "ivf_topk_np", max_probes)
     Cent = np.asarray(centroids, dtype=np.float64)
     c2 = (Cent * Cent).sum(axis=1)
 

@@ -303,6 +303,34 @@ class TestDuplicateClusters:
         # and 5 (far), 6 (NULL), 7 (empty) are untouched
         assert kept == [1, 3, 5, 6, 7]
 
+    def test_pair_pipeline_evaluates_exactly_once(self, spark):
+        """100 TB regression: `pairs` is normally the un-materialized MinHash
+        LSH pipeline. edges must be checkpointed at entry so candidate
+        generation runs ONCE — not once per pointer-jumping round (the
+        accumulator-instrumented pipeline counts its own evaluations; the
+        31-node chain needs several rounds, so a re-derivation would tick
+        the accumulator 2x-5x)."""
+        from pyspark.sql.functions import udf
+
+        from cloud_data_quality_spark.functions.dedup import (
+            duplicate_clusters,
+        )
+        acc = spark.sparkContext.accumulator(0)
+
+        def _tick(x):
+            acc.add(1)
+            return x
+
+        tick = udf(_tick, "bigint")
+        base = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "id_a bigint, id_b bigint")
+        pairs = base.select(tick("id_a").alias("id_a"), "id_b")
+        got = {r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+        assert got == {0}
+        # one evaluation of the pair pipeline: explode emits both edge
+        # directions from a single scan, so 30 pairs -> exactly 30 ticks
+        assert acc.value == 30, f"pair pipeline evaluated {acc.value / 30}x"
+
     def test_random_graphs_match_union_find(self, spark):
         """Randomized cross-check: Spark's iterative components vs a plain
         union-find on the driver, over a few seeded random graphs."""
@@ -361,6 +389,28 @@ class TestQuadraticGuards:
         # None disables; small inputs under default threshold just work
         assert embedding_cosine_pairs(emb, threshold=2.0,
                                       max_exact_rows=None).count() == 0
+
+    def test_ann_probe_guard(self, spark):
+        """A corpus-sized probe frame must raise naming the scale path, not
+        OOM the driver via collect()/broadcast(). All four probe-collecting
+        ANN entry points share the guard; the scale path itself
+        (lsh_bucketed_neighbors) never collects and takes any size."""
+        from cloud_data_quality_spark.functions.ivf_artifact import (
+            IVF_CENTROIDS_64)
+        from cloud_data_quality_spark.functions.similarity import (
+            brute_force_topk, brute_force_topk_np, ivf_topk, ivf_topk_np)
+        emb = spark.range(40).selectExpr(
+            "id as vec_id", "array(cast(id as float), 1.0f) as embedding")
+        big_probes = emb.selectExpr("vec_id as probe_id", "embedding")
+        for fn in (brute_force_topk, brute_force_topk_np):
+            with pytest.raises(ValueError, match="lsh_bucketed_neighbors"):
+                fn(emb, big_probes, max_probes=10)
+        for fn in (ivf_topk, ivf_topk_np):
+            with pytest.raises(ValueError, match="lsh_bucketed_neighbors"):
+                fn(emb, big_probes, IVF_CENTROIDS_64[:, :2], max_probes=10)
+        # max_probes=None disables the guard
+        assert brute_force_topk(emb, big_probes.limit(2), k=2,
+                                max_probes=None).count() > 0
 
 
 class TestIvfAnn:
