@@ -154,11 +154,16 @@ def _corpus(args) -> int:
         out = C.chunk_documents(df, budget_tokens=args.budget_tokens,
                                 overlap_tokens=args.overlap_tokens,
                                 text_col=args.text_col, id_col=args.id_col)
-    else:  # incremental-dedup
+    else:  # incremental-dedup / incremental-minhash-dedup
         if not args.store:
-            raise SystemExit("incremental-dedup needs --store")
-        store = C.SeenFingerprintStore(spark, args.store,
-                                       n_buckets=args.buckets)
+            raise SystemExit(f"{args.op} needs --store")
+        if args.op == "incremental-minhash-dedup":
+            store = C.SeenMinhashStore(
+                spark, args.store, n_buckets=args.buckets,
+                jaccard_threshold=args.jaccard_threshold)
+        else:
+            store = C.SeenFingerprintStore(spark, args.store,
+                                           n_buckets=args.buckets)
         # dedup_wave writes the output BEFORE appending fps to the store:
         # a failed output write leaves the store untouched (rerun re-emits)
         # instead of permanently suppressing the wave's documents. A stable
@@ -221,7 +226,8 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("corpus", help="corpus curation operators")
     c.add_argument("--op", required=True,
                    choices=["span-dedup", "decontaminate", "sample",
-                            "resample", "incremental-dedup", "chunk"])
+                            "resample", "incremental-dedup",
+                            "incremental-minhash-dedup", "chunk"])
     c.add_argument("--input", required=True)
     c.add_argument("--output", required=True)
     c.add_argument("--text-col", default="text")
@@ -246,6 +252,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="chunk: tokens per context window")
     c.add_argument("--overlap-tokens", type=int, default=0,
                    help="chunk: overlapping tokens between windows")
+    c.add_argument("--jaccard-threshold", type=float, default=0.5,
+                   help="bottom-k Jaccard estimate at/above which a wave "
+                        "doc is a near-recrawl (incremental-minhash-dedup)")
     c.add_argument("--wave-id", default=None,
                    help="stable wave tag for incremental-dedup: reruns of "
                         "the same wave exclude their own store fps and "

@@ -26,6 +26,16 @@
 * incremental_dedup /
   SeenFingerprintStore  — cross-run exact dedup against an fp-bucketed
                           catalog table of everything previously crawled.
+* incremental_minhash_dedup /
+  SeenMinhashStore      — cross-run NEAR-dup dedup: the store keeps each
+                          historical doc's bottom-k MinHash sketch exploded
+                          into band rows (h, doc_id, sig), bucketed on the
+                          band hash; a nightly wave band-joins against the
+                          store (zero store-side Exchange), candidates are
+                          verified with the bottom-k Jaccard estimator, and
+                          near-recrawls are dropped — the operation a real
+                          crawl pipeline runs nightly that the exact store
+                          misses (every boilerplate-tweaked recrawl).
 
 Scale posture (10^12 docs):
 * span_dedup's only wide stages are (a) one shuffle on the md5 span
@@ -533,4 +543,165 @@ class SeenFingerprintStore:
         if output_writer is not None:
             output_writer(result)
         self.append(survivors, wave_id=wave_id)
+        return result
+
+
+# ---------------------------------------------- incremental NEAR-dup dedup
+
+def minhash_band_rows(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      k: int = 8) -> DataFrame:
+    """Per-document MinHash band rows (h, doc_id, sig): the bottom-k 60-bit
+    sketch (dedup.minhash_sig_longs) exploded so each of the k sketch
+    hashes is a join/bucket key, with the full sketch carried alongside for
+    candidate verification. Docs too short to shingle get an empty sketch →
+    zero band rows (they can never near-dup). This is BOTH the wave-side
+    probe frame and the store's persisted row format: k rows × (8-byte key
+    + 64-byte sketch) per document — bounded, unlike full shingle sets."""
+    from cloud_data_quality_spark.functions.dedup import (
+        ensure_min_partitions, minhash_sig_longs)
+    base = (ensure_min_partitions(df.where(F.col(text_col).isNotNull()))
+            .select(F.col(id_col).alias("doc_id"),
+                    minhash_sig_longs(F.col(text_col), n, k).alias("sig")))
+    return base.select(F.explode("sig").alias("h"), "doc_id", "sig")
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    store_bands: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 8,
+    jaccard_threshold: float = 0.5,
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Cross-run NEAR-dup filter: drop every wave document whose bottom-k
+    Jaccard estimate against ANY historical document reaches the threshold.
+    `store_bands` is the accumulated (h, doc_id, sig) band table of all
+    prior waves (see SeenMinhashStore / minhash_band_rows); None = first
+    run, nothing to compare.
+
+    Returns the surviving wave rows WITH their sketch column attached, so
+    the caller can explode exactly those sketches into the store.
+
+    Plan shape at 10^12 docs: the wave's sketches are a narrow pass
+    (shingle→md5→bottom-k per doc, no shuffle); the band join keys on
+    uniform md5-space longs (no skew) and the store side is bucketed on h
+    so only the wave shuffles; verification is the O(k) sketch estimator on
+    candidate rows only — the corpus-sized shingle sets never leave their
+    documents, never get stored, never get shuffled. Docs with empty
+    sketches produce no band rows and always survive."""
+    from cloud_data_quality_spark.functions.dedup import (
+        ensure_min_partitions, minhash_sig_longs, sketch_jaccard)
+    wave = ensure_min_partitions(new_df).withColumn(
+        sig_col, F.when(F.col(text_col).isNotNull(),
+                        minhash_sig_longs(F.col(text_col), n, k))
+                  .otherwise(F.array().cast("array<bigint>")))
+    if store_bands is None:
+        return wave
+    wave_bands = wave.select(F.col(id_col), F.explode(sig_col).alias("h"),
+                             F.col(sig_col))
+    store = store_bands.select(F.col("h"), F.col("doc_id").alias("__sid"),
+                               F.col("sig").alias("__sig_b"))
+    # distinct (wave doc, store doc) before verifying: two docs sharing m
+    # band hashes would otherwise be estimator-scored m times
+    cand = (wave_bands.join(store, "h")
+            .select(id_col, sig_col, "__sid", "__sig_b")
+            .dropDuplicates([id_col, "__sid"]))
+    matched = (cand.where(sketch_jaccard(F.col(sig_col), F.col("__sig_b"), k)
+                          >= jaccard_threshold)
+               .select(id_col).distinct())
+    return wave.join(matched, id_col, "left_anti")
+
+
+class SeenMinhashStore:
+    """Accumulated MinHash band memory for cross-run NEAR-dup dedup — the
+    near-dup sibling of SeenFingerprintStore. A catalog table of
+    (h, doc_id, sig, wave_id) BUCKETED on the band hash h.
+
+    Why this exists: a 10^12-doc crawl pipeline near-dedups every nightly
+    wave against ALL history, and recrawls are rarely byte-identical
+    (timestamps, ads, boilerplate churn) — an exact-fingerprint store
+    misses every one of them. Persisting the bottom-k sketch (64 bytes/doc
+    at k=8) instead of shingle sets keeps the store linear in documents,
+    and bucketing on the uniform md5-space band hash means the nightly
+    band join reads the store with ZERO Exchange — only the wave (orders
+    of magnitude smaller) shuffles into the store's bucket layout.
+
+    Same replay contract as SeenFingerprintStore: rows are tagged with the
+    caller's wave_id; a replayed wave excludes its own band rows from the
+    store read, recomputes the identical survivor set, and re-appends
+    (duplicate band rows under one wave_id are harmless for candidate
+    generation — dropDuplicates collapses them)."""
+
+    def __init__(self, spark, table: str, n_buckets: int = 64,
+                 n: int = 3, k: int = 8, jaccard_threshold: float = 0.5):
+        self.spark = spark
+        self.table = table
+        self.n_buckets = n_buckets
+        self.n = n
+        self.k = k
+        self.jaccard_threshold = jaccard_threshold
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
+    def read(self, exclude_wave: str | None = None) -> DataFrame:
+        self.spark.catalog.refreshTable(self.table)  # cloned-session appends
+        df = self.spark.table(self.table)
+        if exclude_wave is not None:
+            df = df.where(~F.col("wave_id").eqNullSafe(F.lit(exclude_wave)))
+        return df.select("h", "doc_id", "sig")
+
+    def append(self, band_rows: DataFrame, wave_id: str | None = None) -> None:
+        (band_rows.select("h", "doc_id", "sig")
+         .withColumn("wave_id", F.lit(wave_id).cast("string"))
+         .write.bucketBy(self.n_buckets, "h").sortBy("h")
+         .mode("append").format("parquet").saveAsTable(self.table))
+
+    def dedup_wave(self, new_df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", wave_id: str | None = None,
+                   output_writer=None) -> DataFrame:
+        """One crawl wave: (1) within-wave near-dedup — sketch-verified
+        band pairs closed into clusters, one canonical (min id) doc kept
+        per cluster; (2) cross-run near-dedup against the store; (3) write
+        survivors (BEFORE the append — same crash-ordering argument as
+        SeenFingerprintStore.dedup_wave); (4) append survivors' band rows.
+        Survivors are checkpointed first: saveAsTable(append) would recache
+        every plan reading the store table (documented recache trap)."""
+        from cloud_data_quality_spark.functions.dedup import (
+            duplicate_clusters, sketch_jaccard)
+        spark = new_df.sparkSession
+        seen = self.read(exclude_wave=wave_id) if self.exists() else None
+        wave = incremental_minhash_dedup(
+            new_df, seen, text_col=text_col, id_col=id_col,
+            n=self.n, k=self.k, jaccard_threshold=self.jaccard_threshold)
+        # within-wave: band self-join on the already-computed sketches,
+        # estimator verify, connected components, keep min-id canonicals
+        bands = wave.select(F.col(id_col).alias("id"),
+                            F.explode("sig").alias("h"), F.col("sig"))
+        pairs = (bands.alias("a").join(bands.alias("b"), "h")
+                 .where(F.col("a.id") < F.col("b.id"))
+                 .select(F.col("a.id").alias("id_a"),
+                         F.col("b.id").alias("id_b"),
+                         F.col("a.sig").alias("sa"), F.col("b.sig").alias("sb"))
+                 .dropDuplicates(["id_a", "id_b"]))
+        pairs = (pairs.where(sketch_jaccard(F.col("sa"), F.col("sb"), self.k)
+                             >= self.jaccard_threshold)
+                 .select("id_a", "id_b"))
+        labels = duplicate_clusters(pairs)
+        losers = (labels.where(F.col("id") != F.col("cluster_id"))
+                  .select(F.col("id").alias(id_col)))
+        survivors = wave.join(losers, id_col, "left_anti")
+        reliable = spark.sparkContext.getCheckpointDir() is not None
+        survivors = (survivors.checkpoint(eager=True) if reliable
+                     else survivors.localCheckpoint(eager=True))
+        result = survivors.drop("sig")
+        if output_writer is not None:
+            output_writer(result)
+        new_bands = survivors.select(F.explode("sig").alias("h"),
+                                     F.col(id_col).alias("doc_id"),
+                                     F.col("sig"))
+        self.append(new_bands, wave_id=wave_id)
         return result

@@ -145,6 +145,35 @@ def minhash_signature(col: Column, n: int = 3, k: int = 8) -> Column:
     return F.slice(hashes, 1, k)
 
 
+def minhash_sig_longs(col: Column, n: int = 3, k: int = 8) -> Column:
+    """Bottom-k sketch as 60-bit longs: md5 hex digests of shingles, sorted,
+    sliced to k, truncated to the 15-hex-char prefix (hex sort order ==
+    numeric order of the truncation, and the oracle replays the identical
+    ('0x'||substr(md5,1,15))::BIGINT). The compact sketch is what the
+    incremental near-dup store persists per document: k longs = 64 bytes at
+    k=8, vs the full shingle set (unbounded — 10 KB+ for long docs), which
+    is what makes a 10^12-doc history store feasible."""
+    hashes = F.array_sort(F.transform(word_shingles(col, n), F.md5))
+    return F.transform(F.slice(hashes, 1, k),
+                       lambda h: F.conv(F.substring(h, 1, 15), 16, 10)
+                                  .cast("bigint"))
+
+
+def sketch_jaccard(sig_a: Column, sig_b: Column, k: int = 8) -> Column:
+    """Bottom-k Jaccard estimator from two bottom-k sketches:
+    J ≈ |K_k(A∪B) ∩ A ∩ B| / |K_k(A∪B)| where K_k is the k smallest
+    distinct hashes of the union. Every h ∈ K_k(union) that belongs to A is
+    necessarily in bottom-k(A) (it is smaller than A's k-th smallest), so
+    the estimator is computable from the sketches alone — the standard
+    bottom-k resemblance estimate (unbiased; granularity 1/k). Exactly
+    replayable in DuckDB via list_sort/list_distinct/list_intersect."""
+    union_k = F.slice(F.array_sort(F.array_distinct(F.concat(sig_a, sig_b))),
+                      1, k)
+    inter = F.array_intersect(sig_a, sig_b)
+    return (F.size(F.array_intersect(union_k, inter)).cast("double")
+            / F.nullif(F.size(union_k), F.lit(0)))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

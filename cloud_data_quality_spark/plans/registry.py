@@ -1426,6 +1426,60 @@ select doc_id, fp from canon where fp not in (select fp from seen)
 """
 
 
+_INC_MINHASH_K = 8
+_INC_MINHASH_THRESHOLD = 0.5
+_INC_MINHASH_STORE_MOD = 5  # doc_id % 5 == 0 slice stands in for history
+
+
+def q_incremental_minhash_docs(spark, sf_dir):
+    """Cross-run NEAR-dup dedup (corpus.incremental_minhash_dedup): the
+    'history' is the band rows of the doc_id%5==0 slice (standing in for
+    all prior crawl waves, persisted by SeenMinhashStore); the wave is the
+    rest of the corpus. Wave docs whose bottom-k Jaccard estimate against
+    any historical doc reaches 0.5 are dropped — catching the
+    boilerplate-tweaked recrawls an exact-fingerprint store misses."""
+    from cloud_data_quality_spark.functions.corpus import (
+        incremental_minhash_dedup, minhash_band_rows)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    store = minhash_band_rows(docs.where(
+        F.col("doc_id") % _INC_MINHASH_STORE_MOD == 0), k=_INC_MINHASH_K)
+    wave = docs.where(F.col("doc_id") % _INC_MINHASH_STORE_MOD != 0)
+    out = incremental_minhash_dedup(
+        wave, store, k=_INC_MINHASH_K,
+        jaccard_threshold=_INC_MINHASH_THRESHOLD)
+    return out.select("doc_id")
+
+
+# sketch + estimator replayed from the SAME constants: bottom-k of sorted
+# md5 hex digests, truncated to 60-bit longs (hex sort order == numeric
+# order of the truncation); estimator = |K_k(A∪B) ∩ A ∩ B| / |K_k(A∪B)|
+ORACLE_INCREMENTAL_MINHASH_DOCS = f"""
+with d as (
+  select doc_id, {OF.sql_word_shingles('text', 3)} as sh from documents),
+d2 as (select doc_id,
+              list_transform(
+                (list_sort(list_transform(sh, s -> md5(s))))[1:{_INC_MINHASH_K}],
+                h -> ('0x' || substr(h, 1, 15))::BIGINT) as sig
+       from d where len(sh) >= 1),
+store as (select doc_id as sid, sig as sig_b, unnest(sig) as h from d2
+          where doc_id % {_INC_MINHASH_STORE_MOD} = 0),
+wave as (select doc_id, sig, unnest(sig) as h from d2
+         where doc_id % {_INC_MINHASH_STORE_MOD} != 0),
+cand as (select distinct w.doc_id, w.sig, s.sid, s.sig_b
+         from wave w join store s using (h)),
+matched as (
+  select distinct doc_id from cand
+  where len(list_intersect(
+              (list_sort(list_distinct(sig || sig_b)))[1:{_INC_MINHASH_K}],
+              list_intersect(sig, sig_b)))::DOUBLE
+        / nullif(len((list_sort(list_distinct(sig || sig_b)))[1:{_INC_MINHASH_K}]), 0)
+        >= {_INC_MINHASH_THRESHOLD})
+select doc_id from documents
+where doc_id % {_INC_MINHASH_STORE_MOD} != 0
+  and doc_id not in (select doc_id from matched)
+"""
+
+
 RESAMPLE_TARGET = {"en": 0.4, "es": 0.2, "de": 0.2, "fr": 0.2}  # zh dropped
 
 
@@ -1623,6 +1677,7 @@ QUERIES = {
     "timeliness_recent_events": q_timeliness_recent_events,
     "span_dedup_docs": q_span_dedup_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
+    "incremental_minhash_docs": q_incremental_minhash_docs,
     "importance_resample_docs": q_importance_resample_docs,
     "repetition_stats_docs": q_repetition_stats_docs,
     "chunk_documents": q_chunk_documents,
@@ -1672,6 +1727,7 @@ ORACLES = {
     "timeliness_recent_events": ORACLE_TIMELINESS_RECENT_EVENTS,
     "span_dedup_docs": ORACLE_SPAN_DEDUP_DOCS,
     "incremental_dedup_docs": ORACLE_INCREMENTAL_DEDUP_DOCS,
+    "incremental_minhash_docs": ORACLE_INCREMENTAL_MINHASH_DOCS,
     "importance_resample_docs": _oracle_importance_resample(),
     "repetition_stats_docs": ORACLE_REPETITION_STATS_DOCS,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,

@@ -177,6 +177,41 @@ class TestCorpus:
         assert rc == 0
         assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [2]
 
+    def test_incremental_minhash_dedup_op(self, spark, tmp_path, capsys):
+        """Two CLI waves against one near-dup store: wave 2's
+        boilerplate-tweaked recrawl is dropped even though its bytes (and
+        exact fingerprint) differ from the wave-1 original."""
+        spark.sql("drop table if exists cli_mh_store")
+        base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+        near = "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"
+        try:
+            w1 = str(tmp_path / "w1.parquet")
+            spark.createDataFrame([(1, base), (2, "a b c d e f g h")],
+                                  "doc_id bigint, text string") \
+                .write.parquet(w1)
+            out1 = str(tmp_path / "out1")
+            rc = main(["corpus", "--op", "incremental-minhash-dedup",
+                       "--input", w1, "--output", out1,
+                       "--store", "cli_mh_store", "--buckets", "4",
+                       "--wave-id", "w1"])
+            assert rc == 0
+            assert json.loads(capsys.readouterr().out.strip())["rows_out"] == 2
+
+            w2 = str(tmp_path / "w2.parquet")
+            spark.createDataFrame([(10, near), (11, "p q r s t u v x")],
+                                  "doc_id bigint, text string") \
+                .write.parquet(w2)
+            out2 = str(tmp_path / "out2")
+            rc = main(["corpus", "--op", "incremental-minhash-dedup",
+                       "--input", w2, "--output", out2,
+                       "--store", "cli_mh_store", "--buckets", "4",
+                       "--wave-id", "w2"])
+            assert rc == 0
+            assert [r["doc_id"] for r in
+                    spark.read.parquet(out2).collect()] == [11]
+        finally:
+            spark.sql("drop table if exists cli_mh_store")
+
     def test_bad_mode_combos_exit(self, spark, tmp_path):
         inp = str(tmp_path / "d.parquet")
         spark.createDataFrame([(1, "x")], "doc_id bigint, text string") \

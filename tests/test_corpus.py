@@ -417,6 +417,102 @@ class TestChunkDocuments:
         assert "Exchange" not in plan
 
 
+class TestSeenMinhashStore:
+    """Cross-run NEAR-dup dedup: the store remembers MinHash band rows of
+    every surviving historical doc; nightly waves drop near-recrawls the
+    exact-fingerprint store misses."""
+
+    BASE = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"          # 8 trigram shingles
+    NEAR = "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"           # 7/9 shared → est ≥ .5
+    FAR = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+
+    def test_waves_near_dedup_against_history(self, spark):
+        from cloud_data_quality_spark.functions.corpus import SeenMinhashStore
+        spark.sql("drop table if exists mh_store_test")
+        store = SeenMinhashStore(spark, "mh_store_test", n_buckets=4)
+        try:
+            w1 = store.dedup_wave(_docs(spark, [
+                (1, self.BASE), (2, self.NEAR),      # near-dups within wave
+                (3, self.FAR)]))
+            # within-wave: cluster {1,2} → canonical 1; 3 unrelated
+            assert {r["doc_id"] for r in w1.collect()} == {1, 3}
+            # wave 2: near-recrawl of BASE (dropped — NOT byte-identical,
+            # an exact store would keep it), plus a genuinely new doc
+            w2 = store.dedup_wave(_docs(spark, [
+                (10, self.NEAR), (11, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10")]))
+            assert {r["doc_id"] for r in w2.collect()} == {11}
+            # short docs (no shingles) always survive
+            w3 = store.dedup_wave(_docs(spark, [(20, "tiny"), (21, None)]))
+            assert {r["doc_id"] for r in w3.collect()} == {20, 21}
+        finally:
+            spark.sql("drop table if exists mh_store_test")
+
+    def test_replay_idempotent_with_wave_id(self, spark, tmp_path):
+        from cloud_data_quality_spark.functions.corpus import SeenMinhashStore
+        spark.sql("drop table if exists mh_store_replay")
+        store = SeenMinhashStore(spark, "mh_store_replay", n_buckets=4)
+        out = str(tmp_path / "batch_id=0")
+        writer = lambda s: s.write.mode("overwrite").parquet(out)
+        batch = _docs(spark, [(1, self.BASE), (2, self.NEAR), (3, self.FAR)])
+        try:
+            first = store.dedup_wave(batch, wave_id="stream_0",
+                                     output_writer=writer)
+            assert {r["doc_id"] for r in first.collect()} == {1, 3}
+            replay = store.dedup_wave(batch, wave_id="stream_0",
+                                      output_writer=writer)
+            assert {r["doc_id"] for r in replay.collect()} == {1, 3}
+            assert {r["doc_id"] for r in
+                    spark.read.parquet(out).collect()} == {1, 3}
+            later = store.dedup_wave(
+                _docs(spark, [(10, self.NEAR)]), wave_id="stream_1",
+                output_writer=lambda s: None)
+            assert later.count() == 0
+        finally:
+            spark.sql("drop table if exists mh_store_replay")
+
+    def test_band_join_has_no_store_side_exchange(self, spark):
+        """Same 100 TB contract as the exact store: the band table is
+        bucketed on h, so the nightly wave joins against 10^12-doc history
+        with zero store-side Exchange — verified by plan-diff against a
+        non-bucketed copy (broadcast disabled to force sort-merge)."""
+        import re
+
+        from cloud_data_quality_spark.functions.corpus import (
+            SeenMinhashStore, incremental_minhash_dedup, minhash_band_rows)
+
+        def plan_for(store_bands):
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                wave = _docs(spark, [(i, f"x{i} y{i} z{i} q{i} r{i}")
+                                     for i in range(20)])
+                return incremental_minhash_dedup(wave, store_bands) \
+                    ._jdf.queryExecution().executedPlan().toString()
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+        spark.sql("drop table if exists mh_store_plan")
+        spark.sql("drop table if exists mh_store_flat")
+        store = SeenMinhashStore(spark, "mh_store_plan", n_buckets=4)
+        try:
+            hist = _docs(spark, [(i, f"h{i} a b c d e f g") for i in range(30)])
+            bands = minhash_band_rows(hist)
+            store.append(bands)
+            bands.write.format("parquet").saveAsTable("mh_store_flat")
+
+            bucketed = plan_for(store.read())
+            flat = plan_for(spark.table("mh_store_flat")
+                            .select("h", "doc_id", "sig"))
+            store_scan = [l for l in bucketed.splitlines()
+                          if "mh_store_plan" in l and "Scan" in l]
+            assert store_scan and "Bucketed: true" in store_scan[0]
+            n = lambda p: len(re.findall(r"Exchange hashpartitioning", p))
+            assert n(flat) == n(bucketed) + 1, (n(bucketed), n(flat))
+        finally:
+            spark.sql("drop table if exists mh_store_plan")
+            spark.sql("drop table if exists mh_store_flat")
+
+
 class TestStreamingIncrementalDedup:
     def test_cross_batch_dedup_through_store(self, spark, tmp_path):
         """Two file-stream batches: duplicates WITHIN a batch, ACROSS the
