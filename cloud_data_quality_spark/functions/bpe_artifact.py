@@ -1,0 +1,227 @@
+"""Deterministic subword (BPE) tokenizer artifact.
+
+Real training pipelines pack context windows by SUBWORD tokens, not
+whitespace words. This module carries a small byte-pair-encoding merge
+table trained OFFLINE on the sf0.001 documents sample and embedded as
+repr() literals — the same artifact pattern as the IVF centroids
+(ivf_artifact.py) and the LSH hyperplanes: the constants are consumed by
+BOTH the Spark path (Arrow-vectorized batch encoder) and the generated
+DuckDB oracle SQL (oracle_fragments.sql_bpe_token_count), so the two
+engines cannot drift. At production scale the table would be thousands of
+merges trained on a corpus sample; it ships to executors inside the task
+closure exactly like this one (a merge table is KBs — the north rule's
+'broadcast model artifacts' pattern).
+
+Tokenizer semantics (deliberately simple, exactly replayable in SQL):
+
+* documents split into whitespace words first (same `\\s+` + empty-filter
+  semantics as functions/text.tokens — word boundaries are never merged
+  across);
+* each word becomes a sequence of single characters;
+* merges apply IN TABLE ORDER, each one replacing all left-to-right
+  non-overlapping occurrences of its pair — the exact evolution the
+  training loop produced (training applies each merge when it is learned),
+  and exactly what a chain of string `replace()` calls computes in both
+  Python and DuckDB over the sentinel encoding \\x02tok\\x03\\x02tok\\x03...;
+* a word's token count = number of segments remaining; a document's token
+  count = sum over its words. Concatenating a word's tokens always
+  rebuilds the word byte-for-byte (merges only ever join adjacent
+  segments) — pinned by the reassembly pytest.
+
+Reference basis: Sennrich et al. 2016 (public) merge-table BPE; no
+reference-repo analogue (CloudDQ has no tokenizer — clouddq/classes/
+rule_type.py:29-31 stops at REGEX).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from functools import lru_cache
+
+import pandas as pd
+
+SENT_L = "\x02"
+SENT_R = "\x03"
+
+#: Number of merges in the embedded artifact.
+N_MERGES = 64
+
+
+def _words(text: str) -> list[str]:
+    """Whitespace words, empty-filtered — the same token semantics as
+    functions/text.tokens / oracle_fragments.sql_tokens."""
+    if not text or not text.strip():
+        return []
+    return [w for w in re.split(r"\s+", text.strip()) if w]
+
+
+def train_bpe(texts: list[str], n_merges: int = N_MERGES) -> list[tuple[str, str]]:
+    """Deterministic BPE training: word-frequency-weighted pair counts,
+    highest count wins each round (ties broken by lexicographically
+    smallest pair), merge applied to the working vocabulary, repeat.
+    Plain Python on a driver-side sample — artifact training is offline
+    by design (train on ~10^5 sampled docs, never the corpus)."""
+    vocab: Counter[tuple[str, ...]] = Counter()
+    for t in texts:
+        for w in _words(t or ""):
+            w = w.replace(SENT_L, "").replace(SENT_R, "")
+            if w:
+                vocab[tuple(w)] += 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for seq, freq in vocab.items():
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += freq
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], _neg_lex(kv[0])))[0]
+        merges.append(best)
+        vocab = Counter({_apply_merge(seq, best): f for seq, f in vocab.items()})
+    return merges
+
+
+def _neg_lex(pair: tuple[str, str]):
+    """Max-key helper: higher count first, then lexicographically SMALLEST
+    pair — invert the strings so max() picks the smallest."""
+    return tuple(tuple(-ord(c) for c in s) for s in pair)
+
+
+def _apply_merge(seq: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    """Left-to-right non-overlapping replacement of the pair — identical
+    to what str.replace does on the sentinel encoding."""
+    out: list[str] = []
+    i = 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == pair[0] and seq[i + 1] == pair[1]:
+            out.append(seq[i] + seq[i + 1])
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return tuple(out)
+
+
+# --------------------------------------------------------------- artifact
+
+#: Trained on /root/testdata/sf0.001/documents.parquet text (500 docs) via
+#: regenerate(); regenerate and re-embed if the tokenizer domain changes.
+BPE_MERGES: list[tuple[str, str]] = [
+    ('e', 'r'),
+    ('o', 'r'),
+    ('i', 'n'),
+    ('o', 'w'),
+    ('s', 't'),
+    ('l', 'u'),
+    ('a', 'r'),
+    ('p', 'ar'),
+    ('m', 'er'),
+    ('a', 't'),
+    ('a', 'n'),
+    ('c', 'an'),
+    ('s', 'can'),
+    ('c', 'o'),
+    ('co', 'lu'),
+    ('colu', 'm'),
+    ('colum', 'n'),
+    ('d', 'ow'),
+    ('in', 'dow'),
+    ('w', 'indow'),
+    ('d', 'er'),
+    ('or', 'der'),
+    ('or', 't'),
+    ('s', 'ort'),
+    ('par', 't'),
+    ('u', 'p'),
+    ('a', 'g'),
+    ('ag', 'g'),
+    ('a', 'lu'),
+    ('alu', 'e'),
+    ('v', 'alue'),
+    ('in', 'e'),
+    ('l', 'ine'),
+    ('e', 'y'),
+    ('k', 'ey'),
+    ('j', 'o'),
+    ('jo', 'in'),
+    ('g', 'e'),
+    ('mer', 'ge'),
+    ('er', 'y'),
+    ('g', 'r'),
+    ('gr', 'o'),
+    ('gro', 'up'),
+    ('q', 'u'),
+    ('qu', 'ery'),
+    ('c', 't'),
+    ('ct', 'or'),
+    ('e', 'ctor'),
+    ('v', 'ector'),
+    ('a', 's'),
+    ('as', 'h'),
+    ('h', 'ash'),
+    ('l', 'ow'),
+    ('s', 'low'),
+    ('a', 'm'),
+    ('e', 'am'),
+    ('r', 'eam'),
+    ('st', 'ream'),
+    ('f', 'i'),
+    ('fi', 'l'),
+    ('fil', 't'),
+    ('filt', 'er'),
+    ('a', 'st'),
+    ('f', 'ast'),
+]
+
+
+def regenerate(sample_path: str = "/root/testdata/sf0.001/documents.parquet",
+               n_merges: int = N_MERGES) -> str:
+    """Retrain on the sample and return the repr literal to embed above."""
+    import duckdb
+    texts = [r[0] for r in duckdb.sql(
+        f"select text from '{sample_path}' where text is not null"
+    ).fetchall()]
+    return repr(train_bpe(texts, n_merges))
+
+
+# ---------------------------------------------------------------- encoder
+
+@lru_cache(maxsize=1)
+def _merge_patterns() -> list[tuple[str, str]]:
+    return [(f"{SENT_L}{a}{SENT_R}{SENT_L}{b}{SENT_R}",
+             f"{SENT_L}{a}{b}{SENT_R}") for a, b in BPE_MERGES]
+
+
+@lru_cache(maxsize=1 << 16)
+def encode_word(word: str) -> tuple[str, ...]:
+    """BPE-encode one word → its subword tokens. Memoized: web corpora
+    repeat words heavily, so per-batch distinct-word encoding dominates."""
+    w = word.replace(SENT_L, "").replace(SENT_R, "")
+    s = "".join(f"{SENT_L}{c}{SENT_R}" for c in w)
+    for pat, repl in _merge_patterns():
+        s = s.replace(pat, repl)
+    return tuple(t[:-1] for t in s.split(SENT_L)[1:]) if s else ()
+
+
+def word_token_count(word: str) -> int:
+    return len(encode_word(word))
+
+
+def doc_token_count(text: str | None) -> int:
+    return sum(word_token_count(w) for w in _words(text or ""))
+
+
+def bpe_token_count_column(text_col: str = "text"):
+    """Arrow-vectorized Spark Column: BPE token count per document. A
+    pandas UDF (not per-row Python): each Arrow batch runs the memoized
+    per-distinct-word encoder — the merge table travels in the closure,
+    broadcast once per executor."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def _count(texts: pd.Series) -> pd.Series:
+        return texts.map(doc_token_count).astype("int64")
+
+    return _count(F.col(text_col))

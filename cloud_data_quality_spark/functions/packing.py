@@ -81,14 +81,29 @@ def pack_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    tokenizer: str = "words",
 ) -> DataFrame:
     """(doc_id, bucket, pack_id, pack_seq, pack_pos, n_tokens): greedy
     token packing within hash buckets. ``pack_id = '<bucket>-<seq>'``;
-    ``pack_pos`` is the doc's 0-based position inside its pack."""
+    ``pack_pos`` is the doc's 0-based position inside its pack.
+
+    tokenizer: 'words' measures the budget in whitespace words (pure JVM
+    Column); 'bpe' measures it in subword tokens from the embedded BPE
+    merge artifact (functions/bpe_artifact — Arrow-vectorized pandas UDF,
+    memoized per distinct word) — what a real training pipeline packs by."""
+    if tokenizer == "words":
+        n_tokens = word_count(F.col(text_col))
+    elif tokenizer == "bpe":
+        from cloud_data_quality_spark.functions.bpe_artifact import (
+            bpe_token_count_column)
+        n_tokens = bpe_token_count_column(text_col)
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r} "
+                         "(expected 'words' or 'bpe')")
     base = (df.where(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("doc_id"),
                     _bucket_col(id_col, n_buckets).alias("bucket"),
-                    word_count(F.col(text_col)).alias("n_tokens")))
+                    n_tokens.alias("n_tokens")))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)

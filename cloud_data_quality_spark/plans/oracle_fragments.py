@@ -146,6 +146,33 @@ def sql_extract_text(col: str) -> str:
     return out
 
 
+# BPE token count — generated from the SAME embedded merge table as the
+# Spark/Arrow encoder (functions/bpe_artifact.py). Encoding: each word is
+# exploded to chr(2)||c||chr(3) per character, then the merge chain is a
+# sequence of replace() calls (leftmost non-overlapping in both engines —
+# the exact training-time semantics); token count = remaining chr(2)
+# markers summed over the document's whitespace words.
+def sql_bpe_token_count(col: str) -> str:
+    from cloud_data_quality_spark.functions.bpe_artifact import BPE_MERGES
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    enc = ("array_to_string(list_transform(range(1, length(w) + 1), "
+           "i -> chr(2) || substr(w, i, 1) || chr(3)), '')")
+    for a, b in BPE_MERGES:
+        pat = f"chr(2) || '{q(a)}' || chr(3) || chr(2) || '{q(b)}' || chr(3)"
+        rep = f"chr(2) || '{q(a + b)}' || chr(3)"
+        enc = f"replace({enc}, {pat}, {rep})"
+    toks = sql_tokens(col)
+    stripped = (f"list_transform({toks}, "
+                f"w -> replace(replace(w, chr(2), ''), chr(3), ''))")
+    encoded = f"list_transform({stripped}, w -> {enc})"
+    return (f"coalesce(list_sum(list_transform({encoded}, "
+            f"s -> length(s) - length(replace(s, chr(2), '')))), 0)"
+            f"::BIGINT")
+
+
 def sql_escape_text(col: str) -> str:
     from cloud_data_quality_spark.functions.html_extract import HTML_ENTITIES
     out = col

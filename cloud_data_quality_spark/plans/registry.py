@@ -884,7 +884,7 @@ from ranked where rank <= {k}
 _PACK_BUDGET, _PACK_BUCKETS = 256, 8
 
 
-def q_pack_documents(spark, sf_dir):
+def q_pack_documents(spark, sf_dir, tokenizer: str = "words"):
     """Sequence packing (greedy token-budget packing within md5 hash
     buckets) — the training-data operator downstream of dedup + quality
     filter. Deterministic: bucket and in-bucket order are pure functions of
@@ -892,19 +892,31 @@ def q_pack_documents(spark, sf_dir):
     recursive CTE."""
     from cloud_data_quality_spark.functions.packing import pack_documents
     return pack_documents(_t(spark, sf_dir, "documents"),
-                          budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS) \
+                          budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS,
+                          tokenizer=tokenizer) \
         .select("doc_id", "pack_id",
                 F.col("pack_seq").cast("int").alias("pack_seq"),
                 F.col("pack_pos").cast("int").alias("pack_pos"),
                 F.col("n_tokens").cast("bigint").alias("n_tokens"))
 
 
-ORACLE_PACK_DOCUMENTS = f"""
+def q_pack_documents_bpe(spark, sf_dir):
+    """Sequence packing measured in SUBWORD (BPE) tokens — what a real
+    training pipeline budgets by. The merge-table artifact is embedded in
+    functions/bpe_artifact.py and replayed verbatim by the DuckDB oracle
+    (a chain of replace() calls over a sentinel encoding)."""
+    return q_pack_documents(spark, sf_dir, tokenizer="bpe")
+
+
+def _oracle_pack(tok_expr: str) -> str:
+    """The recursive-CTE greedy-pack replay, parameterized over the
+    token-count expression (whitespace words or BPE subwords)."""
+    return f"""
 with recursive d as (
   select doc_id,
          (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
           % {_PACK_BUCKETS})::INT as bucket,
-         {OF.sql_word_count('text')} as tok
+         {tok_expr} as tok
   from documents where text is not null),
 ordered as (
   select doc_id, bucket, tok,
@@ -927,6 +939,10 @@ select doc_id, bucket::VARCHAR || '-' || pack_seq::VARCHAR as pack_id,
        tok::BIGINT as n_tokens
 from packed
 """
+
+
+ORACLE_PACK_DOCUMENTS = _oracle_pack(OF.sql_word_count("text"))
+ORACLE_PACK_DOCUMENTS_BPE = _oracle_pack(OF.sql_bpe_token_count("text"))
 
 
 def q_events_volume_per_day(spark, sf_dir):
@@ -1647,6 +1663,7 @@ QUERIES = {
     "failed_records_dup_statement": q_failed_records_dup_statement,
     "extract_text_roundtrip": q_extract_text_roundtrip,
     "pack_documents": q_pack_documents,
+    "pack_documents_bpe": q_pack_documents_bpe,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -1695,6 +1712,7 @@ ORACLES = {
     "failed_records_dup_statement": ORACLE_FAILED_RECORDS_DUP_STATEMENT,
     "extract_text_roundtrip": _oracle_extract_text_roundtrip(),
     "pack_documents": ORACLE_PACK_DOCUMENTS,
+    "pack_documents_bpe": ORACLE_PACK_DOCUMENTS_BPE,
     "text_stats": ORACLE_TEXT_STATS,
     "text_langid": ORACLE_TEXT_LANGID,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,

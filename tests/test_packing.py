@@ -86,3 +86,59 @@ class TestPackDocuments:
         plan = pack_documents(docs, budget=256, n_buckets=8)._jdf \
             .queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+
+class TestBpeArtifact:
+    """Embedded BPE merge artifact: encoder invariants + artifact freshness."""
+
+    def test_reassembly_exact(self):
+        from cloud_data_quality_spark.functions.bpe_artifact import encode_word
+        for w in ["stream", "window-scan", "α-β", "a", "", "partition",
+                  "querying", "x" * 50, "fastfilter"]:
+            toks = encode_word(w)
+            assert "".join(toks) == w.replace("\x02", "").replace("\x03", "")
+
+    def test_train_deterministic_and_artifact_fresh(self):
+        """Retraining on the pinned sample reproduces the embedded table —
+        the same freshness pin as the IVF centroid artifact."""
+        import duckdb
+        from cloud_data_quality_spark.functions.bpe_artifact import (
+            BPE_MERGES, N_MERGES, train_bpe)
+        texts = [r[0] for r in duckdb.sql(
+            "select text from '/root/testdata/sf0.001/documents.parquet' "
+            "where text is not null").fetchall()]
+        assert train_bpe(texts, N_MERGES) == BPE_MERGES
+        assert train_bpe(texts, N_MERGES) == train_bpe(list(texts), N_MERGES)
+
+    def test_doc_count_matches_sequential_merge_replay(self):
+        """doc_token_count == applying each merge left-to-right on the raw
+        character sequence (the training-time evolution)."""
+        from cloud_data_quality_spark.functions.bpe_artifact import (
+            BPE_MERGES, _apply_merge, _words, doc_token_count)
+        text = "fast stream filter partition window querying merge-sort value"
+        expect = 0
+        for w in _words(text):
+            seq = tuple(w)
+            for pair in BPE_MERGES:
+                seq = _apply_merge(seq, pair)
+            expect += len(seq)
+        assert doc_token_count(text) == expect
+
+    def test_bpe_counts_le_char_counts_and_null_safe(self):
+        from cloud_data_quality_spark.functions.bpe_artifact import (
+            doc_token_count)
+        assert doc_token_count(None) == 0
+        assert doc_token_count("   ") == 0
+        t = "the stream filters fast"
+        assert 0 < doc_token_count(t) <= sum(len(w) for w in t.split())
+
+    def test_pack_bpe_arrow_column_matches_python(self, spark):
+        from cloud_data_quality_spark.functions.bpe_artifact import (
+            bpe_token_count_column, doc_token_count)
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").limit(100)
+        got = {r["doc_id"]: r["n"] for r in docs.select(
+            "doc_id", bpe_token_count_column("text").alias("n")).collect()}
+        want = {r["doc_id"]: doc_token_count(r["text"])
+                for r in docs.select("doc_id", "text").collect()}
+        assert got == want
