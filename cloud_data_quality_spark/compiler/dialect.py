@@ -41,42 +41,11 @@ _DATE_FMT = {
 }
 
 
-def _parse_date(m: re.Match) -> str:
-    fmt = _DATE_FMT.get(m.group(1), m.group(1))
-    return f"to_date({m.group(2)}, '{fmt}')"
-
-
-def _parse_timestamp(m: re.Match) -> str:
-    fmt = _DATE_FMT.get(m.group(1), m.group(1))
-    return f"to_timestamp({m.group(2)}, '{fmt}')"
-
-
 _RULES: list[tuple[re.Pattern, object]] = [
-    # REGEXP_CONTAINS(x, 'p') → x RLIKE 'p'   (balanced-paren-free args only)
-    (re.compile(r"REGEXP_CONTAINS\s*\(\s*([^,]+?)\s*,\s*(r?)('(?:[^'\\]|\\.)*')\s*\)",
-                re.IGNORECASE),
-     lambda m: f"({m.group(1)} RLIKE {m.group(3)})"),
+    # name-only rewrites (argument-shape-agnostic, safe under nesting)
     (re.compile(r"\bCOUNTIF\s*\(", re.IGNORECASE), "count_if("),
     (re.compile(r"\bSAFE_DIVIDE\s*\(", re.IGNORECASE), "try_divide("),
     (re.compile(r"\bIFNULL\s*\(", re.IGNORECASE), "coalesce("),
-    (re.compile(r"PARSE_DATE\s*\(\s*'([^']+)'\s*,\s*([^)]+?)\s*\)", re.IGNORECASE),
-     _parse_date),
-    (re.compile(r"PARSE_TIMESTAMP\s*\(\s*'([^']+)'\s*,\s*([^)]+?)\s*\)", re.IGNORECASE),
-     _parse_timestamp),
-    # TIMESTAMP_SUB(ts, INTERVAL n UNIT) → (ts - INTERVAL n UNIT)
-    (re.compile(r"(?:TIMESTAMP|DATETIME)_SUB\s*\(\s*([^,]+?)\s*,\s*INTERVAL\s+(\d+)\s+(\w+)\s*\)",
-                re.IGNORECASE),
-     lambda m: f"({m.group(1)} - INTERVAL {m.group(2)} {m.group(3)})"),
-    (re.compile(r"DATE_SUB\s*\(\s*([^,]+?)\s*,\s*INTERVAL\s+(\d+)\s+DAY\s*\)",
-                re.IGNORECASE),
-     lambda m: f"date_sub({m.group(1)}, {m.group(2)})"),
-    (re.compile(r"DATE_ADD\s*\(\s*([^,]+?)\s*,\s*INTERVAL\s+(\d+)\s+DAY\s*\)",
-                re.IGNORECASE),
-     lambda m: f"date_add({m.group(1)}, {m.group(2)})"),
-    # BQ: TIMESTAMP_TRUNC(ts, DAY) / DATE_TRUNC(d, MONTH) → date_trunc('DAY', ts)
-    (re.compile(r"(?:TIMESTAMP|DATE)_TRUNC\s*\(\s*([^,]+?)\s*,\s*(\w+)\s*\)",
-                re.IGNORECASE),
-     lambda m: f"date_trunc('{m.group(2).upper()}', {m.group(1)})"),
     (re.compile(r"CAST\s*\(\s*'inf'\s+AS\s+FLOAT64\s*\)", re.IGNORECASE),
      "CAST('Infinity' AS DOUBLE)"),
     (re.compile(r"\bFLOAT64\b", re.IGNORECASE), "DOUBLE"),
@@ -89,19 +58,189 @@ _RULES: list[tuple[re.Pattern, object]] = [
     (re.compile(r"\bENDS_WITH\s*\(", re.IGNORECASE), "endswith("),
     (re.compile(r"\bLOGICAL_AND\s*\(", re.IGNORECASE), "bool_and("),
     (re.compile(r"\bLOGICAL_OR\s*\(", re.IGNORECASE), "bool_or("),
+]
+
+
+# --------------------------------------------------------------------------
+# Multi-argument call rewrites — paren/quote-balance scanned, NOT regex
+# argument matching: nested calls (TIMESTAMP_DIFF(a, COALESCE(b, c), DAY))
+# and string literals containing commas/parens split correctly. A call whose
+# argument shape a renderer doesn't recognize is left UNTRANSLATED (its
+# arguments still recursively rewritten), so Spark fails loudly with the
+# original BQ function name instead of executing mangled SQL.
+# --------------------------------------------------------------------------
+
+_INTERVAL_ARG = re.compile(r"^INTERVAL\s+(\d+)\s+(\w+)$", re.IGNORECASE)
+_WORD_ARG = re.compile(r"^\w+$")
+_SIMPLE_LIT = re.compile(r"^r?('(?:[^'\\]|\\.)*')$", re.IGNORECASE)
+
+
+def _lit(arg: str) -> str | None:
+    """Inner text of a plain (optionally r-prefixed) string literal, else None."""
+    m = _SIMPLE_LIT.match(arg.strip())
+    return m.group(1)[1:-1] if m else None
+
+
+def _r_regexp_contains(args: list[str]) -> str | None:
+    # REGEXP_CONTAINS(x, 'p') → (x RLIKE 'p'); non-literal patterns stay BQ
+    if len(args) != 2 or _lit(args[1]) is None:
+        return None
+    pat = args[1].strip()
+    if pat[0] in "rR":  # Spark has no r'' literals; the shim layer below
+        pat = pat[1:]   # (RE2→Java) already handles dialect differences
+    return f"({args[0]} RLIKE {pat})"
+
+
+def _r_parse(fn: str):
+    def render(args: list[str]) -> str | None:
+        fmt = _lit(args[0]) if len(args) == 2 else None
+        if fmt is None:
+            return None
+        return f"{fn}({args[1]}, '{_DATE_FMT.get(fmt, fmt)}')"
+    return render
+
+
+def _r_ts_sub(args: list[str]) -> str | None:
+    # TIMESTAMP_SUB(ts, INTERVAL n UNIT) → (ts - INTERVAL n UNIT)
+    m = _INTERVAL_ARG.match(args[1].strip()) if len(args) == 2 else None
+    return f"({args[0]} - INTERVAL {m.group(1)} {m.group(2)})" if m else None
+
+
+def _r_date_addsub(fn: str):
+    def render(args: list[str]) -> str | None:
+        m = _INTERVAL_ARG.match(args[1].strip()) if len(args) == 2 else None
+        if not m or m.group(2).upper() != "DAY":
+            return None
+        return f"{fn}({args[0]}, {m.group(1)})"
+    return render
+
+
+def _r_trunc(args: list[str]) -> str | None:
+    # BQ: TIMESTAMP_TRUNC(ts, DAY) → date_trunc('DAY', ts)
+    if len(args) != 2 or not _WORD_ARG.match(args[1].strip()):
+        return None
+    return f"date_trunc('{args[1].strip().upper()}', {args[0]})"
+
+
+def _r_ts_diff(args: list[str]) -> str | None:
     # BQ TIMESTAMP_DIFF(a, b, UNIT) = a - b in UNITs;
     # Spark timestampdiff(UNIT, start, end) = end - start → swap the args
-    (re.compile(r"(?:TIMESTAMP|DATETIME)_DIFF\s*\(\s*([^,]+?)\s*,\s*([^,]+?)\s*,\s*(\w+)\s*\)",
-                re.IGNORECASE),
-     lambda m: f"timestampdiff({m.group(3).upper()}, {m.group(2)}, {m.group(1)})"),
-    (re.compile(r"\bDATE_DIFF\s*\(\s*([^,]+?)\s*,\s*([^,]+?)\s*,\s*DAY\s*\)",
-                re.IGNORECASE),
-     lambda m: f"datediff({m.group(1)}, {m.group(2)})"),
-    (re.compile(r"FORMAT_(?:DATE|TIMESTAMP)\s*\(\s*'([^']+)'\s*,\s*([^)]+?)\s*\)",
-                re.IGNORECASE),
-     lambda m: f"date_format({m.group(2)}, "
-               f"'{_DATE_FMT.get(m.group(1), m.group(1))}')"),
-]
+    if len(args) != 3 or not _WORD_ARG.match(args[2].strip()):
+        return None
+    return f"timestampdiff({args[2].strip().upper()}, {args[1]}, {args[0]})"
+
+
+def _r_date_diff(args: list[str]) -> str | None:
+    if len(args) != 3 or args[2].strip().upper() != "DAY":
+        return None
+    return f"datediff({args[0]}, {args[1]})"
+
+
+def _r_format(args: list[str]) -> str | None:
+    fmt = _lit(args[0]) if len(args) == 2 else None
+    if fmt is None:
+        return None
+    return f"date_format({args[1]}, '{_DATE_FMT.get(fmt, fmt)}')"
+
+
+_CALL_RENDER: dict[str, object] = {
+    "REGEXP_CONTAINS": _r_regexp_contains,
+    "PARSE_DATE": _r_parse("to_date"),
+    "PARSE_TIMESTAMP": _r_parse("to_timestamp"),
+    "TIMESTAMP_SUB": _r_ts_sub,
+    "DATETIME_SUB": _r_ts_sub,
+    "DATE_SUB": _r_date_addsub("date_sub"),
+    "DATE_ADD": _r_date_addsub("date_add"),
+    "TIMESTAMP_TRUNC": _r_trunc,
+    "DATE_TRUNC": _r_trunc,
+    "TIMESTAMP_DIFF": _r_ts_diff,
+    "DATETIME_DIFF": _r_ts_diff,
+    "DATE_DIFF": _r_date_diff,
+    "FORMAT_DATE": _r_format,
+    "FORMAT_TIMESTAMP": _r_format,
+}
+
+_CALL_OPEN = re.compile(
+    r"\b(" + "|".join(_CALL_RENDER) + r")\s*\(", re.IGNORECASE)
+
+
+def _skip_string(sql: str, i: int) -> int:
+    """i at an opening quote; return index just past the closing quote.
+    Handles backslash escapes and '' doubling (BQ string semantics)."""
+    n = len(sql)
+    i += 1
+    while i < n:
+        c = sql[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "'":
+            if i + 1 < n and sql[i + 1] == "'":
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    return n
+
+
+def _scan_balanced(sql: str, i: int) -> int | None:
+    """i just past an opening '('; return index just past its match."""
+    depth, n = 1, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return None
+
+
+def _split_args(inner: str) -> list[str]:
+    """Split on top-level commas only (quote- and paren-aware)."""
+    out, start, depth, i, n = [], 0, 0, 0, len(inner)
+    while i < n:
+        c = inner[i]
+        if c == "'":
+            i = _skip_string(inner, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append(inner[start:i].strip())
+            start = i + 1
+        i += 1
+    out.append(inner[start:].strip())
+    return out
+
+
+def _rewrite_calls(sql: str) -> str:
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _CALL_OPEN.search(sql, pos)
+        if not m:
+            break
+        end = _scan_balanced(sql, m.end())
+        if end is None:  # unbalanced — leave the tail untouched
+            break
+        args = [_rewrite_calls(a)
+                for a in _split_args(sql[m.end():end - 1])]
+        rendered = _CALL_RENDER[m.group(1).upper()](args)  # type: ignore[operator]
+        if rendered is None:
+            rendered = f"{m.group(1)}({', '.join(args)})"
+        out.append(sql[pos:m.start()])
+        out.append(rendered)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 _UNNEST_OPEN = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
@@ -205,6 +344,7 @@ def bq_to_spark_sql(sql: str) -> str:
     """Rewrite the BQ-SQL subset used by the reference rule library to Spark SQL."""
     out = _rewrite_unnest(sql)
     out = _DOTTED_IDENT.sub(_split_dotted, out)
+    out = _rewrite_calls(out)
     for pat, repl in _RULES:
         out = pat.sub(repl, out)  # type: ignore[arg-type]
     return out

@@ -61,6 +61,12 @@ from cloud_data_quality_spark.functions.batch_registry import get_batch_function
 EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
 
+def _aware_utc(ts: datetime) -> datetime:
+    """collect() hands back tz-naive timestamps (session tz is pinned UTC);
+    normalize so watermark values compare/format consistently with EPOCH."""
+    return ts if ts.tzinfo else ts.replace(tzinfo=timezone.utc)
+
+
 @dataclass
 class RunResult:
     invocation_id: str
@@ -203,7 +209,36 @@ class DqEngine:
             .agg(F.coalesce(F.max("execution_ts"), F.lit(EPOCH)).alias("hwm"))
             .collect()[0]
         )
-        return row["hwm"] or EPOCH
+        return _aware_utc(row["hwm"] or EPOCH)
+
+    def high_watermarks(
+        self, bindings: list[CompiledBinding],
+    ) -> dict[tuple[str, str], datetime]:
+        """Batched watermark lookup: ONE groupBy job over the summary store
+        for every incremental binding in the run. A run with hundreds of
+        incremental bindings previously launched one scalar agg job each
+        over the same summary; driver job-submission latency dominated.
+        Same sink-routed read and EPOCH semantics as high_watermark()."""
+        keys = {(b.rule_binding_id, b.table_name)
+                for b in bindings if b.incremental_column}
+        out = {k: EPOCH for k in keys}
+        if not keys or self.summary_sink is None \
+                or not self.summary_sink.exists(self.spark):
+            return out
+        summary = self.summary_sink.read(self.spark, deduped=False)
+        rows = (
+            summary.where(F.col("progress_watermark") == True)  # noqa: E712
+            .where(F.col("rule_binding_id").isin(
+                sorted({k[0] for k in keys})))
+            .groupBy("rule_binding_id", "table_id")
+            .agg(F.max("execution_ts").alias("hwm"))
+            .collect()
+        )
+        for r in rows:
+            k = (r["rule_binding_id"], r["table_id"])
+            if k in out and r["hwm"] is not None:
+                out[k] = _aware_utc(r["hwm"])
+        return out
 
     # ---------- per-binding plan ----------
 
@@ -238,13 +273,19 @@ class DqEngine:
         incremental: bool = False,
         write_failed_records: bool = False,
         last_modified: datetime | None = None,
+        hwm: datetime | None = None,
     ) -> list[dict]:
-        """Execute one compiled binding → list of summary-row dicts."""
+        """Execute one compiled binding → list of summary-row dicts.
+        ``hwm``: precomputed watermark from high_watermarks() (run() batches
+        the lookup); None → look it up individually."""
         spark = self.spark
         if df is None:
             df = self.read_entity(binding)
-        hwm = self.high_watermark(binding) if (
-            incremental and binding.incremental_column) else None
+        if incremental and binding.incremental_column:
+            if hwm is None:
+                hwm = self.high_watermark(binding)
+        else:
+            hwm = None
         filtered = binding.filter_df(df, high_watermark=hwm, current_ts=execution_ts
                                      if hwm is not None else None)
 
@@ -503,6 +544,9 @@ class DqEngine:
                                 environment_target=self.environment_target)
             by_entity.setdefault(b.table_name + "|" + b.source_format, []).append(b)
 
+        hwms = self.high_watermarks(
+            [b for g in by_entity.values() for b in g]) if incremental else {}
+
         def run_group(bindings: list[CompiledBinding]) -> list[dict]:
             df = self.read_entity(bindings[0])
             out: list[dict] = []
@@ -516,6 +560,7 @@ class DqEngine:
                     incremental=incremental,
                     write_failed_records=write_failed_records,
                     last_modified=self.entity_last_modified(binding),
+                    hwm=hwms.get((binding.rule_binding_id, binding.table_name)),
                 ))
             return out
 

@@ -35,7 +35,6 @@ rule_type.py:29-31 stops at REGEX).
 
 from __future__ import annotations
 
-import re
 from collections import Counter
 from functools import lru_cache
 
@@ -50,10 +49,10 @@ N_MERGES = 64
 
 def _words(text: str) -> list[str]:
     """Whitespace words, empty-filtered — the same token semantics as
-    functions/text.tokens / oracle_fragments.sql_tokens."""
-    if not text or not text.strip():
-        return []
-    return [w for w in re.split(r"\s+", text.strip()) if w]
+    functions/text.tokens / oracle_fragments.sql_tokens (ASCII \\s;
+    Python-level re \\s would also split on Unicode whitespace)."""
+    from cloud_data_quality_spark.functions.text import py_tokens
+    return py_tokens(text)
 
 
 def train_bpe(texts: list[str], n_merges: int = N_MERGES) -> list[tuple[str, str]]:

@@ -313,9 +313,14 @@ def repetition_fractions_batch(texts: pd.Series, n: int = 2) -> pd.DataFrame:
     callers round Spark-side). Docs with fewer than n words: n_grams=0,
     NULL fractions."""
     from collections import Counter
+
+    from cloud_data_quality_spark.functions.text import py_tokens
     n_grams, top_f, dup_f = [], [], []
     for t in texts:
-        toks = t.split() if isinstance(t, str) and t.strip() else []
+        # py_tokens — NOT str.split(): str.split also breaks on Unicode
+        # whitespace (NBSP etc.) that Java/DuckDB \s does not, so docs with
+        # non-ASCII whitespace would disagree with tokens()/sql_tokens.
+        toks = py_tokens(t) if isinstance(t, str) else []
         if len(toks) < n:
             n_grams.append(0)
             top_f.append(None)

@@ -38,12 +38,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # (?s): dot matches newlines — multi-line script/style/head blocks.
-# Non-greedy bodies so adjacent blocks don't merge. Identical semantics in
-# Java regex (Spark) and RE2 (DuckDB): no backreferences, no lookaround.
+# (?i): real-world captures use <SCRIPT>/<Style>/<HEAD> freely; without it
+# only the tags were stripped (by the final <[^>]*> rule) and the block
+# CONTENTS leaked into extracted text. Non-greedy bodies so adjacent blocks
+# don't merge. Identical semantics in Java regex (Spark) and RE2 (DuckDB):
+# no backreferences, no lookaround; both support inline (?si).
 HTML_STRIP_PATTERNS: tuple[str, ...] = (
-    r"(?s)<head[^>]*>.*?</head>",
-    r"(?s)<script[^>]*>.*?</script>",
-    r"(?s)<style[^>]*>.*?</style>",
+    r"(?si)<head[^>]*>.*?</head>",
+    r"(?si)<script[^>]*>.*?</script>",
+    r"(?si)<style[^>]*>.*?</style>",
     r"(?s)<!--.*?-->",
     r"<[^>]*>",
 )

@@ -14,6 +14,8 @@ used by the correctness oracle, so expressions stick to the portable subset
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -34,14 +36,37 @@ def tokens(col: Column) -> Column:
     trailing separators in rejoined text. sql_tokens applies the matching
     list_filter."""
     trimmed = F.trim(col)
+    # explicit ASCII class == Java \s exactly; spelled out because RE2
+    # (the oracle engine) defines \s WITHOUT \x0B — the explicit class is
+    # the one whitespace definition both engines execute identically
     raw = F.when(F.coalesce(F.length(trimmed), F.lit(0)) == 0,
                  F.array().cast("array<string>")
-                 ).otherwise(F.split(trimmed, r"\s+"))
+                 ).otherwise(F.split(trimmed, r"[\t\n\x0B\f\r ]+"))
     return F.filter(raw, lambda t: F.length(t) > 0)
 
 
 def word_count(col: Column) -> Column:
     return F.size(tokens(col)).cast("bigint")
+
+
+# Java regex \s (what Spark's split uses) is ASCII: [ \t\n\x0B\f\r].
+# Python's str.split() and re's \s are Unicode-aware (NBSP,  , the
+# \x1c-\x1f separators, ...), so a naive Python twin diverges from the
+# Column path on non-ASCII whitespace. Every Python/Arrow-side tokenizer
+# must go through py_tokens (or correct str.split rows flagged by
+# PY_ONLY_WS_RE) to stay byte-parity with tokens()/sql_tokens.
+JAVA_WS_RE = re.compile(r"[\t\n\x0b\f\r ]+")
+#: chars where Python str.split() splits but Java \s does not
+PY_ONLY_WS_RE = re.compile(
+    "[\x1c-\x1f\x85\xa0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]")
+
+
+def py_tokens(text: str | None) -> list[str]:
+    """Exact Python twin of tokens()/sql_tokens: ASCII-whitespace split,
+    empty-filtered. See JAVA_WS_RE for why str.split() is wrong."""
+    if not text:
+        return []
+    return [w for w in JAVA_WS_RE.split(text) if w]
 
 
 def char_count(col: Column) -> Column:

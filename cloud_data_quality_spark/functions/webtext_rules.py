@@ -30,6 +30,8 @@ from cloud_data_quality_spark.functions.text import (
     EN_STOPWORDS,
     ES_MARKERS,
     FR_MARKERS,
+    PY_ONLY_WS_RE,
+    py_tokens,
 )
 from cloud_data_quality_spark.functions.scrub import SCRUB_PATTERNS, TOXICITY_WORDS
 
@@ -49,6 +51,19 @@ _CJK_RE = re.compile("[一-鿿]")
 _LANG_PRIORITY = ["en", "es", "fr", "de"]  # deterministic tie-break
 
 
+def _java_ws_token_lists(s: pd.Series) -> pd.Series:
+    """Vectorized str.split() with per-row correction on the (rare) rows
+    where Python's Unicode whitespace diverges from Java \\s — keeps the
+    fast path for ASCII web text while staying byte-parity with
+    functions/text.tokens (the Column path) and sql_tokens (the oracle)."""
+    tok_lists = s.str.split()
+    mask = s.str.contains(PY_ONLY_WS_RE, na=False)
+    if mask.any():
+        tok_lists = tok_lists.copy()
+        tok_lists[mask] = s[mask].map(py_tokens)
+    return tok_lists
+
+
 def _tokenized_marker_scores(s: pd.Series) -> dict[str, np.ndarray]:
     """Occurrence count of each language's marker words over whitespace
     tokens, via one split + factorize + bincount (token membership — the
@@ -56,7 +71,7 @@ def _tokenized_marker_scores(s: pd.Series) -> dict[str, np.ndarray]:
     matching, which differs on punctuation-adjacent tokens)."""
     import itertools
     n = len(s)
-    tok_lists = s.str.split()
+    tok_lists = _java_ws_token_lists(s)
     lens = tok_lists.map(len).to_numpy(dtype=np.int64)
     total = int(lens.sum())
     if not total:
@@ -340,15 +355,13 @@ def perplexity_below(texts: pd.Series, params: dict) -> pd.Series:
 
 # ----------------------------------------------------- C4/Gopher heuristics
 
-_WS_RE = re.compile(r"\s+")
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 _STOP_RE = _MARKER_RE["en"]
 
 
 def gopher_stats_batch(texts: pd.Series) -> pd.DataFrame:
     t = texts.fillna("")
-    toks = t.str.split(_WS_RE)
-    toks = toks.map(lambda xs: [x for x in xs if x])
+    toks = _java_ws_token_lists(t)
     n_words = toks.map(len)
     n_chars_words = toks.map(lambda xs: sum(len(x) for x in xs))
     n_distinct = toks.map(lambda xs: len(set(xs)))
@@ -397,10 +410,6 @@ _SCRUB_STEPS = [(re.compile(p), repl) for _, p, repl in SCRUB_PATTERNS] + [
 ]
 
 
-_NONSPACE_RE = re.compile(r"\S")
-_TOKEN_RE = re.compile(r"\S+")
-
-
 def quality_annotations_batch(texts: pd.Series, thresholds=None,
                               with_perplexity: bool = True) -> pd.DataFrame:
     """All quality features + verdict for a batch, vectorized.
@@ -424,7 +433,7 @@ def quality_annotations_batch(texts: pd.Series, thresholds=None,
     # over the factorized token stream — replaces five regex passes that
     # dominated the profile (langid alone was ~35% of batch time)
     import itertools
-    tok_lists = s.str.split()
+    tok_lists = _java_ws_token_lists(s)
     lens = tok_lists.map(len).to_numpy(dtype=np.int64)
     total = int(lens.sum())
     n_words = pd.Series(lens, index=idx)

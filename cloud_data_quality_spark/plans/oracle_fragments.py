@@ -28,13 +28,24 @@ def sql_list(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+def sql_trim(col: str) -> str:
+    """Spark's trim() strips SPACES only; DuckDB's default trim strips
+    Unicode whitespace (NBSP etc.) — pin the char set explicitly."""
+    return f"trim({col}, ' ')"
+
+
+#: the one whitespace definition both engines run identically: Java \s
+#: includes \x0B, RE2 \s does not, so both sides spell the class out
+SQL_WS_CLASS = r"[\t\n\x0b\f\r ]+"
+
+
 def sql_tokens(col: str) -> str:
     # list_filter mirrors tokens()'s empty-token filter (trim strips spaces
     # only, so trailing newlines would otherwise yield a phantom '' token)
-    return (f"case when length(trim({col})) = 0 or {col} is null "
+    return (f"case when length({sql_trim(col)}) = 0 or {col} is null "
             f"then []::VARCHAR[] "
-            f"else list_filter(regexp_split_to_array(trim({col}), '\\s+'), "
-            f"t -> t != '') end")
+            f"else list_filter(regexp_split_to_array({sql_trim(col)}, "
+            f"'{SQL_WS_CLASS}'), t -> t != '') end")
 
 
 def sql_word_count(col: str) -> str:
@@ -100,7 +111,7 @@ def sql_langid(col: str) -> str:
 
 
 def sql_fingerprint(col: str) -> str:
-    return f"md5(lower(trim({col})))"
+    return f"md5(lower({sql_trim(col)}))"
 
 
 def sql_word_shingles(col: str, n: int = 3) -> str:

@@ -638,7 +638,7 @@ def q_dedup_exact_prefix(spark, sf_dir):
 
 
 ORACLE_DEDUP_EXACT_PREFIX = """
-select md5(lower(trim(substr(text, 1, 40)))) as fp, count(*)::BIGINT as dup_count,
+select md5(lower(trim(substr(text, 1, 40), ' '))) as fp, count(*)::BIGINT as dup_count,
        array_to_string(list_sort(list(doc_id))[1:10], ',') as sample_ids
 from documents group by 1 having count(*) > 1
 """
@@ -1342,8 +1342,8 @@ spans as (
   select doc_id, g.i - 1 as pos,
          array_to_string(words[(g.i-1)*3+1:(g.i-1)*3+3], ' ') as span
   from s0 cross join unnest(generate_series(1, ((len(words)+2)//3)::INT)) as g(i)),
-nz as (select doc_id, pos, span, md5(lower(trim(span))) as fp
-       from spans where length(trim(span)) > 0),
+nz as (select doc_id, pos, span, md5(lower(trim(span, ' '))) as fp
+       from spans where length(trim(span, ' ')) > 0),
 flagged as (select *,
                    (row_number() over (partition by fp
                                        order by doc_id, pos)) = 1 as kept
@@ -1372,9 +1372,9 @@ def q_decontaminate_docs(spark, sf_dir):
 ORACLE_DECONTAMINATE_DOCS = f"""
 with d as (select doc_id, {OF.sql_word_shingles('text', 4)} as sh
            from documents),
-bench as (select distinct md5(lower(trim(u.s))) as h
+bench as (select distinct md5(lower(trim(u.s, ' '))) as h
           from d cross join unnest(sh) as u(s) where doc_id % 50 = 0),
-corpus_sh as (select doc_id, md5(lower(trim(u.s))) as h
+corpus_sh as (select doc_id, md5(lower(trim(u.s, ' '))) as h
               from d cross join unnest(sh) as u(s) where doc_id % 50 != 0),
 hits as (select doc_id, count(*)::BIGINT as n_contaminated
          from corpus_sh where h in (select h from bench) group by doc_id)
@@ -1434,7 +1434,7 @@ def q_incremental_dedup_docs(spark, sf_dir):
 
 
 ORACLE_INCREMENTAL_DEDUP_DOCS = """
-with w as (select doc_id, md5(lower(trim(substr(text, 1, 40)))) as fp
+with w as (select doc_id, md5(lower(trim(substr(text, 1, 40), ' '))) as fp
            from documents),
 seen as (select distinct fp from w where doc_id % 7 = 0),
 canon as (select fp, min(doc_id) as doc_id from w group by fp)

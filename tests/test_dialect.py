@@ -147,3 +147,36 @@ def test_user_authored_functions_execute(spark):
         "FORMAT_DATE('%Y%m', DATE '2026-03-05') AS f")).collect()[0]
     assert row["a"] is None and row["b"] == 2 and row["c"] is True
     assert row["d"] == 24 and row["e"] == 3 and row["f"] == "202603"
+
+
+def test_nested_call_arguments_balanced():
+    """ADVICE r3: [^,]+? argument matching mangled nested calls. The
+    balanced scanner must split on top-level commas only."""
+    from cloud_data_quality_spark.compiler.dialect import bq_to_spark_sql
+    assert bq_to_spark_sql(
+        "TIMESTAMP_DIFF(a, COALESCE(b, c), DAY)") == \
+        "timestampdiff(DAY, COALESCE(b, c), a)"
+    assert bq_to_spark_sql(
+        "DATE_DIFF(GREATEST(d1, d2), LEAST(d1, d2), DAY)") == \
+        "datediff(GREATEST(d1, d2), LEAST(d1, d2))"
+    assert bq_to_spark_sql("FORMAT_DATE('%Y%m', COALESCE(d, e))") == \
+        "date_format(COALESCE(d, e), 'yyyyMM')"
+    # literal containing a comma must not split the args
+    assert bq_to_spark_sql("REGEXP_CONTAINS(x, '^[a,b]+$')") == \
+        "(x RLIKE '^[a,b]+$')"
+    # nested translatable call inside an argument is rewritten too
+    assert bq_to_spark_sql(
+        "TIMESTAMP_TRUNC(TIMESTAMP_SUB(ts, INTERVAL 1 DAY), DAY)") == \
+        "date_trunc('DAY', (ts - INTERVAL 1 DAY))"
+
+
+def test_unrecognized_shape_left_untranslated():
+    """Wrong arity / non-literal format → keep the BQ name (Spark will fail
+    loudly) but still rewrite the arguments."""
+    from cloud_data_quality_spark.compiler.dialect import bq_to_spark_sql
+    assert bq_to_spark_sql("TIMESTAMP_DIFF(a, b)") == "TIMESTAMP_DIFF(a, b)"
+    assert bq_to_spark_sql("FORMAT_DATE(fmt_col, d)") == \
+        "FORMAT_DATE(fmt_col, d)"
+    assert bq_to_spark_sql("DATE_DIFF(a, b, MONTH)") == "DATE_DIFF(a, b, MONTH)"
+    assert bq_to_spark_sql("FORMAT_DATE(fmt_col, IFNULL(a, b))") == \
+        "FORMAT_DATE(fmt_col, coalesce(a, b))"

@@ -117,6 +117,28 @@ class TestIncremental:
                   "success_percentage", "failed_percentage", "null_percentage"):
             assert r2[f] is None, f
 
+    def test_batched_watermarks_match_individual(
+            self, spark, contact_registry, tmp_path):
+        """run() batches all bindings' watermark lookups into ONE groupBy
+        job; the batched map must equal per-binding high_watermark() and
+        default unknown/never-run bindings to EPOCH."""
+        from cloud_data_quality_spark.engine.runner import EPOCH
+        engine = DqEngine(spark, contact_registry,
+                          summary_path=str(tmp_path / "dq_summary"),
+                          failed_records_path=str(tmp_path / "fr"))
+        b_inc = compile_binding(contact_registry, "T9_INCREMENTAL")
+        b_dup = compile_binding(contact_registry, "T10_DUP_INCREMENTAL")
+        # before any run: both at EPOCH
+        pre = engine.high_watermarks([b_inc, b_dup])
+        assert set(pre.values()) == {EPOCH}
+        run_bindings(engine, ["T9_INCREMENTAL"], incremental=True)
+        hwms = engine.high_watermarks([b_inc, b_dup])
+        for b in (b_inc, b_dup):
+            assert hwms[(b.rule_binding_id, b.table_name)] == \
+                engine.high_watermark(b), b.rule_binding_id
+        assert hwms[(b_inc.rule_binding_id, b_inc.table_name)] != EPOCH
+        assert hwms[(b_dup.rule_binding_id, b_dup.table_name)] == EPOCH
+
 
 class TestFailedRecords:
     def test_failed_records_lineage(self, engine, spark):

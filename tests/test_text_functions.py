@@ -239,3 +239,62 @@ class TestHtmlExtract:
         plan = pages.select(extract_text(F.col("html")))._jdf \
             .queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestUnicodeWhitespaceParity:
+    """ADVICE r3: Python str.split()/re \\s split on Unicode whitespace
+    (NBSP, \\u2028, \\x1c...) that Java/RE2 \\s does NOT — every Python-side
+    tokenizer must match the Column path byte-for-byte on such text."""
+
+    NASTY = [
+        ("u1", "alpha\xa0beta gamma"),        # NBSP joins alpha+beta
+        ("u2", "one\u2028two\tthree"),        # line sep joins, real tab splits
+        ("u3", "\xa0"),                       # only NBSP -> 1 token
+        ("u4", "a\x1cb c\x0bd"),              # \x1c joins, \x0b splits
+        ("u5", "caf\xe9\u202fno\xebl et d\xe9j\xe0 vu"),  # narrow NBSP joins
+    ]
+
+    def test_py_tokens_matches_column_tokens(self, spark):
+        df = spark.createDataFrame(self.NASTY, "id string, text string")
+        col = {r["id"]: r["v"] for r in
+               df.select("id", TX.tokens(F.col("text")).alias("v")).collect()}
+        for doc_id, t in self.NASTY:
+            assert TX.py_tokens(t) == col[doc_id], (doc_id, t)
+
+    def test_py_tokens_matches_duckdb_sql_tokens(self):
+        import duckdb
+        from cloud_data_quality_spark.plans.oracle_fragments import sql_tokens
+        con = duckdb.connect()
+        con.execute("create table nasty(id varchar, text varchar)")
+        con.executemany("insert into nasty values (?, ?)", self.NASTY)
+        rows = con.execute(
+            f"select id, {sql_tokens('text')} from nasty").fetchall()
+        got = dict(rows)
+        for doc_id, t in self.NASTY:
+            assert TX.py_tokens(t) == got[doc_id], (doc_id, t)
+
+    def test_batch_word_counts_match_column(self, spark):
+        df = spark.createDataFrame(self.NASTY, "id string, text string")
+        col = {r["id"]: r["v"] for r in
+               df.select("id", TX.word_count(F.col("text")).alias("v"))
+               .collect()}
+        s = pd.Series([t for _, t in self.NASTY],
+                      index=[i for i, _ in self.NASTY])
+        batch = gopher_stats_batch(s)["n_words"]
+        for doc_id, _ in self.NASTY:
+            assert batch[doc_id] == col[doc_id], doc_id
+
+    def test_repetition_batch_tokenizes_like_column(self):
+        from cloud_data_quality_spark.functions.corpus import (
+            repetition_fractions_batch)
+        # str.split() would see 6 tokens / 5 bigrams; Java \\s sees the
+        # NBSP-joined tokens ['x\xa0y','x\xa0y','x\xa0y'] -> 2 bigrams
+        s = pd.Series(["x\xa0y x\xa0y x\xa0y"])
+        out = repetition_fractions_batch(s, n=2)
+        assert out["n_grams"][0] == 2
+
+    def test_bpe_words_java_semantics(self):
+        from cloud_data_quality_spark.functions.bpe_artifact import _words
+        assert _words("a\xa0b c") == ["a\xa0b", "c"]
+        assert _words("\xa0") == ["\xa0"]
+        assert _words(" \t ") == []
