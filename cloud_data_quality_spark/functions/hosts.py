@@ -1,0 +1,145 @@
+"""URL-host operators for web-corpus curation: host extraction, blocklist
+filtering, and per-host document caps.
+
+Common-Crawl-style pipelines (C4 §2.1, Gopher A.1.1, RefinedWeb §3.1 — all
+public papers) drop documents from blocklisted domains and cap how many
+documents any single host contributes, both to bound spam/SEO farms and to
+keep the corpus domain-diverse. The north rule's input table carries
+`url:string`; these operators are the missing link between raw captures and
+the quality-filter/dedup ladder.
+
+Scale posture (100 TB / 10^12 docs):
+* `url_host` is a pure Column regexp — narrow, codegen'd, no UDF.
+* Blocklists are small by nature (KBs-MBs of domains): `drop_blocklisted`
+  broadcasts them; the corpus is never shuffled. Suffix semantics
+  (blocking `example.com` also blocks `ads.example.com`) are implemented by
+  exploding each host into its ≤`max_suffix_depth` domain suffixes and
+  broadcast-anti-joining — cost is one narrow explode of a short array per
+  row, not a quadratic match.
+* `cap_per_host` ranks within each host partition (row_number over a
+  host-keyed window). Keys are hosts — bounded fan-in per key in healthy
+  corpora; a pathological mega-host degrades to one spillable sort
+  partition, not an OOM (same posture as span_dedup's hot-span argument).
+  Determinism: rank order is (order_col) ascending, so the kept set is a
+  pure function of the data — replayable by the DuckDB oracle and stable
+  across partitioning/parallelism.
+
+No reference-repo analogue (CloudDQ validates tables, it does not curate
+corpora — clouddq/classes/rule_type.py stops at REGEX/CUSTOM_SQL); the
+operators follow the public C4/Gopher/RefinedWeb recipes re-expressed as
+DataFrame plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: scheme://[userinfo@]HOST[:port][/...] — capture group 1 is the host.
+#: RE2-compatible (no lookaround/backrefs) so the DuckDB oracle replays the
+#: identical pattern; see sql_url_host below.
+URL_HOST_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+#: hosts are at most this many labels deep for suffix blocking purposes;
+#: deeper subdomains still match via their trailing suffixes.
+MAX_SUFFIX_DEPTH = 6
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of a URL (empty string if the URL doesn't parse —
+    matching regexp_extract's no-match contract; callers that want to drop
+    unparseable URLs filter on host != '')."""
+    return F.lower(F.regexp_extract(url, URL_HOST_PATTERN, 1))
+
+
+def sql_url_host(col: str) -> str:
+    """DuckDB twin of url_host — generated from the same pattern constant."""
+    return f"lower(coalesce(regexp_extract({col}, '{URL_HOST_PATTERN}', 1), ''))"
+
+
+def host_suffix_at(host: Column, depth: int) -> Column:
+    """The trailing `depth` labels of the host ('b.c' for 'a.b.c', depth=2);
+    NULL when the host has fewer labels — NULL never equi-joins, so a short
+    host simply can't match deeper suffix rows."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n >= depth, F.array_join(F.slice(parts, n - depth + 1, depth), "."))
+
+
+def drop_blocklisted(
+    df: DataFrame,
+    blocklist: list[str] | DataFrame,
+    url_col: str = "url",
+    *,
+    suffix_match: bool = True,
+    max_suffix_depth: int = MAX_SUFFIX_DEPTH,
+) -> DataFrame:
+    """Drop rows whose URL host is on (or under, with suffix_match) a
+    blocklisted domain. Accepts a Python list (driver-side, small) or a
+    single-column DataFrame (first column = domain) for blocklists already
+    living in a table.
+
+    Plan shape: one broadcast hash ANTI join per suffix depth (≤6) — each
+    probe is narrow, the corpus is never shuffled, duplicate rows survive
+    intact, and there is no corpus-derived broadcast (joining hit-urls back
+    would broadcast data proportional to the BLOCKED corpus — unbounded).
+    A LIKE-based OR join would degrade to BroadcastNestedLoop (rows × |bl|
+    comparisons); the per-depth equality chain keeps every join hashed."""
+    spark = df.sparkSession
+    if isinstance(blocklist, DataFrame):
+        bl = blocklist.select(
+            F.lower(F.col(blocklist.columns[0])).alias("__bl_domain"))
+    else:
+        bl = spark.createDataFrame(
+            [(d.lower(),) for d in blocklist], "__bl_domain string")
+    out = df.withColumn("__bl_host", url_host(F.col(url_col)))
+    depths = range(1, max_suffix_depth + 1) if suffix_match else (None,)
+    for depth in depths:
+        key = (F.col("__bl_host") if depth is None
+               else host_suffix_at(F.col("__bl_host"), depth))
+        out = out.join(F.broadcast(bl), key == bl["__bl_domain"], "left_anti")
+    return out.drop("__bl_host")
+
+
+def drop_blocklisted_exact(
+    df: DataFrame, blocklist: list[str], url_col: str = "url",
+) -> DataFrame:
+    """Exact-host blocklist as a pure narrow filter (no joins at all) —
+    the fastest path when suffix semantics aren't needed and the list is a
+    driver-side Python list: the literal array ships in the plan."""
+    host = url_host(F.col(url_col))
+    arr = F.array(*[F.lit(d.lower()) for d in blocklist])
+    return df.where(~F.array_contains(arr, host))
+
+
+def cap_per_host(
+    df: DataFrame,
+    max_per_host: int,
+    url_col: str = "url",
+    order_col: str | None = None,
+    host_col: str | None = None,
+) -> DataFrame:
+    """Keep at most max_per_host rows per URL host (or per explicit
+    host_col), deterministically: rows rank by order_col ascending (default:
+    the url itself) inside their host. Adds a `host` column to the output.
+
+    One hash-partition shuffle on host; rank is a bounded-key window (never
+    a global Window.orderBy)."""
+    if max_per_host <= 0:
+        raise ValueError("max_per_host must be positive")
+    from pyspark.sql.window import Window
+    host = F.col(host_col) if host_col else url_host(F.col(url_col))
+    order = F.col(order_col) if order_col else F.col(url_col)
+    w = Window.partitionBy("host").orderBy(order.asc())
+    return (df.withColumn("host", host)
+            .withColumn("__host_rank", F.row_number().over(w))
+            .where(F.col("__host_rank") <= max_per_host)
+            .drop("__host_rank"))
+
+
+def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(host, n_docs) — the skew-diagnosis companion: which hosts dominate
+    the corpus (feeds blocklist/cap decisions). One partial-agg shuffle."""
+    return (df.groupBy(url_host(F.col(url_col)).alias("host"))
+            .agg(F.count(F.lit(1)).alias("n_docs")))

@@ -945,6 +945,51 @@ ORACLE_PACK_DOCUMENTS = _oracle_pack(OF.sql_word_count("text"))
 ORACLE_PACK_DOCUMENTS_BPE = _oracle_pack(OF.sql_bpe_token_count("text"))
 
 
+# ------------------------------------------------------- host curation ops
+
+_HOST_BLOCKLIST = ["src1.example.com", "ads.src2.example.com"]
+_HOST_CAP = 25
+#: deterministic URL synthesized from documents columns — doc_id % 7 == 0
+#: rows get an `ads.` subdomain so the SUFFIX semantics of the blocklist
+#: (src1.example.com must also block ads.src1.example.com) are exercised.
+_HOST_URL_SQL = ("'https://' || case when doc_id % 7 = 0 then 'ads.' "
+                 "else '' end || source || '.example.com/d/' || doc_id")
+
+
+def q_host_capped_sample(spark, sf_dir):
+    """Host blocklist (suffix semantics, broadcast anti-joins) + per-host
+    document cap (bounded-key rank) over deterministic URLs synthesized
+    from the documents table — the C4 §2.1 / RefinedWeb §3.1 curation step."""
+    from cloud_data_quality_spark.functions.hosts import (
+        cap_per_host,
+        drop_blocklisted,
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_HOST_URL_SQL).alias("url"))
+    kept = drop_blocklisted(docs, _HOST_BLOCKLIST, suffix_match=True)
+    capped = cap_per_host(kept, _HOST_CAP, order_col="doc_id")
+    return capped.select("doc_id", "host")
+
+
+def _oracle_host_capped_sample() -> str:
+    from cloud_data_quality_spark.functions.hosts import URL_HOST_PATTERN
+    block = " or ".join(
+        f"host = '{d}' or host like '%.{d}'" for d in _HOST_BLOCKLIST)
+    return f"""
+with u as (select doc_id, {_HOST_URL_SQL} as url from documents),
+h as (select doc_id,
+             lower(coalesce(regexp_extract(url, '{URL_HOST_PATTERN}', 1), ''))
+               as host
+      from u),
+keep as (select * from h where not ({block})),
+ranked as (select doc_id, host,
+                  row_number() over (partition by host order by doc_id) as rn
+           from keep)
+select doc_id, host from ranked where rn <= {_HOST_CAP}
+"""
+
+
 def q_events_volume_per_day(spark, sf_dir):
     return (_t(spark, sf_dir, "events")
             .groupBy(F.to_date("ts").alias("day"))
@@ -1701,6 +1746,7 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     "decontaminate_docs": q_decontaminate_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
+    "host_capped_sample": q_host_capped_sample,
 }
 
 ORACLES = {
@@ -1752,4 +1798,5 @@ ORACLES = {
     "ivf_ann": _oracle_ivf_ann(),
     "decontaminate_docs": ORACLE_DECONTAMINATE_DOCS,
     "stratified_sample_docs": _oracle_stratified_sample(),
+    "host_capped_sample": _oracle_host_capped_sample(),
 }

@@ -1,0 +1,126 @@
+"""Host curation: URL parsing, suffix blocklist, per-host caps, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_data_quality_spark.functions.hosts import (
+    cap_per_host,
+    drop_blocklisted,
+    drop_blocklisted_exact,
+    host_stats,
+    url_host,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = [
+        ("https://news.example.com/a", 1),
+        ("https://news.example.com/b", 2),
+        ("https://news.example.com/c", 3),
+        ("http://ads.example.com/x", 4),
+        ("https://EXAMPLE.com/y", 5),             # case-folded host
+        ("https://user:pw@blog.example.org:8080/p?q=1#f", 6),
+        ("ftp://files.example.org/f", 7),
+        ("not a url", 8),
+        ("https://spam.tracker.net/1", 9),
+        ("https://tracker.net/2", 10),
+    ]
+    return spark.createDataFrame(rows, "url string, doc_id int")
+
+
+class TestUrlHost:
+    def test_parses_scheme_userinfo_port_path(self, spark, pages):
+        got = {r["doc_id"]: r["h"] for r in
+               pages.select("doc_id", url_host(F.col("url")).alias("h"))
+               .collect()}
+        assert got[1] == "news.example.com"
+        assert got[5] == "example.com"          # lowercased
+        assert got[6] == "blog.example.org"     # userinfo + port stripped
+        assert got[7] == "files.example.org"    # any scheme
+        assert got[8] == ""                     # unparseable → ''
+
+    def test_sql_twin_matches(self, pages):
+        import duckdb
+        from cloud_data_quality_spark.functions.hosts import sql_url_host
+        rows = [(r["url"], r["doc_id"]) for r in pages.collect()]
+        con = duckdb.connect()
+        con.execute("create table p(url varchar, doc_id int)")
+        con.executemany("insert into p values (?, ?)", rows)
+        duck = dict(con.execute(
+            f"select doc_id, {sql_url_host('url')} from p").fetchall())
+        spark_side = {r["doc_id"]: r["h"] for r in
+                      pages.select("doc_id",
+                                   url_host(F.col("url")).alias("h"))
+                      .collect()}
+        assert duck == spark_side
+
+
+class TestBlocklist:
+    def test_suffix_semantics(self, spark, pages):
+        kept = drop_blocklisted(pages, ["example.com"], suffix_match=True)
+        ids = {r["doc_id"] for r in kept.collect()}
+        # blocks example.com AND every subdomain, nothing else
+        assert ids == {6, 7, 8, 9, 10}
+
+    def test_exact_semantics(self, spark, pages):
+        kept = drop_blocklisted(pages, ["example.com"], suffix_match=False)
+        ids = {r["doc_id"] for r in kept.collect()}
+        assert ids == {1, 2, 3, 4, 6, 7, 8, 9, 10}
+        ids2 = {r["doc_id"] for r in
+                drop_blocklisted_exact(pages, ["example.com"]).collect()}
+        assert ids2 == ids
+
+    def test_dataframe_blocklist_and_case(self, spark, pages):
+        bl = spark.createDataFrame([("TRACKER.net",)], "domain string")
+        kept = drop_blocklisted(pages, bl)
+        ids = {r["doc_id"] for r in kept.collect()}
+        assert 9 not in ids and 10 not in ids and 1 in ids
+
+    def test_duplicate_rows_survive_intact(self, spark):
+        df = spark.createDataFrame(
+            [("https://ok.net/a",)] * 3 + [("https://bad.com/x",)] * 2,
+            "url string")
+        kept = drop_blocklisted(df, ["bad.com"])
+        assert kept.count() == 3  # duplicates preserved, not distinct-ed
+
+    def test_plan_broadcast_anti_no_corpus_shuffle(self, spark, pages):
+        plan = drop_blocklisted(pages, ["example.com"])._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "BroadcastNestedLoop" not in plan
+        # corpus side never exchanges: only BroadcastExchange nodes
+        import re
+        assert not [ln for ln in plan.splitlines()
+                    if re.search(r"\bExchange (hash|range|Single)", ln)]
+
+
+class TestCapPerHost:
+    def test_cap_and_determinism(self, spark, pages):
+        out = cap_per_host(pages, 2, order_col="doc_id")
+        by_host = {}
+        for r in out.collect():
+            by_host.setdefault(r["host"], []).append(r["doc_id"])
+        assert sorted(by_host["news.example.com"]) == [1, 2]  # lowest ids kept
+        # stable across partitioning
+        out2 = cap_per_host(pages.repartition(7), 2, order_col="doc_id")
+        assert sorted(map(tuple, out.select("doc_id", "host").collect())) == \
+            sorted(map(tuple, out2.select("doc_id", "host").collect()))
+
+    def test_rejects_nonpositive_cap(self, pages):
+        with pytest.raises(ValueError):
+            cap_per_host(pages, 0)
+
+    def test_no_global_window(self, spark, pages):
+        plan = cap_per_host(pages, 2)._jdf \
+            .queryExecution().executedPlan().toString()
+        # host-partitioned window: exactly one hash exchange, never a
+        # single-partition (global) exchange
+        assert "SinglePartition" not in plan
+
+    def test_host_stats(self, spark, pages):
+        stats = {r["host"]: r["n_docs"] for r in host_stats(pages).collect()}
+        assert stats["news.example.com"] == 3
+        assert stats[""] == 1
