@@ -184,6 +184,65 @@ def _corpus(args) -> int:
     return 0
 
 
+def _curate(args) -> int:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cloud_data_quality_spark.engine.pipeline import (
+        PipelineStage,
+        ResumableCurationPipeline,
+    )
+    from cloud_data_quality_spark.functions.hosts import (
+        cap_per_host,
+        drop_blocklisted,
+    )
+    from cloud_data_quality_spark.functions.text import fingerprint
+    from cloud_data_quality_spark.operators.quality_filter import (
+        annotate_quality_arrow,
+    )
+    from cloud_data_quality_spark.sources.session import get_spark
+
+    spark = get_spark(app_name="cdq_curate", master=args.master)
+    df = spark.read.parquet(args.input)
+    blocklist = [d for d in args.blocklist.split(",") if d.strip()]
+
+    def quality(d):
+        cols = d.columns
+        return annotate_quality_arrow(d).where("keep").select(*cols)
+
+    def hosts(d):
+        if blocklist:
+            d = drop_blocklisted(d, blocklist, url_col=args.id_col)
+        if args.max_per_host > 0:
+            d = cap_per_host(d, args.max_per_host,
+                             url_col=args.id_col).drop("host")
+        return d
+
+    def dedup(d):
+        w = Window.partitionBy(
+            fingerprint(F.col(args.text_col))).orderBy(args.id_col)
+        return (d.withColumn("__r", F.row_number().over(w))
+                .where("__r = 1").drop("__r"))
+
+    stages = [PipelineStage("quality", quality, kind="partition")]
+    if blocklist or args.max_per_host > 0:
+        stages.append(PipelineStage("hosts", hosts, kind="global"))
+    stages.append(PipelineStage("dedup", dedup, kind="global"))
+
+    pipe = ResumableCurationPipeline(
+        spark, args.work_dir, n_buckets=args.buckets, id_col=args.id_col,
+        partitions_per_commit=args.partitions_per_commit)
+    res = pipe.run(df, stages, run_id=args.run_id)
+    print(json.dumps({
+        "run_id": res.run_id,
+        "stages": [{"name": s.name, "kind": s.kind, "resumed": s.resumed,
+                    "rows_in": s.rows_in, "rows_out": s.rows_out,
+                    "output": s.output_path} for s in res.stages],
+        "rows_out": res.rows_out,
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cloud_data_quality_spark")
     p.add_argument("--master", default=None,
@@ -263,10 +322,28 @@ def main(argv: list[str] | None = None) -> int:
                    help="incremental-dedup: fp-bucketed catalog table name")
     c.add_argument("--buckets", type=int, default=64)
 
+    cu = sub.add_parser(
+        "curate", help="composed resumable pipeline: quality filter → "
+                       "host blocklist+cap → exact dedup (staged, "
+                       "per-partition lineage, restart-safe)")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--work-dir", required=True,
+                    help="stage outputs + shared lineage live here; rerun "
+                         "with the same --run-id to resume")
+    cu.add_argument("--run-id", required=True)
+    cu.add_argument("--buckets", type=int, default=64)
+    cu.add_argument("--id-col", default="url")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--blocklist", default="",
+                    help="comma-separated blocked domains (suffix match)")
+    cu.add_argument("--max-per-host", type=int, default=0,
+                    help="cap docs per URL host (0 = no cap)")
+    cu.add_argument("--partitions-per-commit", type=int, default=None)
+
     args = p.parse_args(argv)
     args.master = getattr(args, "master", None)
     return {"validate": _validate, "quality-filter": _quality_filter,
-            "corpus": _corpus}[args.cmd](args)
+            "corpus": _corpus, "curate": _curate}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,220 @@
+"""Composed resumable curation pipeline: extract → filter → curate → dedup
+→ pack as ONE restartable run.
+
+The north rule asks for a killed run to "resume from checkpoint with
+per-partition lineage"; engine/incremental.py provides that for a single
+transform. Real corpus builds are multi-STAGE — each stage a different
+operator family with different resume semantics:
+
+* ``partition`` stages (extract, quality filter, scrub, per-doc scoring,
+  packing within buckets) are embarrassingly partition-parallel →
+  partition-granular resume via ResumableQualityRun, one lineage row per
+  bucket.
+* ``global`` stages (cross-partition exact/near dedup, per-host caps) need
+  the whole input in one plan → stage-granular resume (the stage either
+  committed or reruns; its write is an idempotent overwrite).
+
+Composition contract:
+* every stage MATERIALIZES its output as parquet under
+  ``{work_dir}/{idx:02d}_{name}/out`` — the explicit stage boundary is what
+  makes resume possible AND caps lineage recomputation: a 5-stage pipeline
+  over 100 TB never re-runs a finished stage's compute, it re-reads its
+  (column-pruned, partition-pruned) output;
+* stage i>0 reads stage i-1's committed output. Partition stages keep the
+  ``part_key`` column through their write (``partitionBy("part_key")``), so
+  the NEXT partition stage uses ``partition_expr="part_key"`` — aligned
+  with the physical directory layout, meaning a resumed wave's ``.isin``
+  filter lands in the scan's PartitionFilters and prunes files, not rows
+  (the same plan-pinned property as test_quality_filter.TestResume);
+* a stage's completion is recorded in the shared pipeline lineage
+  (``{work_dir}/lineage``) as one row per partition (partition stages) or
+  one row with ``part_key = -1`` (global stages). Resume consults lineage
+  only — never output-directory existence, which a half-written stage also
+  has.
+
+Reference basis: CloudDQ's resumability is a high-watermark + MERGE
+idempotency on dq_run_id (clouddq/lib.py:274-306, dq_summary.sql:15-26);
+this module is the north-star generalization to multi-stage corpus builds.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Literal, Sequence
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from cloud_data_quality_spark.engine.incremental import (
+    LINEAGE_SCHEMA,
+    ResumableQualityRun,
+)
+from cloud_data_quality_spark.engine.sinks import _hadoop_path_exists
+
+GLOBAL_PART_KEY = -1
+
+
+@dataclass
+class PipelineStage:
+    """One stage of the composed pipeline.
+
+    kind='partition': transform is applied per bucket wave (it must be
+    per-partition closed — no cross-partition joins on the corpus itself;
+    joins against OTHER tables, Arrow stages, filters are all fine).
+    kind='global': transform sees the full stage input in one plan.
+    """
+    name: str
+    transform: Callable[[DataFrame], DataFrame]
+    kind: Literal["partition", "global"] = "partition"
+
+
+@dataclass
+class StageResult:
+    name: str
+    kind: str
+    output_path: str
+    rows_in: int
+    rows_out: int
+    resumed: bool  # True if the whole stage was already committed
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    stages: list[StageResult] = field(default_factory=list)
+
+    @property
+    def rows_out(self) -> int:
+        return self.stages[-1].rows_out if self.stages else 0
+
+
+class ResumableCurationPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        n_buckets: int = 16,
+        partitions_per_commit: int | None = None,
+        id_col: str = "url",
+    ):
+        self.spark = spark
+        self.work_dir = work_dir.rstrip("/")
+        self.n_buckets = n_buckets
+        self.partitions_per_commit = partitions_per_commit
+        self.id_col = id_col
+        self.lineage_path = f"{self.work_dir}/lineage"
+
+    # ---------- lineage ----------
+
+    def _lineage(self):
+        if not _hadoop_path_exists(self.spark, self.lineage_path):
+            return None
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_path)
+
+    def _stage_run_id(self, run_id: str, idx: int, name: str) -> str:
+        return f"{run_id}/{idx:02d}_{name}"
+
+    def _mark_stage(self, stage_run_id: str, n_in: int, n_out: int) -> None:
+        self.spark.createDataFrame(
+            [(stage_run_id, GLOBAL_PART_KEY, "stage_committed",
+              n_in, n_out, time.time())],
+            schema=LINEAGE_SCHEMA,
+        ).write.mode("append").parquet(self.lineage_path)
+
+    # ---------- stage execution ----------
+
+    def _stage_paths(self, idx: int, name: str) -> str:
+        return f"{self.work_dir}/{idx:02d}_{name}"
+
+    def _run_partition_stage(
+        self, df: DataFrame, stage: PipelineStage, idx: int, run_id: str,
+        fail_at_partition: int | None,
+    ) -> StageResult:
+        base = self._stage_paths(idx, stage.name)
+        # the first stage buckets by id hash; any stage whose input already
+        # carries part_key (a previous stage's partitioned output) reuses it
+        # → wave filters prune the upstream output PHYSICALLY
+        expr = "part_key" if "part_key" in df.columns else \
+            f"pmod(xxhash64({self.id_col}), {self.n_buckets})"
+        runner = ResumableQualityRun(
+            self.spark,
+            output_path=f"{base}/out",
+            lineage_path=self.lineage_path,
+            n_buckets=self.n_buckets,
+            partition_expr=expr,
+            partitions_per_commit=self.partitions_per_commit,
+        )
+        stage_run_id = self._stage_run_id(run_id, idx, stage.name)
+        already = runner.committed_partitions(stage_run_id)
+        res = runner.run(df, stage.transform, run_id=stage_run_id,
+                         fail_at_partition=fail_at_partition)
+        return StageResult(
+            name=stage.name, kind="partition", output_path=f"{base}/out",
+            rows_in=res.rows_in, rows_out=res.rows_kept,
+            resumed=len(already) == self.n_buckets)
+
+    def _run_global_stage(
+        self, df: DataFrame, stage: PipelineStage, idx: int, run_id: str,
+    ) -> StageResult:
+        base = self._stage_paths(idx, stage.name)
+        out_path = f"{base}/out"
+        stage_run_id = self._stage_run_id(run_id, idx, stage.name)
+        lineage = self._lineage()
+        if lineage is not None:
+            prior = (lineage.where((F.col("run_id") == stage_run_id)
+                                   & (F.col("status") == "stage_committed"))
+                     .select("n_in", "n_kept").limit(1).collect())
+            if prior:
+                return StageResult(stage.name, "global", out_path,
+                                   rows_in=prior[0]["n_in"],
+                                   rows_out=prior[0]["n_kept"], resumed=True)
+        obs_in, obs_out = Observation(), Observation()
+        keyed = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
+        out = stage.transform(keyed).observe(
+            obs_out, F.count(F.lit(1)).alias("n"))
+        writer = out.write.mode("overwrite")
+        if "part_key" in out.columns:
+            writer = writer.partitionBy("part_key")
+        writer.parquet(out_path)
+        n_in, n_out = obs_in.get["n"], obs_out.get["n"]
+        self._mark_stage(stage_run_id, n_in, n_out)
+        return StageResult(stage.name, "global", out_path, n_in, n_out,
+                           resumed=False)
+
+    # ---------- pipeline ----------
+
+    def run(
+        self,
+        df: DataFrame,
+        stages: Sequence[PipelineStage],
+        run_id: str,
+        fail_at: tuple[str, int | None] | None = None,  # test crash hook
+    ) -> PipelineResult:
+        """Execute (or resume) the staged pipeline. ``fail_at=(stage_name,
+        partition|None)`` simulates a crash inside that stage — partition
+        stages crash before the given bucket, global stages crash before
+        their commit mark."""
+        if not stages:
+            raise ValueError("pipeline needs at least one stage")
+        names = [s.name for s in stages]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate stage names: {names}")
+        result = PipelineResult(run_id=run_id)
+        current = df
+        for idx, stage in enumerate(stages):
+            crash_here = fail_at is not None and fail_at[0] == stage.name
+            if stage.kind == "partition":
+                res = self._run_partition_stage(
+                    current, stage, idx, run_id,
+                    fail_at_partition=fail_at[1] if crash_here else None)
+            elif stage.kind == "global":
+                if crash_here:
+                    raise RuntimeError(
+                        f"simulated crash in global stage {stage.name!r}")
+                res = self._run_global_stage(current, stage, idx, run_id)
+            else:
+                raise ValueError(f"unknown stage kind {stage.kind!r}")
+            result.stages.append(res)
+            current = self.spark.read.parquet(res.output_path)
+        return result

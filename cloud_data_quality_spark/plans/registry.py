@@ -990,6 +990,73 @@ select doc_id, host from ranked where rn <= {_HOST_CAP}
 """
 
 
+_PIPE_MIN_WORDS = 20
+_PIPE_HOST_CAP = 30
+
+
+def q_curation_pipeline_docs(spark, sf_dir):
+    """The COMPOSED resumable pipeline (engine/pipeline.py) end-to-end on
+    the documents table: partition-stage word-count gate → global per-source
+    cap → global exact dedup (canonical min doc_id per fingerprint). Every
+    stage materializes + journals lineage; this query replays the full
+    staged run and returns the survivor set the DuckDB oracle re-derives in
+    one SQL chain — so the staging machinery itself is value-checked, not
+    just the individual operators."""
+    import shutil
+    import uuid
+
+    from cloud_data_quality_spark.engine.pipeline import (
+        PipelineStage,
+        ResumableCurationPipeline,
+    )
+    from cloud_data_quality_spark.functions.text import fingerprint, word_count
+    from pyspark.sql.window import Window
+
+    def gate(df):
+        return df.where(word_count(F.col("text")) >= _PIPE_MIN_WORDS)
+
+    def cap(df):
+        w = Window.partitionBy("source").orderBy("doc_id")
+        return (df.withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") <= _PIPE_HOST_CAP).drop("__r"))
+
+    def dedup(df):
+        w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+        return (df.withColumn("__r", F.row_number().over(w))
+                .where("__r = 1").drop("__r"))
+
+    work = f"/tmp/cdq_pipeline_{uuid.uuid4().hex}"
+    pipe = ResumableCurationPipeline(spark, work, n_buckets=8,
+                                     id_col="doc_id")
+    res = pipe.run(
+        _t(spark, sf_dir, "documents"),
+        [PipelineStage("gate", gate, kind="partition"),
+         PipelineStage("cap", cap, kind="global"),
+         PipelineStage("dedup", dedup, kind="global")],
+        run_id="oracle")
+    out = (spark.read.parquet(res.stages[-1].output_path)
+           .select("doc_id", "source").localCheckpoint())
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def _oracle_curation_pipeline() -> str:
+    return f"""
+with gate as (select doc_id, source, text from documents
+              where {OF.sql_word_count('text')} >= {_PIPE_MIN_WORDS}),
+cap as (select doc_id, source, text from (
+          select *, row_number() over (partition by source
+                                       order by doc_id) as rn from gate)
+        where rn <= {_PIPE_HOST_CAP}),
+dedup as (select doc_id, source from (
+            select doc_id, source,
+                   row_number() over (partition by {OF.sql_fingerprint('text')}
+                                      order by doc_id) as rn from cap)
+          where rn = 1)
+select doc_id, source from dedup
+"""
+
+
 def q_events_volume_per_day(spark, sf_dir):
     return (_t(spark, sf_dir, "events")
             .groupBy(F.to_date("ts").alias("day"))
@@ -1747,6 +1814,7 @@ QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
     "host_capped_sample": q_host_capped_sample,
+    "curation_pipeline_docs": q_curation_pipeline_docs,
 }
 
 ORACLES = {
@@ -1799,4 +1867,5 @@ ORACLES = {
     "decontaminate_docs": ORACLE_DECONTAMINATE_DOCS,
     "stratified_sample_docs": _oracle_stratified_sample(),
     "host_capped_sample": _oracle_host_capped_sample(),
+    "curation_pipeline_docs": _oracle_curation_pipeline(),
 }

@@ -222,3 +222,29 @@ class TestCorpus:
         with pytest.raises(SystemExit):
             main(["corpus", "--op", "decontaminate", "--input", inp,
                   "--output", str(tmp_path / "o")])
+
+
+class TestCurate:
+    def test_curate_pipeline_and_resume(self, spark, pages_parquet,
+                                        tmp_path, capsys):
+        import json as _json
+        work = str(tmp_path / "curate_work")
+        argv = ["curate", "--input", pages_parquet, "--work-dir", work,
+                "--run-id", "cli-1", "--buckets", "8",
+                "--blocklist", "hot.example.com", "--max-per-host", "10"]
+        rc = main(argv)
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert [s["name"] for s in out["stages"]] == \
+            ["quality", "hosts", "dedup"]
+        assert out["rows_out"] > 0
+        assert not any(s["resumed"] for s in out["stages"])
+        # blocklist enforced end-to-end
+        final = spark.read.parquet(out["stages"][-1]["output"])
+        assert final.where(
+            "url like 'https://hot.example.com%'").count() == 0
+        # rerun with the same run id: every stage resumes, same output
+        rc2 = main(argv)
+        assert rc2 == 0
+        out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert all(s["resumed"] for s in out2["stages"])

@@ -1,0 +1,143 @@
+"""Composed resumable curation pipeline: staging, crash/resume, parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_data_quality_spark.engine.pipeline import (
+    PipelineStage,
+    ResumableCurationPipeline,
+)
+
+
+def _quality(df):
+    from cloud_data_quality_spark.operators.quality_filter import (
+        annotate_quality_arrow)
+    ann = annotate_quality_arrow(df, with_perplexity=False)
+    return ann.where("keep").select(*df.columns)
+
+
+def _cap_hosts(df):
+    from cloud_data_quality_spark.functions.hosts import cap_per_host
+    return cap_per_host(df, 50, order_col="url").drop("host")
+
+
+def _exact_dedup(df):
+    from cloud_data_quality_spark.functions.text import fingerprint
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("url")
+    return (df.withColumn("__r", F.row_number().over(w))
+            .where("__r = 1").drop("__r"))
+
+
+STAGES = [
+    PipelineStage("quality", _quality, kind="partition"),
+    PipelineStage("host_cap", _cap_hosts, kind="global"),
+    PipelineStage("dedup", _exact_dedup, kind="global"),
+]
+
+
+@pytest.fixture(scope="module")
+def pages(spark, pages_parquet):
+    return spark.read.parquet(pages_parquet)
+
+
+def _expected(pages):
+    """Uninterrupted single-plan restatement of the staged pipeline."""
+    return _exact_dedup(_cap_hosts(_quality(pages)))
+
+
+class TestComposedPipeline:
+    def test_end_to_end_matches_unstaged(self, spark, pages, tmp_path):
+        pipe = ResumableCurationPipeline(spark, str(tmp_path / "w"),
+                                         n_buckets=8)
+        res = pipe.run(pages, STAGES, run_id="r1")
+        assert [s.name for s in res.stages] == ["quality", "host_cap", "dedup"]
+        got = sorted(r["url"] for r in
+                     spark.read.parquet(res.stages[-1].output_path)
+                     .select("url").collect())
+        want = sorted(r["url"] for r in
+                      _expected(pages).select("url").collect())
+        assert got == want
+        assert res.rows_out == len(want)
+        # monotone narrowing + bookkeeping consistency
+        assert res.stages[0].rows_in == pages.count()
+        assert res.stages[0].rows_out >= res.stages[1].rows_out \
+            >= res.stages[2].rows_out
+
+    def test_crash_in_partition_stage_resumes(self, spark, pages, tmp_path):
+        work = str(tmp_path / "w2")
+        pipe = ResumableCurationPipeline(spark, work, n_buckets=8,
+                                         partitions_per_commit=2)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            pipe.run(pages, STAGES, run_id="r2", fail_at=("quality", 5))
+        res = pipe.run(pages, STAGES, run_id="r2")
+        # buckets 0-4 committed pre-crash and were NOT re-processed
+        q = res.stages[0]
+        assert not q.resumed  # partially done, finished now
+        got = sorted(r["url"] for r in
+                     spark.read.parquet(res.stages[-1].output_path)
+                     .select("url").collect())
+        want = sorted(r["url"] for r in
+                      _expected(pages).select("url").collect())
+        assert got == want
+
+    def test_crash_in_global_stage_resumes(self, spark, pages, tmp_path):
+        work = str(tmp_path / "w3")
+        pipe = ResumableCurationPipeline(spark, work, n_buckets=8)
+        with pytest.raises(RuntimeError, match="host_cap"):
+            pipe.run(pages, STAGES, run_id="r3", fail_at=("host_cap", None))
+        res = pipe.run(pages, STAGES, run_id="r3")
+        assert res.stages[0].resumed        # quality fully committed pre-crash
+        assert not res.stages[1].resumed    # host_cap ran this time
+        got = spark.read.parquet(res.stages[-1].output_path).count()
+        assert got == _expected(pages).count()
+
+    def test_rerun_is_fully_resumed_and_cheap(self, spark, pages, tmp_path):
+        work = str(tmp_path / "w4")
+        pipe = ResumableCurationPipeline(spark, work, n_buckets=8)
+        first = pipe.run(pages, STAGES, run_id="r4")
+        again = pipe.run(pages, STAGES, run_id="r4")
+        assert all(s.resumed for s in again.stages)
+        # resumed global stages report their original lineage counts
+        assert again.stages[1].rows_out == first.stages[1].rows_out
+        assert again.stages[2].rows_out == first.stages[2].rows_out
+
+    def test_distinct_run_ids_isolated(self, spark, pages, tmp_path):
+        work = str(tmp_path / "w5")
+        pipe = ResumableCurationPipeline(spark, work, n_buckets=8)
+        pipe.run(pages, STAGES, run_id="a")
+        res_b = pipe.run(pages, STAGES, run_id="b")
+        assert not any(s.resumed for s in res_b.stages)
+
+    def test_duplicate_stage_names_rejected(self, spark, pages, tmp_path):
+        pipe = ResumableCurationPipeline(spark, str(tmp_path / "w6"))
+        with pytest.raises(ValueError, match="duplicate"):
+            pipe.run(pages, [STAGES[0], STAGES[0]], run_id="x")
+
+    def test_downstream_partition_stage_reuses_part_key(
+            self, spark, pages, tmp_path):
+        """A partition stage following another partition stage keys on the
+        inherited part_key column, so its wave filter physically prunes the
+        upstream partitioned output."""
+        stages = [
+            PipelineStage("quality", _quality, kind="partition"),
+            PipelineStage("mark", lambda d: d.withColumn(
+                "n_words", F.size(F.split("text", " "))), kind="partition"),
+        ]
+        work = str(tmp_path / "w7")
+        pipe = ResumableCurationPipeline(spark, work, n_buckets=8,
+                                         partitions_per_commit=4)
+        res = pipe.run(pages, stages, run_id="r7")
+        assert res.stages[1].rows_in == res.stages[0].rows_out
+        out = spark.read.parquet(res.stages[1].output_path)
+        assert "n_words" in out.columns and "part_key" in out.columns
+        # bucket assignment consistent across the two stages: every url in
+        # stage-2 bucket k came from stage-1 bucket k
+        a = {r["url"]: r["part_key"] for r in
+             spark.read.parquet(res.stages[0].output_path)
+             .select("url", "part_key").collect()}
+        b = {r["url"]: r["part_key"] for r in
+             out.select("url", "part_key").collect()}
+        assert a == b
