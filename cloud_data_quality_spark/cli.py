@@ -206,6 +206,10 @@ def _curate(args) -> int:
     df = spark.read.parquet(args.input)
     blocklist = [d for d in args.blocklist.split(",") if d.strip()]
 
+    def c4(d):
+        from cloud_data_quality_spark.functions.corpus import c4_clean_stage
+        return c4_clean_stage(d, text_col=args.text_col, id_col=args.id_col)
+
     def quality(d):
         cols = d.columns
         return annotate_quality_arrow(d).where("keep").select(*cols)
@@ -224,7 +228,10 @@ def _curate(args) -> int:
         return (d.withColumn("__r", F.row_number().over(w))
                 .where("__r = 1").drop("__r"))
 
-    stages = [PipelineStage("quality", quality, kind="partition")]
+    stages = []
+    if args.c4_clean:
+        stages.append(PipelineStage("c4_clean", c4, kind="partition"))
+    stages.append(PipelineStage("quality", quality, kind="partition"))
     if blocklist or args.max_per_host > 0:
         stages.append(PipelineStage("hosts", hosts, kind="global"))
     stages.append(PipelineStage("dedup", dedup, kind="global"))
@@ -338,6 +345,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated blocked domains (suffix match)")
     cu.add_argument("--max-per-host", type=int, default=0,
                     help="cap docs per URL host (0 = no cap)")
+    cu.add_argument("--c4-clean", action="store_true",
+                    help="prepend C4 §2.2 line-level cleaning (terminal-"
+                         "punctuation lines, ≥5 words, no javascript; "
+                         "drop '{'/'lorem ipsum' docs)")
     cu.add_argument("--partitions-per-commit", type=int, default=None)
 
     args = p.parse_args(argv)

@@ -44,6 +44,7 @@ directories it rewrites. On Iceberg both writes share one transaction.
 from __future__ import annotations
 
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Callable, Sequence
 
@@ -52,6 +53,32 @@ from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = ("run_id string, part_key int, status string, n_in bigint, "
                   "n_kept bigint, finished_ts double")
+
+_AQE_EMPTY_RULE = ("org.apache.spark.sql.execution.adaptive."
+                   "AQEPropagateEmptyRelation")
+_AQE_EXCLUDE_KEY = "spark.sql.adaptive.optimizer.excludedRules"
+
+
+@contextmanager
+def preserve_observations(spark: SparkSession):
+    """AQE's empty-relation propagation replaces the plan downstream of an
+    empty shuffle stage with a LocalRelation — which silently DROPS
+    CollectMetrics nodes, so Observation.get dies in toPyRow ('assertion
+    failed') whenever a wave's transform filters out every row (e.g. C4
+    cleaning a corpus with no terminal-punctuation lines). Scoped-exclude
+    that single AQE rule around observed writes; the rest of AQE (coalesce,
+    skew join) stays on. Restores the previous exclusion list on exit."""
+    conf = spark.conf
+    prev = conf.get(_AQE_EXCLUDE_KEY, None)
+    merged = f"{prev},{_AQE_EMPTY_RULE}" if prev else _AQE_EMPTY_RULE
+    conf.set(_AQE_EXCLUDE_KEY, merged)
+    try:
+        yield
+    finally:
+        if prev is None:
+            conf.unset(_AQE_EXCLUDE_KEY)
+        else:
+            conf.set(_AQE_EXCLUDE_KEY, prev)
 
 
 @dataclass
@@ -160,9 +187,10 @@ class ResumableQualityRun:
             # slower than shuffling the kept rows once and writing one file
             # per bucket, and the small files then tax every downstream read)
             out = out.repartition(self.n_buckets, "part_key")
-        (out.write.mode("overwrite")
-         .partitionBy("part_key").parquet(self.output_path))
-        n_in, n_kept = obs_in.get, obs_out.get
+        with preserve_observations(self.spark):
+            (out.write.mode("overwrite")
+             .partitionBy("part_key").parquet(self.output_path))
+            n_in, n_kept = obs_in.get, obs_out.get
         ts = time.time()
         self._append_lineage([
             {"run_id": run_id, "part_key": k, "status": "committed",

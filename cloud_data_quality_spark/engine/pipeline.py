@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from cloud_data_quality_spark.engine.incremental import (
     LINEAGE_SCHEMA,
     ResumableQualityRun,
+    preserve_observations,
 )
 from cloud_data_quality_spark.engine.sinks import _hadoop_path_exists
 
@@ -176,11 +177,29 @@ class ResumableCurationPipeline:
         writer = out.write.mode("overwrite")
         if "part_key" in out.columns:
             writer = writer.partitionBy("part_key")
-        writer.parquet(out_path)
-        n_in, n_out = obs_in.get["n"], obs_out.get["n"]
+        with preserve_observations(self.spark):
+            writer.parquet(out_path)
+            n_in, n_out = obs_in.get["n"], obs_out.get["n"]
         self._mark_stage(stage_run_id, n_in, n_out)
         return StageResult(stage.name, "global", out_path, n_in, n_out,
                            resumed=False)
+
+    def _stage_output_frame(self, stage: PipelineStage, input_df: DataFrame,
+                            output_path: str) -> DataFrame:
+        """Stage output for the next stage. A stage that dropped EVERY row
+        wrote no parquet files (dynamic partition overwrite writes nothing;
+        a plain empty write leaves only _SUCCESS), so schema inference
+        fails — reconstruct an empty frame from the transform's ANALYZED
+        schema instead (pure plan analysis, no execution)."""
+        from pyspark.errors import AnalysisException
+        try:
+            return self.spark.read.parquet(output_path)
+        except AnalysisException:
+            probe = input_df
+            if stage.kind == "partition" and "part_key" not in probe.columns:
+                probe = probe.withColumn("part_key", F.lit(0).cast("int"))
+            return self.spark.createDataFrame(
+                [], stage.transform(probe).schema)
 
     # ---------- pipeline ----------
 
@@ -216,5 +235,5 @@ class ResumableCurationPipeline:
             else:
                 raise ValueError(f"unknown stage kind {stage.kind!r}")
             result.stages.append(res)
-            current = self.spark.read.parquet(res.output_path)
+            current = self._stage_output_frame(stage, current, res.output_path)
         return result

@@ -710,3 +710,73 @@ class SeenMinhashStore:
                                      F.col("sig"))
         self.append(new_bands, wave_id=wave_id)
         return result
+
+
+# ------------------------------------------------------ C4 line-level clean
+
+#: C4 §2.2 (Raffel et al. 2020, public) line/document heuristics. The
+#: constants are consumed by BOTH the Column implementation below and the
+#: generated DuckDB oracle (registry._oracle_c4_line_filter) so they can't
+#: drift. Reference DQ engine has no corpus-rewrite operator (rule_type.py
+#: stops at REGEX) — pipeline extension, not parity.
+C4_TERMINAL_PUNCT_RE = '[.!?"]$'
+C4_MIN_LINE_WORDS = 5
+C4_MIN_LINES_KEPT = 3
+C4_LINE_BLOCK_SUBSTRING = "javascript"  # case-insensitive line drop
+C4_DOC_BLOCK_SUBSTRINGS = ("{", "lorem ipsum")  # case-insensitive doc drop
+
+
+def _c4_line_ok(line: Column) -> Column:
+    """One line survives C4 cleaning: ends in terminal punctuation, has at
+    least C4_MIN_LINE_WORDS whitespace words, doesn't mention javascript."""
+    trimmed = F.trim(line)
+    words = F.size(F.filter(F.split(trimmed, r"[\t\x0b\f\r ]+"),
+                            lambda w: F.length(w) > 0))
+    return (trimmed.rlike(C4_TERMINAL_PUNCT_RE)
+            & (words >= C4_MIN_LINE_WORDS)
+            & ~F.contains(F.lower(trimmed), F.lit(C4_LINE_BLOCK_SUBSTRING)))
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    annotate: bool = False,
+) -> DataFrame:
+    """C4 §2.2 line-level cleaning as a PURE Column plan (no UDF, narrow,
+    codegen'd — scan-speed at 100 TB): keep only lines ending in terminal
+    punctuation with ≥5 words and no 'javascript'; a document survives iff
+    ≥3 lines remain and it contains neither '{' nor 'lorem ipsum'.
+
+    Default: (id_col, clean_text, n_lines_kept, keep) — the cleaned text is
+    the kept lines rejoined with '\\n' (NULL when keep=false — C4 drops the
+    page outright), n_lines_kept the per-doc survivor count.
+    annotate=True: ALL original columns + the three new ones (the
+    pipeline-stage shape — see c4_clean_stage)."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, _c4_line_ok)
+    n_kept = F.coalesce(F.size(kept), F.lit(0)).cast("bigint")  # NULL text → 0
+    lowered = F.lower(F.col(text_col))
+    doc_ok = (n_kept >= C4_MIN_LINES_KEPT)
+    for sub in C4_DOC_BLOCK_SUBSTRINGS:
+        doc_ok = doc_ok & ~F.contains(lowered, F.lit(sub))
+    doc_ok = F.coalesce(doc_ok, F.lit(False))
+    new_cols = [
+        F.when(doc_ok, F.array_join(kept, "\n")).alias("clean_text"),
+        n_kept.alias("n_lines_kept"),
+        doc_ok.alias("keep"),
+    ]
+    head = [F.col(c) for c in df.columns] if annotate else [F.col(id_col)]
+    return df.select(*head, *new_cols)
+
+
+def c4_clean_stage(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Pipeline-stage form of c4_line_filter: drop failing docs, replace
+    text_col with the cleaned text, keep every other column — composable
+    inside ResumableCurationPipeline (pure narrow transform)."""
+    ann = c4_line_filter(df, text_col=text_col, id_col=id_col, annotate=True)
+    return (ann.where("keep")
+            .withColumn(text_col, F.col("clean_text"))
+            .drop("clean_text", "n_lines_kept", "keep"))

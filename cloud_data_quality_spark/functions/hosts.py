@@ -143,3 +143,45 @@ def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     the corpus (feeds blocklist/cap decisions). One partial-agg shuffle."""
     return (df.groupBy(url_host(F.col(url_col)).alias("host"))
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+# ------------------------------------------------------ URL canonicalization
+
+#: query parameters that never change page identity (tracking/session) —
+#: dropped during canonicalization. Shared with the DuckDB oracle.
+TRACKING_PARAM_PREFIXES = ("utm_", "gclid", "fbclid", "mc_eid", "ref",
+                           "sessionid", "phpsessid")
+URL_SPLIT_PATTERN = (
+    r"^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]+)([^?#]*)"
+    r"(?:\?([^#]*))?")
+
+
+def _is_tracking_param(kv: Column) -> Column:
+    key = F.lower(F.split(kv, "=", 2)[0])
+    cond = F.lit(False)
+    for p in TRACKING_PARAM_PREFIXES:
+        cond = cond | key.startswith(p)
+    return cond
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form for dedup/caps: lowercase scheme+host, default ports
+    stripped, tracking query params removed (remaining params kept in
+    original order — full param sorting would conflate a=1&b=2 pages whose
+    servers are order-sensitive), fragment dropped, empty path → '/'.
+    Unparseable URLs pass through unchanged (never NULL a real capture's
+    key). Pure Column expression — no UDF; exactly replayed by the DuckDB
+    oracle from the same constants."""
+    scheme = F.lower(F.regexp_extract(url, URL_SPLIT_PATTERN, 1))
+    host = F.lower(F.regexp_extract(url, URL_SPLIT_PATTERN, 2))
+    path = F.regexp_extract(url, URL_SPLIT_PATTERN, 3)
+    query = F.regexp_extract(url, URL_SPLIT_PATTERN, 4)
+    host = F.regexp_replace(host, ":80$|:443$", "")
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+    params = F.filter(F.split(query, "&"),
+                      lambda kv: (F.length(kv) > 0) & ~_is_tracking_param(kv))
+    qs = F.array_join(params, "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(F.length(qs) > 0, F.concat(F.lit("?"), qs)).otherwise(F.lit("")))
+    return F.when(F.length(scheme) > 0, canon).otherwise(url)

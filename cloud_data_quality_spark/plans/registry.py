@@ -1057,6 +1057,116 @@ select doc_id, source from dedup
 """
 
 
+# deterministic multiline+punctuation synthesis over the word-soup docs so
+# the C4 line heuristics have real structure to act on: '.'/'?' line breaks
+# before common words, terminal '.', and doc-level '{'/'Lorem Ipsum'
+# injections on id residues. chr(10) because a '\n' literal is an escape in
+# Spark SQL but two characters in DuckDB.
+_C4_SYNTH_SQL = (
+    "replace(replace(text, ' table ', '.' || chr(10) || 'table '), "
+    "' row ', '?' || chr(10) || 'row ') || '.'"
+    " || case when doc_id % 13 = 0 then ' {' else '' end"
+    " || case when doc_id % 17 = 0 then ' Lorem Ipsum' else '' end")
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4 §2.2 line-level cleaning (terminal punctuation, ≥5-word lines, no
+    javascript; ≥3 surviving lines, no '{'/'lorem ipsum') as a pure Column
+    plan over deterministically line-structured document text."""
+    from cloud_data_quality_spark.functions.corpus import c4_line_filter
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_C4_SYNTH_SQL).alias("text"))
+    return c4_line_filter(docs)
+
+
+def _oracle_c4_line_filter() -> str:
+    from cloud_data_quality_spark.functions.corpus import (
+        C4_DOC_BLOCK_SUBSTRINGS,
+        C4_LINE_BLOCK_SUBSTRING,
+        C4_MIN_LINE_WORDS,
+        C4_MIN_LINES_KEPT,
+        C4_TERMINAL_PUNCT_RE,
+    )
+    line_ok = (
+        f"regexp_matches(trim(x, ' '), '{C4_TERMINAL_PUNCT_RE}') "
+        f"and len(list_filter(regexp_split_to_array(trim(x, ' '), "
+        f"'[\\t\\x0b\\f\\r ]+'), w -> w != '')) >= {C4_MIN_LINE_WORDS} "
+        f"and not contains(lower(trim(x, ' ')), '{C4_LINE_BLOCK_SUBSTRING}')")
+    doc_block = " ".join(
+        f"and not contains(lower(text), '{s}')"
+        for s in C4_DOC_BLOCK_SUBSTRINGS)
+    return f"""
+with s as (select doc_id, {_C4_SYNTH_SQL} as text from documents),
+l as (select doc_id, text,
+             list_filter(string_split(text, chr(10)),
+                         x -> {line_ok}) as kept
+      from s),
+v as (select doc_id, kept,
+             (len(kept) >= {C4_MIN_LINES_KEPT} {doc_block}) as keep
+      from l)
+select doc_id,
+       case when keep then array_to_string(kept, chr(10)) end as clean_text,
+       coalesce(len(kept), 0)::BIGINT as n_lines_kept,
+       keep
+from v
+"""
+
+
+#: mixed-case scheme/host, default port, tracking params, fragments — every
+#: canonicalization rule exercised on deterministic synthesized URLs.
+_CANON_URL_SQL = (
+    "'HTTPS://' || upper(source) || '.Example.COM:443/path/' || doc_id"
+    " || case when doc_id % 3 = 0 then '?utm_source=x&id=' || doc_id ||"
+    " '&fbclid=z' else '?id=' || doc_id || '&page=2' end"
+    " || case when doc_id % 4 = 0 then '#frag' else '' end")
+
+
+def q_canonical_urls(spark, sf_dir):
+    """URL canonicalization (lowercase scheme/host, strip default port,
+    drop tracking params + fragment) — the identity-normalization step
+    before exact URL dedup and per-host caps."""
+    from cloud_data_quality_spark.functions.hosts import canonicalize_url
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_CANON_URL_SQL).alias("url"))
+    return docs.select("doc_id",
+                       canonicalize_url(F.col("url")).alias("canon_url"))
+
+
+def _oracle_canonical_urls() -> str:
+    from cloud_data_quality_spark.functions.hosts import (
+        TRACKING_PARAM_PREFIXES,
+        URL_SPLIT_PATTERN,
+    )
+    tracking = " or ".join(
+        f"starts_with(lower(string_split(kv, '=')[1]), '{p}')"
+        for p in TRACKING_PARAM_PREFIXES)
+    return f"""
+with u as (select doc_id, {_CANON_URL_SQL} as url from documents),
+p as (select doc_id, url,
+             lower(coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 1), ''))
+               as scheme,
+             regexp_replace(
+               lower(coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 2), '')),
+               ':80$|:443$', '') as host,
+             coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 3), '') as path,
+             coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 4), '') as query
+      from u),
+q as (select doc_id, url, scheme, host,
+             case when length(path) = 0 then '/' else path end as path,
+             array_to_string(
+               list_filter(string_split(query, '&'),
+                           kv -> length(kv) > 0 and not ({tracking})),
+               '&') as qs
+      from p)
+select doc_id,
+       case when length(scheme) > 0
+            then scheme || '://' || host || path ||
+                 case when length(qs) > 0 then '?' || qs else '' end
+            else url end as canon_url
+from q
+"""
+
+
 def q_events_volume_per_day(spark, sf_dir):
     return (_t(spark, sf_dir, "events")
             .groupBy(F.to_date("ts").alias("day"))
@@ -1815,6 +1925,8 @@ QUERIES = {
     "stratified_sample_docs": q_stratified_sample_docs,
     "host_capped_sample": q_host_capped_sample,
     "curation_pipeline_docs": q_curation_pipeline_docs,
+    "c4_line_filter": q_c4_line_filter,
+    "canonical_urls": q_canonical_urls,
 }
 
 ORACLES = {
@@ -1868,4 +1980,6 @@ ORACLES = {
     "stratified_sample_docs": _oracle_stratified_sample(),
     "host_capped_sample": _oracle_host_capped_sample(),
     "curation_pipeline_docs": _oracle_curation_pipeline(),
+    "c4_line_filter": _oracle_c4_line_filter(),
+    "canonical_urls": _oracle_canonical_urls(),
 }

@@ -688,3 +688,40 @@ class TestCorpusProperties:
         # same content modulo normalization key: compare normalized keys
         norm = lambda ts: {t.strip().lower() for t in ts}
         assert norm(texts_one) == norm(texts_two)
+
+
+class TestC4LineFilter:
+    def test_line_and_doc_rules(self, spark):
+        from cloud_data_quality_spark.functions.corpus import c4_line_filter
+        rows = [
+            (1, "A good long sentence with many words here.\n"
+                "Another solid line of reasonable length too!\n"
+                "And a third one that also ends properly?\n"
+                "short line.\n"
+                "this javascript line has enough words to pass."),
+            (2, "Only one good line with enough words here."),   # < 3 lines
+            (3, "Line with braces { in doc.\nGood line number two is here.\n"
+                "Good line number three is here."),              # '{' → drop
+            (4, "Lorem Ipsum dolor sit amet consectetur adipiscing elit.\n"
+                "Second proper line with enough words here.\n"
+                "Third proper line with enough words here."),    # lorem → drop
+            (5, None),
+        ]
+        out = {r["doc_id"]: r for r in
+               c4_line_filter(spark.createDataFrame(
+                   rows, "doc_id int, text string")).collect()}
+        assert out[1]["keep"] and out[1]["n_lines_kept"] == 3
+        assert out[1]["clean_text"].count("\n") == 2
+        assert "short line" not in out[1]["clean_text"]
+        assert "javascript" not in out[1]["clean_text"]
+        assert not out[2]["keep"] and out[2]["clean_text"] is None
+        assert not out[3]["keep"]
+        assert not out[4]["keep"]
+        assert not out[5]["keep"] and out[5]["n_lines_kept"] == 0
+
+    def test_pure_column_no_python(self, spark):
+        from cloud_data_quality_spark.functions.corpus import c4_line_filter
+        df = spark.createDataFrame([(1, "x.")], "doc_id int, text string")
+        plan = c4_line_filter(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "EvalPython" not in plan

@@ -124,3 +124,43 @@ class TestCapPerHost:
         stats = {r["host"]: r["n_docs"] for r in host_stats(pages).collect()}
         assert stats["news.example.com"] == 3
         assert stats[""] == 1
+
+
+class TestCanonicalizeUrl:
+    CASES = [
+        ("HTTPS://User@WWW.Example.COM:443/A/B?utm_source=x&id=9&fbclid=2#f",
+         "https://www.example.com/A/B?id=9"),
+        ("http://site.org:80", "http://site.org/"),
+        ("http://site.org:8080/x", "http://site.org:8080/x"),  # non-default
+        ("https://a.net/p?UTM_CAMPAIGN=1&q=term&ref=tw", "https://a.net/p?q=term"),
+        ("https://a.net/p?utm_x=1", "https://a.net/p"),
+        ("not a url", "not a url"),            # unparseable passes through
+    ]
+
+    def test_rules(self, spark):
+        from cloud_data_quality_spark.functions.hosts import canonicalize_url
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "url string")
+        got = [r["c"] for r in
+               df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+        assert got == [want for _, want in self.CASES]
+
+    def test_pure_column_no_python(self, spark):
+        from cloud_data_quality_spark.functions.hosts import canonicalize_url
+        df = spark.createDataFrame([("https://x.y/z",)], "url string")
+        plan = df.select(canonicalize_url(F.col("url")))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+    def test_canonical_collision_for_dedup(self, spark):
+        """The point of canonicalization: tracking-param/fragment variants
+        of one page collapse to one key."""
+        from cloud_data_quality_spark.functions.hosts import canonicalize_url
+        variants = [
+            "https://news.org/story?id=1&utm_source=a",
+            "HTTPS://NEWS.ORG:443/story?id=1#top",
+            "https://news.org/story?id=1&gclid=xyz",
+        ]
+        df = spark.createDataFrame([(u,) for u in variants], "url string")
+        n = df.select(canonicalize_url(F.col("url")).alias("c")) \
+            .distinct().count()
+        assert n == 1

@@ -141,3 +141,49 @@ class TestComposedPipeline:
         b = {r["url"]: r["part_key"] for r in
              out.select("url", "part_key").collect()}
         assert a == b
+
+
+class TestEmptyOutputObservation:
+    """Regression: AQE's empty-relation propagation used to drop the
+    CollectMetrics node whenever a wave/stage filtered out EVERY row (an
+    empty shuffle feeding the partitioned write), crashing Observation.get
+    with 'assertion failed'. preserve_observations scopes that rule out."""
+
+    def test_partition_stage_all_rows_dropped(self, spark, pages, tmp_path):
+        from cloud_data_quality_spark.engine.incremental import (
+            ResumableQualityRun)
+        r = ResumableQualityRun(
+            spark, output_path=str(tmp_path / "o"),
+            lineage_path=str(tmp_path / "l"), n_buckets=4)
+        res = r.run(pages, lambda d: d.where(F.length("text") < 0),
+                    run_id="empty")
+        assert res.rows_in > 0 and res.rows_kept == 0
+        assert sorted(res.processed_partitions) == [0, 1, 2, 3]
+
+    def test_pipeline_with_all_dropping_stage(self, spark, pages, tmp_path):
+        pipe = ResumableCurationPipeline(spark, str(tmp_path / "w"),
+                                         n_buckets=4)
+        stages = [
+            PipelineStage("drop_all",
+                          lambda d: d.where(F.length("text") < 0),
+                          kind="partition"),
+            PipelineStage("dedup_empty", _exact_dedup, kind="global"),
+        ]
+        res = pipe.run(pages, stages, run_id="e1")
+        assert res.stages[0].rows_out == 0
+        assert res.stages[1].rows_in == 0 and res.stages[1].rows_out == 0
+
+    def test_excluded_rule_is_restored(self, spark, pages, tmp_path):
+        from cloud_data_quality_spark.engine.incremental import (
+            _AQE_EXCLUDE_KEY, preserve_observations)
+        assert spark.conf.get(_AQE_EXCLUDE_KEY, None) is None
+        with preserve_observations(spark):
+            assert "AQEPropagateEmptyRelation" in \
+                spark.conf.get(_AQE_EXCLUDE_KEY)
+        assert spark.conf.get(_AQE_EXCLUDE_KEY, None) is None
+        spark.conf.set(_AQE_EXCLUDE_KEY, "x.y.SomeRule")
+        with preserve_observations(spark):
+            v = spark.conf.get(_AQE_EXCLUDE_KEY)
+            assert "x.y.SomeRule" in v and "AQEPropagateEmptyRelation" in v
+        assert spark.conf.get(_AQE_EXCLUDE_KEY) == "x.y.SomeRule"
+        spark.conf.unset(_AQE_EXCLUDE_KEY)
