@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 
 
 def url_host(col: Column) -> Column:
-    return F.regexp_extract(col, r"^[a-z]+://([^/]+)/?", 1)
+    """Skew key for URL-hosted corpora — delegates to the canonical parser
+    (functions/hosts.py: case-folded, userinfo/port-stripped) so the skew
+    salt and the host-curation operators always agree on what a host is."""
+    from cloud_data_quality_spark.functions.hosts import url_host as _uh
+    return _uh(col)
 
 
 def salted_repartition(df: DataFrame, key_col: str, n_salts: int = 16,

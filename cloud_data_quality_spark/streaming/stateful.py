@@ -137,3 +137,47 @@ def streaming_dedup_exact(stream_df: DataFrame,
                                     stateStructType=DEDUP_STATE_SCHEMA,
                                     outputMode="append",
                                     timeoutConf=conf))
+
+
+QUOTA_STATE_SCHEMA = "n_emitted bigint"
+QUOTA_OUT_SCHEMA = ("url string, warc_ts timestamp, text string, "
+                    "lang string, host string")
+
+
+def _quota_fn(max_per_host: int):
+    def fn(key: Tuple[str], batches: Iterable[pd.DataFrame],
+           state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in batches:
+            if n >= max_per_host:
+                continue  # must still drain the iterator
+            take = pdf.sort_values("url").iloc[:max_per_host - n]
+            n += len(take)
+            if len(take):
+                yield take[["url", "warc_ts", "text", "lang", "host"]]
+        state.update((n,))
+    return fn
+
+
+def streaming_host_quota(stream_df: DataFrame, max_per_host: int,
+                         url_col: str = "url") -> DataFrame:
+    """Streaming twin of hosts.cap_per_host: admit at most max_per_host
+    documents per URL host across the WHOLE stream lifetime (within-batch
+    order: url ascending — deterministic given batch boundaries).
+
+    State per host: ONE counter (bigint) — O(hosts) total regardless of
+    corpus size, so unlike streaming_dedup_exact this needs no TTL at web
+    scale; a quota must remember every host it has admitted forever by
+    definition. The batch cap_per_host ranks retroactively (keeps the
+    lowest-ordered rows corpus-wide); the streaming quota admits first-come
+    — the standard ingest-time semantics when you can't rank the future."""
+    if max_per_host <= 0:
+        raise ValueError("max_per_host must be positive")
+    from cloud_data_quality_spark.functions.hosts import url_host
+    keyed = stream_df.withColumn("host", url_host(F.col(url_col)))
+    return (keyed.groupBy("host")
+            .applyInPandasWithState(_quota_fn(max_per_host),
+                                    outputStructType=QUOTA_OUT_SCHEMA,
+                                    stateStructType=QUOTA_STATE_SCHEMA,
+                                    outputMode="append",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))

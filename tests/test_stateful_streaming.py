@@ -185,3 +185,41 @@ class TestStreamingDedupTTL:
         assert self._run_once(spark, src, ckpt, out, None) == 1
         self._write_batch(spark, src, "hello forever dedup", "https://b/3")
         assert self._run_once(spark, src, ckpt, out, None) == 0
+
+
+class TestStreamingHostQuota:
+    def test_quota_enforced_across_batches(self, spark, multi_file_pages):
+        from cloud_data_quality_spark.streaming.stateful import (
+            streaming_host_quota,
+        )
+        got = run_stream(spark, multi_file_pages,
+                         lambda s: streaming_host_quota(s, 7), "quota7")
+        rows = got.collect()
+        by_host = {}
+        for r in rows:
+            by_host.setdefault(r["host"], []).append(r["url"])
+        # never over quota, and each url admitted at most once
+        assert all(len(v) <= 7 for v in by_host.values()), \
+            {h: len(v) for h, v in by_host.items() if len(v) > 7}
+        assert all(len(set(v)) == len(v) for v in by_host.values())
+        # the deliberate hot host (~20% of 1200 rows) hits the cap exactly
+        assert len(by_host["hot.example.com"]) == 7
+        # a host with fewer docs than the quota is passed through untouched
+        batch_counts = {r["host"]: r["n"] for r in
+                        spark.read.parquet(multi_file_pages)
+                        .groupBy(F.expr(
+                            "lower(regexp_extract(url, "
+                            "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?"
+                            "([^/?#:]+)', 1))").alias("host"))
+                        .agg(F.count(F.lit(1)).alias("n")).collect()}
+        for host, urls in by_host.items():
+            assert len(urls) == min(7, batch_counts[host]), host
+
+    def test_rejects_nonpositive_quota(self, spark, multi_file_pages):
+        import pytest as _pytest
+        from cloud_data_quality_spark.streaming.stateful import (
+            streaming_host_quota,
+        )
+        df = spark.read.parquet(multi_file_pages)
+        with _pytest.raises(ValueError):
+            streaming_host_quota(df, 0)
