@@ -224,3 +224,31 @@ def bpe_token_count_column(text_col: str = "text"):
         return texts.map(doc_token_count).astype("int64")
 
     return _count(F.col(text_col))
+
+
+def bpe_tokens_column(text_col: str = "text"):
+    """Per-document subword tokens as a PURE Column expression — zero
+    Python in the plan: per-word sentinel encoding via split/transform,
+    the merge chain as 64 chained replace()s (identical semantics to
+    encode_word and to the DuckDB oracle fragment, all generated from
+    BPE_MERGES), then segment extraction. Whole-stage codegen keeps this
+    scan-speed; the Arrow path (bpe_token_count_column) stays the faster
+    choice when only counts are needed (per-distinct-word memoization).
+    """
+    from pyspark.sql import functions as F
+
+    from cloud_data_quality_spark.functions.text import tokens
+
+    def encode(w):
+        chars = F.filter(F.split(w, ""), lambda c: F.length(c) > 0)
+        s = F.array_join(
+            F.transform(chars,
+                        lambda c: F.concat(F.lit(SENT_L), c, F.lit(SENT_R))),
+            "")
+        for pat, repl in _merge_patterns():
+            s = F.replace(s, F.lit(pat), F.lit(repl))
+        segs = F.filter(F.split(s, SENT_L), lambda t: F.length(t) > 0)
+        return F.transform(
+            segs, lambda t: F.substring(t, 1, F.length(t) - 1))
+
+    return F.flatten(F.transform(tokens(F.col(text_col)), encode))

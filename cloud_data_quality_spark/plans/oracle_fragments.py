@@ -184,6 +184,29 @@ def sql_bpe_token_count(col: str) -> str:
             f"::BIGINT")
 
 
+def sql_bpe_tokens(col: str) -> str:
+    """Subword token ARRAYS per document — same merge-chain replay as
+    sql_bpe_token_count, but returning the tokens themselves (the twin of
+    bpe_artifact.bpe_tokens_column)."""
+    from cloud_data_quality_spark.functions.bpe_artifact import BPE_MERGES
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    enc = ("array_to_string(list_transform(range(1, length(w) + 1), "
+           "i -> chr(2) || substr(w, i, 1) || chr(3)), '')")
+    for a, b in BPE_MERGES:
+        pat = f"chr(2) || '{q(a)}' || chr(3) || chr(2) || '{q(b)}' || chr(3)"
+        rep = f"chr(2) || '{q(a + b)}' || chr(3)"
+        enc = f"replace({enc}, {pat}, {rep})"
+    stripped = (f"list_transform({sql_tokens(col)}, "
+                f"w -> replace(replace(w, chr(2), ''), chr(3), ''))")
+    word_toks = (f"list_transform(list_filter(string_split({enc}, chr(2)), "
+                 f"t -> t != ''), t -> substr(t, 1, length(t) - 1))")
+    return (f"coalesce(flatten(list_transform({stripped}, w -> {word_toks})), "
+            f"[]::VARCHAR[])")
+
+
 def sql_escape_text(col: str) -> str:
     from cloud_data_quality_spark.functions.html_extract import HTML_ENTITIES
     out = col

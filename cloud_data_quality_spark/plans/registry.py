@@ -1167,6 +1167,30 @@ from q
 """
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """Per-document SUBWORD tokens as a pure JVM Column plan (the
+    training-ready tokenized output; zero Python in the plan — plan test
+    in test_packing). DuckDB replays the identical merge chain."""
+    from cloud_data_quality_spark.functions.bpe_artifact import (
+        bpe_tokens_column)
+    toks = bpe_tokens_column("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("tokens"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("bigint").alias("n_tokens"))
+
+
+ORACLE_BPE_TOKENS = f"""
+select doc_id, {{toks}} as tokens,
+       coalesce(len({{toks}}), 0)::BIGINT as n_tokens
+from documents
+"""
+
+
+def _oracle_bpe_tokens() -> str:
+    toks = OF.sql_bpe_tokens("text")
+    return ORACLE_BPE_TOKENS.format(toks=toks)
+
+
 def q_events_volume_per_day(spark, sf_dir):
     return (_t(spark, sf_dir, "events")
             .groupBy(F.to_date("ts").alias("day"))
@@ -1927,6 +1951,7 @@ QUERIES = {
     "curation_pipeline_docs": q_curation_pipeline_docs,
     "c4_line_filter": q_c4_line_filter,
     "canonical_urls": q_canonical_urls,
+    "bpe_tokens": q_bpe_tokens,
 }
 
 ORACLES = {
@@ -1982,4 +2007,5 @@ ORACLES = {
     "curation_pipeline_docs": _oracle_curation_pipeline(),
     "c4_line_filter": _oracle_c4_line_filter(),
     "canonical_urls": _oracle_canonical_urls(),
+    "bpe_tokens": _oracle_bpe_tokens(),
 }

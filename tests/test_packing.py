@@ -142,3 +142,21 @@ class TestBpeArtifact:
         want = {r["doc_id"]: doc_token_count(r["text"])
                 for r in docs.select("doc_id", "text").collect()}
         assert got == want
+
+    def test_column_encoder_matches_python_and_is_jvm_only(self, spark):
+        """bpe_tokens_column (pure Column, 64 chained replaces) must agree
+        token-for-token with the memoized Python encoder, with no Python
+        eval nodes in the plan."""
+        from cloud_data_quality_spark.functions.bpe_artifact import (
+            _words, bpe_tokens_column, encode_word)
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").limit(50)
+        got = {r["doc_id"]: r["t"] for r in docs.select(
+            "doc_id", bpe_tokens_column("text").alias("t")).collect()}
+        for r in docs.select("doc_id", "text").collect():
+            want = [t for w in _words(r["text"] or "")
+                    for t in encode_word(w)]
+            assert got[r["doc_id"]] == want, r["doc_id"]
+        plan = docs.select(bpe_tokens_column("text"))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
