@@ -185,18 +185,15 @@ def _corpus(args) -> int:
 
 
 def _curate(args) -> int:
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
     from cloud_data_quality_spark.engine.pipeline import (
         PipelineStage,
         ResumableCurationPipeline,
     )
+    from cloud_data_quality_spark.functions.dedup import dedup_exact
     from cloud_data_quality_spark.functions.hosts import (
         cap_per_host,
         drop_blocklisted,
     )
-    from cloud_data_quality_spark.functions.text import fingerprint
     from cloud_data_quality_spark.operators.quality_filter import (
         annotate_quality_arrow,
     )
@@ -204,7 +201,7 @@ def _curate(args) -> int:
 
     spark = get_spark(app_name="cdq_curate", master=args.master)
     df = spark.read.parquet(args.input)
-    blocklist = [d for d in args.blocklist.split(",") if d.strip()]
+    blocklist = [d.strip() for d in args.blocklist.split(",") if d.strip()]
 
     def c4(d):
         from cloud_data_quality_spark.functions.corpus import c4_clean_stage
@@ -223,10 +220,11 @@ def _curate(args) -> int:
         return d
 
     def dedup(d):
-        w = Window.partitionBy(
-            fingerprint(F.col(args.text_col))).orderBy(args.id_col)
-        return (d.withColumn("__r", F.row_number().over(w))
-                .where("__r = 1").drop("__r"))
+        # dedup_exact, not a hand-rolled fingerprint window: it keeps the
+        # min-id representative with the NULL-text sentinel guard (NULL
+        # fingerprints would otherwise all share one window partition and
+        # silently collapse to a single row)
+        return dedup_exact(d, text_col=args.text_col, id_col=args.id_col)
 
     stages = []
     if args.c4_clean:

@@ -46,8 +46,6 @@ _RULES: list[tuple[re.Pattern, object]] = [
     (re.compile(r"\bCOUNTIF\s*\(", re.IGNORECASE), "count_if("),
     (re.compile(r"\bSAFE_DIVIDE\s*\(", re.IGNORECASE), "try_divide("),
     (re.compile(r"\bIFNULL\s*\(", re.IGNORECASE), "coalesce("),
-    (re.compile(r"CAST\s*\(\s*'inf'\s+AS\s+FLOAT64\s*\)", re.IGNORECASE),
-     "CAST('Infinity' AS DOUBLE)"),
     (re.compile(r"\bFLOAT64\b", re.IGNORECASE), "DOUBLE"),
     (re.compile(r"\bINT64\b", re.IGNORECASE), "BIGINT"),
     (re.compile(r"\bTIMESTAMP_MILLIS\s*\(", re.IGNORECASE), "timestamp_millis("),
@@ -221,13 +219,35 @@ def _split_args(inner: str) -> list[str]:
     return out
 
 
+def _string_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of single-quoted literals — call-name matches
+    inside them must be ignored (a regex pattern mentioning DATE_TRUNC is
+    DATA, not a call)."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = _skip_string(sql, i)
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
 def _rewrite_calls(sql: str) -> str:
     out: list[str] = []
+    spans = _string_spans(sql)
     pos = 0
     while True:
         m = _CALL_OPEN.search(sql, pos)
         if not m:
             break
+        inside = next((e for s, e in spans if s <= m.start() < e), None)
+        if inside is not None:  # function name inside a string literal
+            out.append(sql[pos:inside])
+            pos = inside
+            continue
         end = _scan_balanced(sql, m.end())
         if end is None:  # unbalanced — leave the tail untouched
             break
@@ -242,6 +262,9 @@ def _rewrite_calls(sql: str) -> str:
     out.append(sql[pos:])
     return "".join(out)
 
+
+_CAST_INF = re.compile(r"CAST\s*\(\s*'inf'\s+AS\s+FLOAT64\s*\)",
+                       re.IGNORECASE)
 
 _UNNEST_OPEN = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
 # words that can follow `unnest(...)` without being its alias
@@ -344,7 +367,24 @@ def bq_to_spark_sql(sql: str) -> str:
     """Rewrite the BQ-SQL subset used by the reference rule library to Spark SQL."""
     out = _rewrite_unnest(sql)
     out = _DOTTED_IDENT.sub(_split_dotted, out)
+    # runs BEFORE literal protection — this one rewrite intentionally spans
+    # a string literal (the 'inf' token is part of the pattern itself)
+    out = _CAST_INF.sub("CAST('Infinity' AS DOUBLE)", out)
     out = _rewrite_calls(out)
-    for pat, repl in _RULES:
-        out = pat.sub(repl, out)  # type: ignore[arg-type]
-    return out
+
+    def name_rules(segment: str) -> str:
+        for pat, repl in _RULES:
+            segment = pat.sub(repl, segment)  # type: ignore[arg-type]
+        return segment
+
+    # name rewrites never touch string literals either (a regex pattern
+    # mentioning COUNTIF( or FLOAT64 is data, not SQL)
+    spans = _string_spans(out)
+    parts: list[str] = []
+    pos = 0
+    for s, e in spans:
+        parts.append(name_rules(out[pos:s]))
+        parts.append(out[s:e])
+        pos = e
+    parts.append(name_rules(out[pos:]))
+    return "".join(parts)

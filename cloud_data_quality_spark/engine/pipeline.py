@@ -125,14 +125,31 @@ class ResumableCurationPipeline:
 
     # ---------- stage execution ----------
 
-    def _stage_paths(self, idx: int, name: str) -> str:
-        return f"{self.work_dir}/{idx:02d}_{name}"
+    def _stage_paths(self, run_id: str, idx: int, name: str) -> str:
+        # run_id in the path: stage outputs from DIFFERENT runs must never
+        # share a directory — dynamic partition overwrite only replaces the
+        # partitions the new run writes, so a shared dir would leak a
+        # previous run's rows into any bucket the new run leaves empty
+        return f"{self.work_dir}/{run_id}/{idx:02d}_{name}"
+
+    def _stage_totals(self, stage_run_id: str) -> tuple[int, int]:
+        """Whole-stage (n_in, n_kept) summed over committed lineage rows —
+        correct on resume, when the current process ran zero waves."""
+        lineage = self._lineage()
+        if lineage is None:
+            return 0, 0
+        row = (lineage.where((F.col("run_id") == stage_run_id)
+                             & (F.col("status") == "committed"))
+               .agg(F.coalesce(F.sum("n_in"), F.lit(0)).alias("i"),
+                    F.coalesce(F.sum("n_kept"), F.lit(0)).alias("k"))
+               .collect()[0])
+        return row["i"], row["k"]
 
     def _run_partition_stage(
         self, df: DataFrame, stage: PipelineStage, idx: int, run_id: str,
         fail_at_partition: int | None,
     ) -> StageResult:
-        base = self._stage_paths(idx, stage.name)
+        base = self._stage_paths(run_id, idx, stage.name)
         # the first stage buckets by id hash; any stage whose input already
         # carries part_key (a previous stage's partitioned output) reuses it
         # → wave filters prune the upstream output PHYSICALLY
@@ -148,17 +165,20 @@ class ResumableCurationPipeline:
         )
         stage_run_id = self._stage_run_id(run_id, idx, stage.name)
         already = runner.committed_partitions(stage_run_id)
-        res = runner.run(df, stage.transform, run_id=stage_run_id,
-                         fail_at_partition=fail_at_partition)
+        runner.run(df, stage.transform, run_id=stage_run_id,
+                   fail_at_partition=fail_at_partition)
+        # report lineage totals, not this process's delta — a resumed stage
+        # would otherwise claim rows_in/rows_out 0
+        n_in, n_kept = self._stage_totals(stage_run_id)
         return StageResult(
             name=stage.name, kind="partition", output_path=f"{base}/out",
-            rows_in=res.rows_in, rows_out=res.rows_kept,
+            rows_in=n_in, rows_out=n_kept,
             resumed=len(already) == self.n_buckets)
 
     def _run_global_stage(
         self, df: DataFrame, stage: PipelineStage, idx: int, run_id: str,
     ) -> StageResult:
-        base = self._stage_paths(idx, stage.name)
+        base = self._stage_paths(run_id, idx, stage.name)
         out_path = f"{base}/out"
         stage_run_id = self._stage_run_id(run_id, idx, stage.name)
         lineage = self._lineage()

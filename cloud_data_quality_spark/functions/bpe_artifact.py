@@ -240,7 +240,12 @@ def bpe_tokens_column(text_col: str = "text"):
     from cloud_data_quality_spark.functions.text import tokens
 
     def encode(w):
-        chars = F.filter(F.split(w, ""), lambda c: F.length(c) > 0)
+        # strip sentinel chars from the input first — encode_word and the
+        # DuckDB twin do the same; a raw-capture \x02/\x03 would otherwise
+        # corrupt segment extraction
+        chars = F.filter(
+            F.split(w, ""),
+            lambda c: (F.length(c) > 0) & (c != SENT_L) & (c != SENT_R))
         s = F.array_join(
             F.transform(chars,
                         lambda c: F.concat(F.lit(SENT_L), c, F.lit(SENT_R))),

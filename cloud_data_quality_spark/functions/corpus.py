@@ -507,9 +507,16 @@ class SeenFingerprintStore:
         return df.select(self.fp_col)
 
     def append(self, fps: DataFrame, wave_id: str | None = None) -> None:
-        (fps.select(self.fp_col)
-         .withColumn("wave_id", F.lit(wave_id).cast("string"))
-         .write
+        out = fps.select(self.fp_col)
+        # schema back-compat: a store created before wave tagging has only
+        # the fp column — appending a 2-column frame into it would fail at
+        # every wave. Match the existing table's shape (read() already
+        # guards the other direction); such stores simply don't get replay
+        # exclusion until recreated.
+        if not self.exists() or \
+                "wave_id" in self.spark.table(self.table).columns:
+            out = out.withColumn("wave_id", F.lit(wave_id).cast("string"))
+        (out.write
          .bucketBy(self.n_buckets, self.fp_col).sortBy(self.fp_col)
          .mode("append").format("parquet").saveAsTable(self.table))
 

@@ -176,7 +176,11 @@ def canonicalize_url(url: Column) -> Column:
     host = F.lower(F.regexp_extract(url, URL_SPLIT_PATTERN, 2))
     path = F.regexp_extract(url, URL_SPLIT_PATTERN, 3)
     query = F.regexp_extract(url, URL_SPLIT_PATTERN, 4)
-    host = F.regexp_replace(host, ":80$|:443$", "")
+    # default-port stripping is SCHEME-conditional: http://x:443 is a real,
+    # distinct resource and must not collapse into https://x or plain x
+    host = (F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+            .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+            .otherwise(host))
     path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
     params = F.filter(F.split(query, "&"),
                       lambda kv: (F.length(kv) > 0) & ~_is_tracking_param(kv))

@@ -1145,19 +1145,24 @@ with u as (select doc_id, {_CANON_URL_SQL} as url from documents),
 p as (select doc_id, url,
              lower(coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 1), ''))
                as scheme,
-             regexp_replace(
-               lower(coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 2), '')),
-               ':80$|:443$', '') as host,
+             lower(coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 2), ''))
+               as rawhost,
              coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 3), '') as path,
              coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 4), '') as query
       from u),
+h as (select *, case when scheme = 'http'
+                     then regexp_replace(rawhost, ':80$', '')
+                     when scheme = 'https'
+                     then regexp_replace(rawhost, ':443$', '')
+                     else rawhost end as host
+      from p),
 q as (select doc_id, url, scheme, host,
              case when length(path) = 0 then '/' else path end as path,
              array_to_string(
                list_filter(string_split(query, '&'),
                            kv -> length(kv) > 0 and not ({tracking})),
                '&') as qs
-      from p)
+      from h)
 select doc_id,
        case when length(scheme) > 0
             then scheme || '://' || host || path ||

@@ -140,21 +140,23 @@ def streaming_dedup_exact(stream_df: DataFrame,
 
 
 QUOTA_STATE_SCHEMA = "n_emitted bigint"
-QUOTA_OUT_SCHEMA = ("url string, warc_ts timestamp, text string, "
-                    "lang string, host string")
 
 
-def _quota_fn(max_per_host: int):
+def _quota_fn(max_per_host: int, order_col: str, out_cols: list):
     def fn(key: Tuple[str], batches: Iterable[pd.DataFrame],
            state: GroupState):
         n = state.get[0] if state.exists else 0
-        for pdf in batches:
-            if n >= max_per_host:
-                continue  # must still drain the iterator
-            take = pdf.sort_values("url").iloc[:max_per_host - n]
+        # collect the WHOLE group before sorting: batches arrives as Arrow
+        # chunks whose boundaries depend on shuffle order — chunk-local
+        # sorting would make the admitted set replay-dependent
+        parts = [pdf for pdf in batches if len(pdf)]
+        if parts and n < max_per_host:
+            group = (pd.concat(parts) if len(parts) > 1 else parts[0]) \
+                .sort_values(order_col)
+            take = group.iloc[:max_per_host - n]
             n += len(take)
             if len(take):
-                yield take[["url", "warc_ts", "text", "lang", "host"]]
+                yield take[out_cols]
         state.update((n,))
     return fn
 
@@ -163,21 +165,29 @@ def streaming_host_quota(stream_df: DataFrame, max_per_host: int,
                          url_col: str = "url") -> DataFrame:
     """Streaming twin of hosts.cap_per_host: admit at most max_per_host
     documents per URL host across the WHOLE stream lifetime (within-batch
-    order: url ascending — deterministic given batch boundaries).
+    order: url_col ascending over the full micro-batch group —
+    deterministic given batch boundaries). Output schema = input columns
+    + `host` (derived, not hardcoded — works on any url-carrying stream).
 
     State per host: ONE counter (bigint) — O(hosts) total regardless of
     corpus size, so unlike streaming_dedup_exact this needs no TTL at web
     scale; a quota must remember every host it has admitted forever by
     definition. The batch cap_per_host ranks retroactively (keeps the
     lowest-ordered rows corpus-wide); the streaming quota admits first-come
-    — the standard ingest-time semantics when you can't rank the future."""
+    — the standard ingest-time semantics when you can't rank the future.
+
+    Memory: the per-group concat holds ONE host's share of one micro-batch
+    (bounded by trigger size), not stream history."""
     if max_per_host <= 0:
         raise ValueError("max_per_host must be positive")
     from cloud_data_quality_spark.functions.hosts import url_host
     keyed = stream_df.withColumn("host", url_host(F.col(url_col)))
+    out_schema = keyed.schema
+    out_cols = [f.name for f in out_schema.fields]
     return (keyed.groupBy("host")
-            .applyInPandasWithState(_quota_fn(max_per_host),
-                                    outputStructType=QUOTA_OUT_SCHEMA,
-                                    stateStructType=QUOTA_STATE_SCHEMA,
-                                    outputMode="append",
-                                    timeoutConf=GroupStateTimeout.NoTimeout))
+            .applyInPandasWithState(
+                _quota_fn(max_per_host, url_col, out_cols),
+                outputStructType=out_schema,
+                stateStructType=QUOTA_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

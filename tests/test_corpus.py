@@ -725,3 +725,24 @@ class TestC4LineFilter:
         plan = c4_line_filter(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+class TestStoreSchemaBackCompat:
+    def test_append_into_pre_wave_id_store(self, spark, tmp_path):
+        """Regression: a store table created before wave tagging (fp column
+        only) must still accept appends — the new column is matched to the
+        EXISTING table shape, not forced."""
+        from cloud_data_quality_spark.functions.corpus import (
+            SeenFingerprintStore)
+        table = "old_shape_store"
+        spark.sql(f"drop table if exists {table}")
+        (spark.createDataFrame([("aa",), ("bb",)], "fp string")
+         .write.bucketBy(4, "fp").sortBy("fp")
+         .format("parquet").saveAsTable(table))
+        store = SeenFingerprintStore(spark, table, n_buckets=4)
+        store.append(spark.createDataFrame([("cc",)], "fp string"),
+                     wave_id="w1")
+        got = sorted(r["fp"] for r in store.read().collect())
+        assert got == ["aa", "bb", "cc"]
+        assert spark.table(table).columns == ["fp"]
+        spark.sql(f"drop table {table}")

@@ -180,3 +180,18 @@ def test_unrecognized_shape_left_untranslated():
     assert bq_to_spark_sql("DATE_DIFF(a, b, MONTH)") == "DATE_DIFF(a, b, MONTH)"
     assert bq_to_spark_sql("FORMAT_DATE(fmt_col, IFNULL(a, b))") == \
         "FORMAT_DATE(fmt_col, coalesce(a, b))"
+
+
+def test_function_names_inside_string_literals_untouched():
+    """A regex/choice literal that MENTIONS a translatable function or BQ
+    type is data, not SQL — both the balanced call scanner and the
+    name-only rules must skip string spans."""
+    from cloud_data_quality_spark.compiler.dialect import bq_to_spark_sql
+    assert bq_to_spark_sql("REGEXP_CONTAINS(x, 'DATE_TRUNC(a, b)')") == \
+        "(x RLIKE 'DATE_TRUNC(a, b)')"
+    assert bq_to_spark_sql("y = 'COUNTIF(z)' AND COUNTIF(v) > 0") == \
+        "y = 'COUNTIF(z)' AND count_if(v) > 0"
+    assert bq_to_spark_sql("label = 'FLOAT64'") == "label = 'FLOAT64'"
+    assert bq_to_spark_sql(
+        "TIMESTAMP_DIFF(a, b, DAY) > 0 AND note = 'TIMESTAMP_DIFF(x,y,DAY)'"
+    ) == "timestampdiff(DAY, b, a) > 0 AND note = 'TIMESTAMP_DIFF(x,y,DAY)'"

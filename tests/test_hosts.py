@@ -132,6 +132,11 @@ class TestCanonicalizeUrl:
          "https://www.example.com/A/B?id=9"),
         ("http://site.org:80", "http://site.org/"),
         ("http://site.org:8080/x", "http://site.org:8080/x"),  # non-default
+        # default-port stripping is scheme-conditional: these are real,
+        # distinct resources and must survive
+        ("http://site.org:443/x", "http://site.org:443/x"),
+        ("https://site.org:80/x", "https://site.org:80/x"),
+        ("ftp://site.org:80/x", "ftp://site.org:80/x"),
         ("https://a.net/p?UTM_CAMPAIGN=1&q=term&ref=tw", "https://a.net/p?q=term"),
         ("https://a.net/p?utm_x=1", "https://a.net/p"),
         ("not a url", "not a url"),            # unparseable passes through

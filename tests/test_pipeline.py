@@ -187,3 +187,38 @@ class TestEmptyOutputObservation:
             assert "x.y.SomeRule" in v and "AQEPropagateEmptyRelation" in v
         assert spark.conf.get(_AQE_EXCLUDE_KEY) == "x.y.SomeRule"
         spark.conf.unset(_AQE_EXCLUDE_KEY)
+
+
+class TestRunIsolationNoStaleRows:
+    def test_new_run_never_reads_previous_runs_output(
+            self, spark, pages, tmp_path):
+        """Regression: stage outputs used to share one directory across
+        run_ids; dynamic partition overwrite only replaces the partitions
+        the new run writes, so a run whose stage dropped every row would
+        silently hand the PREVIOUS run's output to its next stage."""
+        work = str(tmp_path / "w")
+        pipe = ResumableCurationPipeline(spark, work, n_buckets=4)
+        full = [PipelineStage("s", lambda d: d, kind="partition"),
+                PipelineStage("dedup", _exact_dedup, kind="global")]
+        res_a = pipe.run(pages, full, run_id="a")
+        assert res_a.rows_out > 0
+        empty = [PipelineStage("s", lambda d: d.where(F.length("text") < 0),
+                               kind="partition"),
+                 PipelineStage("dedup", _exact_dedup, kind="global")]
+        res_b = pipe.run(pages, empty, run_id="b")
+        assert res_b.rows_out == 0
+        assert res_b.stages[0].output_path != res_a.stages[0].output_path
+
+    def test_resumed_partition_stage_reports_lineage_totals(
+            self, spark, pages, tmp_path):
+        """Regression: a fully-resumed partition stage used to report
+        rows_in/rows_out 0 (no waves ran in this process)."""
+        work = str(tmp_path / "w2")
+        pipe = ResumableCurationPipeline(spark, work, n_buckets=4)
+        stages = [PipelineStage("q", _quality, kind="partition")]
+        first = pipe.run(pages, stages, run_id="r")
+        again = pipe.run(pages, stages, run_id="r")
+        assert again.stages[0].resumed
+        assert again.stages[0].rows_in == first.stages[0].rows_in > 0
+        assert again.stages[0].rows_out == first.stages[0].rows_out > 0
+        assert again.rows_out == first.rows_out

@@ -223,3 +223,31 @@ class TestStreamingHostQuota:
         df = spark.read.parquet(multi_file_pages)
         with _pytest.raises(ValueError):
             streaming_host_quota(df, 0)
+
+    def test_custom_url_col_and_schema_passthrough(self, spark, tmp_path):
+        """Regression: the quota output schema is derived from the input
+        (all columns + host), and url_col is honored — not hardcoded."""
+        from cloud_data_quality_spark.streaming.stateful import (
+            streaming_host_quota,
+        )
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(f"https://h{i % 3}.org/p{i}", i) for i in range(30)],
+            "link string, n int").coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema("link string, n int").parquet(src)
+        out_path, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+        q = (streaming_host_quota(stream, 4, url_col="link")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out_path).option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        got = spark.read.parquet(out_path)
+        assert set(got.columns) == {"link", "n", "host"}
+        counts = {r["host"]: r["c"] for r in
+                  got.groupBy("host").agg(F.count("*").alias("c")).collect()}
+        assert all(c == 4 for c in counts.values())  # 10 per host, capped
+        # deterministic: lowest 4 links per host admitted (one batch)
+        links = sorted(r["link"] for r in got.where("host = 'h0.org'")
+                       .collect())
+        want = sorted(f"https://h0.org/p{i}" for i in range(0, 30, 3))[:4]
+        assert links == want
