@@ -787,3 +787,52 @@ def c4_clean_stage(df: DataFrame, text_col: str = "text",
     return (ann.where("keep")
             .withColumn(text_col, F.col("clean_text"))
             .drop("clean_text", "n_lines_kept", "keep"))
+
+
+# ------------------------------------------------- paragraph repetition
+
+#: a paragraph "has content" iff it contains any non-whitespace char —
+#: explicit class because Java \S and RE2 \S disagree on \x0b
+_PARA_CONTENT_RE = "[^\\t\\n\\x0b\\f\\r ]"
+
+
+def paragraph_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher paragraph-level repetition signals (Rae et al. 2021 Table A1:
+    duplicate-paragraph fraction and duplicate-paragraph character
+    fraction), PURE Column — no UDF, no shuffle:
+
+      paragraphs          = blank-line-separated spans with content
+      dup_para_frac       = 1 - distinct/total paragraphs
+      dup_para_char_frac  = Σ chars of paragraphs occurring >1× / chars(doc)
+      top_para_char_frac  = max over paragraphs of count·chars / chars(doc)
+
+    max(count·chars), same tie-free definition as repetition_stats. The
+    occurrence counting is an O(P²) higher-order filter per document — P is
+    paragraph count (tens), so this stays a narrow codegen'd projection
+    rather than an explode + groupBy that would shuffle the corpus by
+    paragraph. Docs with no content paragraphs: n_paras=0, NULL fractions.
+    """
+    paras = F.filter(F.split(F.col(text_col), r"\n{2,}"),
+                     lambda p: p.rlike(_PARA_CONTENT_RE))
+    n = F.size(paras)
+    chars = F.length(F.col(text_col))
+    occ = lambda p: F.size(F.filter(paras, lambda x: x == p))  # noqa: E731
+    dup_chars = F.aggregate(
+        paras, F.lit(0).cast("bigint"),
+        lambda acc, p: acc + F.when(occ(p) > 1, F.length(p)).otherwise(0))
+    top = F.array_max(F.transform(paras, lambda p: occ(p) * F.length(p)))
+    nn = F.nullif(chars, F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.coalesce(n, F.lit(0)).cast("bigint").alias("n_paras"),
+        F.round(F.when(n > 0,
+                       1.0 - F.size(F.array_distinct(paras))
+                       / n.cast("double")), 6).alias("dup_para_frac"),
+        F.round(F.when(n > 0, dup_chars.cast("double") / nn), 6)
+         .alias("dup_para_char_frac"),
+        F.round(F.when(n > 0, top.cast("double") / nn), 6)
+         .alias("top_para_char_frac"))

@@ -1172,6 +1172,57 @@ from q
 """
 
 
+#: blank-line paragraph structure synthesized deterministically: paragraph
+#: breaks before common words, and doc_id % 5 == 0 docs get the SAME
+#: 40-char paragraph twice (an exact duplicate pair for the dup fractions).
+_PARA_SYNTH_SQL = (
+    "replace(text, ' value ', chr(10) || chr(10) || 'value ')"
+    " || case when doc_id % 5 = 0 then"
+    " chr(10) || chr(10) || substr(text, 1, 40)"
+    " || chr(10) || chr(10) || substr(text, 1, 40) else '' end")
+
+
+def q_paragraph_stats(spark, sf_dir):
+    """Gopher paragraph-duplication fractions (pure Column, O(P²) in-doc
+    occurrence counting, zero shuffle) over deterministically
+    paragraph-structured document text."""
+    from cloud_data_quality_spark.functions.corpus import paragraph_stats
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PARA_SYNTH_SQL).alias("text"))
+    return paragraph_stats(docs)
+
+
+def _oracle_paragraph_stats() -> str:
+    from cloud_data_quality_spark.functions.corpus import _PARA_CONTENT_RE
+    occ = "len(list_filter(paras, x -> x = p))"
+    return f"""
+with s as (select doc_id, {_PARA_SYNTH_SQL} as text from documents),
+p as (select doc_id, text,
+             list_filter(regexp_split_to_array(text, '\\n{{2,}}'),
+                         p -> regexp_matches(p, '{_PARA_CONTENT_RE}'))
+               as paras
+      from s),
+m as (select doc_id,
+             len(paras) as n,
+             length(text) as chars,
+             len(list_distinct(paras)) as nd,
+             list_sum(list_transform(paras,
+                 p -> case when {occ} > 1 then length(p) else 0 end))
+               as dup_chars,
+             list_max(list_transform(paras, p -> {occ} * length(p))) as top
+      from p)
+select doc_id,
+       coalesce(n, 0)::BIGINT as n_paras,
+       round(case when n > 0 then 1.0 - nd / n::DOUBLE end, 6)
+         as dup_para_frac,
+       round(case when n > 0 then dup_chars::DOUBLE / nullif(chars, 0) end, 6)
+         as dup_para_char_frac,
+       round(case when n > 0 then top::DOUBLE / nullif(chars, 0) end, 6)
+         as top_para_char_frac
+from m
+"""
+
+
 def q_bpe_tokens(spark, sf_dir):
     """Per-document SUBWORD tokens as a pure JVM Column plan (the
     training-ready tokenized output; zero Python in the plan — plan test
@@ -1957,6 +2008,7 @@ QUERIES = {
     "c4_line_filter": q_c4_line_filter,
     "canonical_urls": q_canonical_urls,
     "bpe_tokens": q_bpe_tokens,
+    "paragraph_stats_docs": q_paragraph_stats,
 }
 
 ORACLES = {
@@ -2013,4 +2065,5 @@ ORACLES = {
     "c4_line_filter": _oracle_c4_line_filter(),
     "canonical_urls": _oracle_canonical_urls(),
     "bpe_tokens": _oracle_bpe_tokens(),
+    "paragraph_stats_docs": _oracle_paragraph_stats(),
 }

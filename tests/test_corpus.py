@@ -746,3 +746,31 @@ class TestStoreSchemaBackCompat:
         assert got == ["aa", "bb", "cc"]
         assert spark.table(table).columns == ["fp"]
         spark.sql(f"drop table {table}")
+
+
+class TestParagraphStats:
+    def test_hand_computed(self, spark):
+        from cloud_data_quality_spark.functions.corpus import paragraph_stats
+        # doc 1: paras A(5 chars), B(5), A(5) → n=3, distinct=2,
+        # dup_frac=1/3, dup chars=10, top = 2*5 = 10; chars=len(text)
+        t1 = "aaaaa\n\nbbbbb\n\naaaaa"
+        rows = [(1, t1), (2, "solo5"), (3, None), (4, "\n\n  \n\n")]
+        out = {r["doc_id"]: r for r in paragraph_stats(
+            spark.createDataFrame(rows, "doc_id int, text string")).collect()}
+        r1 = out[1]
+        assert r1["n_paras"] == 3
+        assert r1["dup_para_frac"] == round(1 - 2 / 3, 6)
+        assert r1["dup_para_char_frac"] == round(10 / len(t1), 6)
+        assert r1["top_para_char_frac"] == round(10 / len(t1), 6)
+        r2 = out[2]
+        assert (r2["n_paras"], r2["dup_para_frac"]) == (1, 0.0)
+        assert r2["top_para_char_frac"] == 1.0
+        assert out[3]["n_paras"] == 0 and out[3]["dup_para_frac"] is None
+        assert out[4]["n_paras"] == 0  # whitespace-only paragraphs dropped
+
+    def test_pure_column_no_python_no_shuffle(self, spark):
+        from cloud_data_quality_spark.functions.corpus import paragraph_stats
+        df = spark.createDataFrame([(1, "x\n\ny")], "doc_id int, text string")
+        plan = paragraph_stats(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "EvalPython" not in plan and "Exchange" not in plan
