@@ -203,7 +203,6 @@ def throughput_docs_per_sec(spark, sf_dir: str) -> dict:
     figure 35% between rounds on an unchanged code path, and measuring
     inside the suite's aged JVM (grown heap, ~200 accumulated stages) reads
     ~1.4× slower than the fresh-JVM number the baseline reports."""
-    ensure_big_pages(spark, sf_dir)  # generate once; the child reuses it
     out = subprocess.run(
         [sys.executable, __file__, "--scaling-child", f"local[{CPUS}]", sf_dir],
         capture_output=True, text=True, timeout=1800,
@@ -235,7 +234,13 @@ def run_suite(master: str, sf_dir: str) -> dict:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
-    thr = throughput_docs_per_sec(spark, sf_dir)
+    f1 = keep_drop_f1(spark, pages_path)
+    ensure_big_pages(spark, sf_dir)  # generate before stopping the session
+    # stop the (aged, 100+-stage, large-heap) suite JVM BEFORE the
+    # throughput child: a resident idle JVM measurably depresses the
+    # fresh-JVM measurement (111k vs 191k docs/sec observed minutes apart)
+    spark.stop()
+    thr = throughput_docs_per_sec(None, sf_dir)
     return {
         "metric": "headline_suite_wall_time",
         "value": total,
@@ -246,7 +251,7 @@ def run_suite(master: str, sf_dir: str) -> dict:
         "docs_per_sec": thr["docs_per_sec"],
         "throughput_rows": thr["rows"],
         "throughput_seconds": thr["seconds"],
-        "keep_drop_f1": keep_drop_f1(spark, pages_path),
+        "keep_drop_f1": f1,
         "cpus": CPUS,
         "master": master,
     }
