@@ -154,6 +154,19 @@ def _corpus(args) -> int:
         out = C.chunk_documents(df, budget_tokens=args.budget_tokens,
                                 overlap_tokens=args.overlap_tokens,
                                 text_col=args.text_col, id_col=args.id_col)
+    elif args.op == "c4-clean":
+        out = C.c4_clean_stage(df, text_col=args.text_col,
+                               id_col=args.id_col)
+    elif args.op == "paragraph-stats":
+        out = C.paragraph_stats(df, text_col=args.text_col,
+                                id_col=args.id_col)
+    elif args.op == "repetition-stats":
+        out = C.repetition_stats(df, text_col=args.text_col,
+                                 id_col=args.id_col)
+    elif args.op == "canonicalize-urls":
+        from cloud_data_quality_spark.functions.hosts import canonicalize_url
+        out = df.withColumn(args.id_col,
+                            canonicalize_url(F.col(args.id_col)))
     else:  # incremental-dedup / incremental-minhash-dedup
         if not args.store:
             raise SystemExit(f"{args.op} needs --store")
@@ -291,7 +304,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--op", required=True,
                    choices=["span-dedup", "decontaminate", "sample",
                             "resample", "incremental-dedup",
-                            "incremental-minhash-dedup", "chunk"])
+                            "incremental-minhash-dedup", "chunk",
+                            "c4-clean", "paragraph-stats",
+                            "canonicalize-urls", "repetition-stats"])
     c.add_argument("--input", required=True)
     c.add_argument("--output", required=True)
     c.add_argument("--text-col", default="text")

@@ -248,3 +248,36 @@ class TestCurate:
         assert rc2 == 0
         out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert all(s["resumed"] for s in out2["stages"])
+
+
+class TestCorpusNewOps:
+    def test_c4_clean_paragraph_and_canonicalize(self, spark, tmp_path,
+                                                 capsys):
+        import json as _json
+        inp = str(tmp_path / "in.parquet")
+        spark.createDataFrame(
+            [(1, "Good long line with many words here.\n"
+                 "Another proper line with enough words!\n"
+                 "And a third good line to keep it all?",
+              "HTTPS://A.ORG:443/x?utm_source=t&id=1"),
+             (2, "short.", "https://b.org/y")],
+            "doc_id int, text string, url string").write.parquet(inp)
+        out1 = str(tmp_path / "o1")
+        rc = main(["corpus", "--op", "c4-clean", "--input", inp,
+                   "--output", out1])
+        assert rc == 0
+        got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert got["rows_out"] == 1  # doc 2 has < 3 surviving lines
+        out2 = str(tmp_path / "o2")
+        rc = main(["corpus", "--op", "paragraph-stats", "--input", inp,
+                   "--output", out2])
+        assert rc == 0
+        assert spark.read.parquet(out2).columns == [
+            "doc_id", "n_paras", "dup_para_frac", "dup_para_char_frac",
+            "top_para_char_frac"]
+        out3 = str(tmp_path / "o3")
+        rc = main(["corpus", "--op", "canonicalize-urls", "--input", inp,
+                   "--output", out3, "--id-col", "url"])
+        assert rc == 0
+        urls = {r["url"] for r in spark.read.parquet(out3).collect()}
+        assert "https://a.org/x?id=1" in urls
