@@ -193,7 +193,7 @@ def ensure_big_pages(spark, sf_dir: str) -> str:
     return path
 
 
-def throughput_docs_per_sec(spark, sf_dir: str) -> dict:
+def throughput_docs_per_sec(sf_dir: str) -> dict:
     """Headline throughput: the full quality-filter job on the compute-bound
     16× input, in a FRESH JVM, warmed, best-of-3 — byte-for-byte the scaling
     sweep's local[CPUS] measurement (_scaling_child), so BENCH_r{N}'s
@@ -240,7 +240,7 @@ def run_suite(master: str, sf_dir: str) -> dict:
     # throughput child: a resident idle JVM measurably depresses the
     # fresh-JVM measurement (111k vs 191k docs/sec observed minutes apart)
     spark.stop()
-    thr = throughput_docs_per_sec(None, sf_dir)
+    thr = throughput_docs_per_sec(sf_dir)
     return {
         "metric": "headline_suite_wall_time",
         "value": total,
@@ -393,18 +393,13 @@ def _write_baseline_md(s: dict, sf_dir: str) -> None:
         f"| local[{n}] | {d['docs_per_sec']} | {d['seconds']} |"
         for n, d in sorted(s["detail"].items()))
     eng, ctl = s["efficiency_2_to_8"], s["control_2_to_8"]["efficiency"]
-    if eng >= min(ctl, 1.0):
-        compare_sentence = (
-            "The engine's efficiency MEETS the no-framework control: Spark "
-            "adds no scaling overhead of its own, which is what the ≥0.8 "
-            "criterion exists to check.")
-    else:
-        compare_sentence = (
-            f"This run's engine efficiency ({eng}) sits below the control "
-            f"({ctl}); the gap bounds Spark's own scaling overhead ON THIS "
-            f"BOX — both numbers carry single-box noise (daemons, page "
-            f"cache, turbo), so treat the pair as an interval, not a "
-            f"verdict.")
+    rel = "meets or exceeds" if eng >= ctl else "sits below"
+    compare_sentence = (
+        f"This run's engine efficiency ({eng}) {rel} the no-framework "
+        f"control ({ctl}); the gap between the two bounds Spark's own "
+        f"scaling overhead ON THIS BOX — both numbers carry single-box "
+        f"noise (daemons, page cache, turbo), so treat the pair as an "
+        f"interval, not a verdict.")
     (bench_dir / "BASELINE.md").write_text(f"""# BENCH/BASELINE — scaling evidence
 
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N

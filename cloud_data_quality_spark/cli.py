@@ -16,7 +16,11 @@ Subcommands:
   quality-filter  resumable web-text filter pipeline (annotate → keep →
                   scrubbed output) with per-partition lineage
   corpus          corpus curation ops: span-dedup | decontaminate | sample |
-                  resample | incremental-dedup | chunk (functions/corpus.py)
+                  resample | incremental-dedup | incremental-minhash-dedup |
+                  chunk | c4-clean | paragraph-stats | repetition-stats |
+                  canonicalize-urls (functions/corpus.py, functions/hosts.py)
+  curate          composed resumable pipeline: [c4-clean →] quality filter →
+                  host blocklist+cap → exact dedup (engine/pipeline.py)
 """
 
 from __future__ import annotations
@@ -165,8 +169,12 @@ def _corpus(args) -> int:
                                  id_col=args.id_col)
     elif args.op == "canonicalize-urls":
         from cloud_data_quality_spark.functions.hosts import canonicalize_url
-        out = df.withColumn(args.id_col,
-                            canonicalize_url(F.col(args.id_col)))
+        if args.url_col not in df.columns:
+            raise SystemExit(
+                f"canonicalize-urls: no column {args.url_col!r} in input "
+                f"(pass --url-col)")
+        out = df.withColumn(args.url_col,
+                            canonicalize_url(F.col(args.url_col)))
     else:  # incremental-dedup / incremental-minhash-dedup
         if not args.store:
             raise SystemExit(f"{args.op} needs --store")
@@ -311,6 +319,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--output", required=True)
     c.add_argument("--text-col", default="text")
     c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--url-col", default="url",
+                   help="canonicalize-urls: the URL column to rewrite")
     c.add_argument("--delimiter", default=None,
                    help="span-dedup: split spans on this separator")
     c.add_argument("--chunk-words", type=int, default=None,

@@ -801,37 +801,43 @@ def paragraph_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Gopher paragraph-level repetition signals (Rae et al. 2021 Table A1:
-    duplicate-paragraph fraction and duplicate-paragraph character
+    """Gopher paragraph-level repetition signals (Rae et al. 2021 Table A1
+    family: duplicate-paragraph fraction and duplicate-paragraph character
     fraction), PURE Column — no UDF, no shuffle:
 
       paragraphs          = blank-line-separated spans with content
       dup_para_frac       = 1 - distinct/total paragraphs
-      dup_para_char_frac  = Σ chars of paragraphs occurring >1× / chars(doc)
+      dup_para_char_frac  = Σ over distinct repeated paragraphs of
+                            (count-1)·chars(p) / chars(doc)
       top_para_char_frac  = max over paragraphs of count·chars / chars(doc)
 
-    max(count·chars), same tie-free definition as repetition_stats. The
-    occurrence counting is an O(P²) higher-order filter per document — P is
-    paragraph count (tens), so this stays a narrow codegen'd projection
-    rather than an explode + groupBy that would shuffle the corpus by
-    paragraph. Docs with no content paragraphs: n_paras=0, NULL fractions.
-    """
+    Both dup_* columns count EXCESS occurrences only (the first sighting of
+    a paragraph is not a duplicate) — the same convention for rows and
+    chars, matching dup_para_frac's 1 - distinct/total. max(count·chars),
+    same tie-free definition as repetition_stats.
+
+    Shape: within-doc occurrence counting over the DISTINCT paragraph list
+    — O(distinct·P) interpreted higher-order comparisons per document (P =
+    paragraph count, typically tens) in one narrow projection; an explode +
+    groupBy design would shuffle the corpus by paragraph instead. Docs with
+    no content paragraphs: n_paras=0, NULL fractions."""
     paras = F.filter(F.split(F.col(text_col), r"\n{2,}"),
                      lambda p: p.rlike(_PARA_CONTENT_RE))
     n = F.size(paras)
     chars = F.length(F.col(text_col))
     occ = lambda p: F.size(F.filter(paras, lambda x: x == p))  # noqa: E731
+    distinct = F.array_distinct(paras)
     dup_chars = F.aggregate(
-        paras, F.lit(0).cast("bigint"),
-        lambda acc, p: acc + F.when(occ(p) > 1, F.length(p)).otherwise(0))
-    top = F.array_max(F.transform(paras, lambda p: occ(p) * F.length(p)))
+        distinct, F.lit(0).cast("bigint"),
+        lambda acc, p: acc + (occ(p) - 1) * F.length(p))
+    top = F.array_max(F.transform(distinct, lambda p: occ(p) * F.length(p)))
     nn = F.nullif(chars, F.lit(0))
     return df.select(
         F.col(id_col),
         F.coalesce(n, F.lit(0)).cast("bigint").alias("n_paras"),
         F.round(F.when(n > 0,
-                       1.0 - F.size(F.array_distinct(paras))
-                       / n.cast("double")), 6).alias("dup_para_frac"),
+                       1.0 - F.size(distinct) / n.cast("double")), 6)
+         .alias("dup_para_frac"),
         F.round(F.when(n > 0, dup_chars.cast("double") / nn), 6)
          .alias("dup_para_char_frac"),
         F.round(F.when(n > 0, top.cast("double") / nn), 6)

@@ -1206,10 +1206,10 @@ m as (select doc_id,
              len(paras) as n,
              length(text) as chars,
              len(list_distinct(paras)) as nd,
-             list_sum(list_transform(paras,
-                 p -> case when {occ} > 1 then length(p) else 0 end))
-               as dup_chars,
-             list_max(list_transform(paras, p -> {occ} * length(p))) as top
+             list_sum(list_transform(list_distinct(paras),
+                 p -> ({occ} - 1) * length(p))) as dup_chars,
+             list_max(list_transform(list_distinct(paras),
+                 p -> {occ} * length(p))) as top
       from p)
 select doc_id,
        coalesce(n, 0)::BIGINT as n_paras,

@@ -277,7 +277,18 @@ class TestCorpusNewOps:
             "top_para_char_frac"]
         out3 = str(tmp_path / "o3")
         rc = main(["corpus", "--op", "canonicalize-urls", "--input", inp,
-                   "--output", out3, "--id-col", "url"])
+                   "--output", out3])  # default --url-col url
         assert rc == 0
         urls = {r["url"] for r in spark.read.parquet(out3).collect()}
         assert "https://a.org/x?id=1" in urls
+        out4 = str(tmp_path / "o4")
+        rc = main(["corpus", "--op", "repetition-stats", "--input", inp,
+                   "--output", out4])
+        assert rc == 0
+        assert spark.read.parquet(out4).columns == [
+            "doc_id", "n_grams", "top_gram_char_frac", "dup_gram_char_frac"]
+        # missing url column errors loudly instead of silently rewriting ids
+        import pytest as _pytest
+        with _pytest.raises(SystemExit, match="no column"):
+            main(["corpus", "--op", "canonicalize-urls", "--input", inp,
+                  "--output", str(tmp_path / "o5"), "--url-col", "nope"])

@@ -752,7 +752,7 @@ class TestParagraphStats:
     def test_hand_computed(self, spark):
         from cloud_data_quality_spark.functions.corpus import paragraph_stats
         # doc 1: paras A(5 chars), B(5), A(5) → n=3, distinct=2,
-        # dup_frac=1/3, dup chars=10, top = 2*5 = 10; chars=len(text)
+        # dup_frac=1/3, EXCESS dup chars=(2-1)*5=5, top = 2*5 = 10
         t1 = "aaaaa\n\nbbbbb\n\naaaaa"
         rows = [(1, t1), (2, "solo5"), (3, None), (4, "\n\n  \n\n")]
         out = {r["doc_id"]: r for r in paragraph_stats(
@@ -760,7 +760,7 @@ class TestParagraphStats:
         r1 = out[1]
         assert r1["n_paras"] == 3
         assert r1["dup_para_frac"] == round(1 - 2 / 3, 6)
-        assert r1["dup_para_char_frac"] == round(10 / len(t1), 6)
+        assert r1["dup_para_char_frac"] == round(5 / len(t1), 6)
         assert r1["top_para_char_frac"] == round(10 / len(t1), 6)
         r2 = out[2]
         assert (r2["n_paras"], r2["dup_para_frac"]) == (1, 0.0)
