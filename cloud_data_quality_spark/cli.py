@@ -124,6 +124,19 @@ def _corpus(args) -> int:
     from cloud_data_quality_spark.sources.session import get_spark
 
     spark = get_spark(app_name="cdq_corpus", master=args.master)
+    if args.op in ("compact-store", "compact-minhash-store"):
+        if not args.store:
+            raise SystemExit(f"{args.op} needs --store")
+        store = (C.SeenMinhashStore(spark, args.store, n_buckets=args.buckets)
+                 if args.op == "compact-minhash-store"
+                 else C.SeenFingerprintStore(spark, args.store,
+                                             n_buckets=args.buckets))
+        removed = store.compact()
+        print(json.dumps({"op": args.op, "store": args.store,
+                          "rows_removed": removed}))
+        return 0
+    if not args.input or not args.output:
+        raise SystemExit(f"{args.op} needs --input and --output")
     df = spark.read.parquet(args.input)
     if args.op == "span-dedup":
         if (args.delimiter is None) == (args.chunk_words is None):
@@ -314,9 +327,12 @@ def main(argv: list[str] | None = None) -> int:
                             "resample", "incremental-dedup",
                             "incremental-minhash-dedup", "chunk",
                             "c4-clean", "paragraph-stats",
-                            "canonicalize-urls", "repetition-stats"])
-    c.add_argument("--input", required=True)
-    c.add_argument("--output", required=True)
+                            "canonicalize-urls", "repetition-stats",
+                            "compact-store", "compact-minhash-store"])
+    c.add_argument("--input", default=None,
+                   help="required for all ops except compact-*")
+    c.add_argument("--output", default=None,
+                   help="required for all ops except compact-*")
     c.add_argument("--text-col", default="text")
     c.add_argument("--id-col", default="doc_id")
     c.add_argument("--url-col", default="url",

@@ -520,6 +520,12 @@ class SeenFingerprintStore:
          .bucketBy(self.n_buckets, self.fp_col).sortBy(self.fp_col)
          .mode("append").format("parquet").saveAsTable(self.table))
 
+    def compact(self) -> int:
+        """Remove replay-duplicated rows (full-row distinct, bucket spec
+        preserved). See _compact_catalog_table for the swap caveat."""
+        return _compact_catalog_table(self.spark, self.table,
+                                      self.fp_col, self.n_buckets)
+
     def dedup_wave(self, new_df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", wave_id: str | None = None,
                    output_writer=None) -> DataFrame:
@@ -671,6 +677,12 @@ class SeenMinhashStore:
          .withColumn("wave_id", F.lit(wave_id).cast("string"))
          .write.bucketBy(self.n_buckets, "h").sortBy("h")
          .mode("append").format("parquet").saveAsTable(self.table))
+
+    def compact(self) -> int:
+        """Remove replay-duplicated band rows (full-row distinct, bucket
+        spec preserved). See _compact_catalog_table for the swap caveat."""
+        return _compact_catalog_table(self.spark, self.table,
+                                      "h", self.n_buckets)
 
     def dedup_wave(self, new_df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", wave_id: str | None = None,
@@ -842,3 +854,32 @@ def paragraph_stats(
          .alias("dup_para_char_frac"),
         F.round(F.when(n > 0, top.cast("double") / nn), 6)
          .alias("top_para_char_frac"))
+
+
+def _compact_catalog_table(spark, table: str, bucket_col: str,
+                           n_buckets: int) -> int:
+    """Rewrite a bucketed store table with DISTINCT rows, preserving the
+    bucket spec. Replayed waves re-append their rows (harmless for
+    anti-join existence semantics but unbounded growth over months of
+    crash/replay cycles); full-row distinct removes exactly that
+    duplication while keeping one row per (key, wave_id) — so replay
+    exclusion still sees every wave tag it saw before and idempotency is
+    unchanged.
+
+    Swap is tmp-table + drop + rename: v1 catalog ops are NOT atomic, so a
+    reader racing the swap can catch a missing table for an instant — run
+    compaction in a maintenance window (on Iceberg this whole function
+    becomes one atomic REPLACE TABLE AS SELECT). Returns rows removed."""
+    spark.catalog.refreshTable(table)
+    src = spark.table(table)
+    before = src.count()
+    tmp = f"{table}__compacting"
+    spark.sql(f"drop table if exists {tmp}")
+    (src.distinct().write
+     .bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+     .format("parquet").saveAsTable(tmp))
+    after = spark.table(tmp).count()
+    spark.sql(f"drop table {table}")
+    spark.sql(f"alter table {tmp} rename to {table}")
+    spark.catalog.refreshTable(table)
+    return before - after

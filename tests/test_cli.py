@@ -292,3 +292,25 @@ class TestCorpusNewOps:
         with _pytest.raises(SystemExit, match="no column"):
             main(["corpus", "--op", "canonicalize-urls", "--input", inp,
                   "--output", str(tmp_path / "o5"), "--url-col", "nope"])
+
+    def test_compact_store_op(self, spark, tmp_path, capsys):
+        import json as _json
+        import shutil
+        from cloud_data_quality_spark.functions.corpus import (
+            SeenFingerprintStore)
+        table = "cli_compact_t"
+        spark.sql(f"drop table if exists {table}")
+        shutil.rmtree(f"spark-warehouse/{table}", ignore_errors=True)
+        shutil.rmtree(f"spark-warehouse/{table}__compacting",
+                      ignore_errors=True)
+        store = SeenFingerprintStore(spark, table, n_buckets=4)
+        fps = spark.createDataFrame([("a",), ("b",)], "fp string")
+        store.append(fps, wave_id="w")
+        store.append(fps, wave_id="w")
+        rc = main(["corpus", "--op", "compact-store", "--store", table,
+                   "--buckets", "4"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rows_removed"] == 2
+        assert spark.table(table).count() == 2
+        spark.sql(f"drop table {table}")

@@ -774,3 +774,58 @@ class TestParagraphStats:
         plan = paragraph_stats(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+class TestStoreCompaction:
+    def test_compact_removes_replay_duplicates_keeps_semantics(
+            self, spark, tmp_path):
+        from cloud_data_quality_spark.functions.corpus import (
+            SeenFingerprintStore)
+        import shutil
+        table = "compact_store_t"
+        spark.sql(f"drop table if exists {table}")
+        spark.sql(f"drop table if exists {table}__compacting")
+        for d in (table, f"{table}__compacting"):
+            shutil.rmtree(f"spark-warehouse/{d}", ignore_errors=True)
+        store = SeenFingerprintStore(spark, table, n_buckets=4)
+        fps = spark.createDataFrame([("a",), ("b",), ("c",)], "fp string")
+        store.append(fps, wave_id="w1")
+        store.append(fps, wave_id="w1")   # crash-replay re-append
+        store.append(fps.limit(1), wave_id="w2")
+        assert spark.table(table).count() == 7
+        removed = store.compact()
+        assert removed == 3               # the replayed w1 rows
+        rows = sorted((r["fp"], r["wave_id"])
+                      for r in spark.table(table).collect())
+        # one row per (fp, wave_id): replay exclusion still sees w1 AND w2
+        assert rows == [("a", "w1"), ("a", "w2"), ("b", "w1"), ("c", "w1")]
+        # read() exclusion semantics unchanged after the swap
+        assert sorted(r["fp"] for r in
+                      store.read(exclude_wave="w2").collect()) == \
+            ["a", "b", "c"]
+        # append still works post-rename and bucket spec survived
+        store.append(spark.createDataFrame([("d",)], "fp string"))
+        assert spark.table(table).count() == 5
+        desc = {r["col_name"]: r["data_type"] for r in
+                spark.sql(f"describe extended {table}").collect()}
+        assert desc.get("Num Buckets") == "4"
+        assert "fp" in desc.get("Bucket Columns", "")
+        spark.sql(f"drop table {table}")
+
+    def test_minhash_store_compact(self, spark, tmp_path):
+        from cloud_data_quality_spark.functions.corpus import SeenMinhashStore
+        import shutil
+        table = "compact_mh_t"
+        spark.sql(f"drop table if exists {table}")
+        spark.sql(f"drop table if exists {table}__compacting")
+        for d in (table, f"{table}__compacting"):
+            shutil.rmtree(f"spark-warehouse/{d}", ignore_errors=True)
+        store = SeenMinhashStore(spark, table, n_buckets=4)
+        rows = spark.createDataFrame(
+            [(1, 10, [1, 2]), (2, 10, [1, 2])],
+            "h long, doc_id long, sig array<long>")
+        store.append(rows, wave_id="w")
+        store.append(rows, wave_id="w")
+        assert store.compact() == 2
+        assert spark.table(table).count() == 2
+        spark.sql(f"drop table {table}")
