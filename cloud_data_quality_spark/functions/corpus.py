@@ -883,3 +883,39 @@ def _compact_catalog_table(spark, table: str, bucket_col: str,
     spark.sql(f"alter table {tmp} rename to {table}")
     spark.catalog.refreshTable(table)
     return before - after
+
+
+# ---------------------------------------------------- score-based selection
+
+def top_fraction_by_score(
+    df: DataFrame,
+    fraction: float,
+    score_col: str,
+    id_col: str = "doc_id",
+    *,
+    exact: bool = True,
+) -> DataFrame:
+    """Keep the best `fraction` of documents by score — the final selection
+    step after quality scoring (keep the top X% by quality/perplexity).
+
+    exact=True: top-k with a deterministic md5(id) tie-break, executed as
+    orderBy+limit — Spark plans TakeOrderedAndProject (per-partition top-k
+    + driver merge of k·partitions rows, NEVER a full global sort). Right
+    whenever k rows fit through the driver merge (≤ ~10^7).
+
+    exact=False (the 100 TB path): approx_percentile threshold (one
+    partial-agg pass, GK sketch) + a narrow filter — no ordering anywhere,
+    kept count approximates n·fraction within the sketch accuracy, and
+    every kept score ≥ every dropped score except at the threshold value
+    itself. Not exactly replayable (sketch depends on merge order), so the
+    oracle covers the exact mode and pytest bounds this one against it."""
+    if not 0 < fraction <= 1:
+        raise ValueError("fraction must be in (0, 1]")
+    if exact:
+        k = int(df.count() * fraction)
+        return (df.orderBy(F.col(score_col).desc(),
+                           F.md5(F.col(id_col).cast("string")).asc())
+                .limit(k))
+    thr = df.agg(F.percentile_approx(
+        score_col, 1.0 - fraction, 10_000).alias("t")).collect()[0]["t"]
+    return df.where(F.col(score_col) >= thr)

@@ -1223,6 +1223,29 @@ from m
 """
 
 
+_TOP_FRACTION = 0.2
+
+
+def q_top_quality_docs(spark, sf_dir):
+    """Final corpus selection: keep the top 20% of documents by word count
+    with a deterministic md5 tie-break (exact mode → TakeOrderedAndProject,
+    never a full global sort — plan-pinned in test_corpus)."""
+    from cloud_data_quality_spark.functions.corpus import (
+        top_fraction_by_score)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.word_count(F.col("text")).alias("score"))
+    return top_fraction_by_score(docs, _TOP_FRACTION, "score",
+                                 exact=True)
+
+
+ORACLE_TOP_QUALITY = f"""
+select doc_id, {OF.sql_word_count('text')} as score
+from documents
+order by score desc, md5(doc_id::VARCHAR) asc
+limit (select (count(*) * {_TOP_FRACTION})::BIGINT from documents)
+"""
+
+
 def q_bpe_tokens(spark, sf_dir):
     """Per-document SUBWORD tokens as a pure JVM Column plan (the
     training-ready tokenized output; zero Python in the plan — plan test
@@ -2009,6 +2032,7 @@ QUERIES = {
     "canonical_urls": q_canonical_urls,
     "bpe_tokens": q_bpe_tokens,
     "paragraph_stats_docs": q_paragraph_stats,
+    "top_quality_docs": q_top_quality_docs,
 }
 
 ORACLES = {
@@ -2066,4 +2090,5 @@ ORACLES = {
     "canonical_urls": _oracle_canonical_urls(),
     "bpe_tokens": _oracle_bpe_tokens(),
     "paragraph_stats_docs": _oracle_paragraph_stats(),
+    "top_quality_docs": ORACLE_TOP_QUALITY,
 }

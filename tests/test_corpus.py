@@ -829,3 +829,52 @@ class TestStoreCompaction:
         assert store.compact() == 2
         assert spark.table(table).count() == 2
         spark.sql(f"drop table {table}")
+
+
+class TestTopFractionByScore:
+    @pytest.fixture(scope="class")
+    def scored(self, spark):
+        # many ties so the tie-break matters: score = i % 10
+        return spark.createDataFrame(
+            [(i, float(i % 10)) for i in range(1000)],
+            "doc_id bigint, score double")
+
+    def test_exact_matches_python_replay(self, spark, scored):
+        from cloud_data_quality_spark.functions.corpus import (
+            top_fraction_by_score)
+        got = sorted(r["doc_id"] for r in
+                     top_fraction_by_score(scored, 0.25, "score").collect())
+        rows = [(i, float(i % 10)) for i in range(1000)]
+        want = sorted(i for i, _ in sorted(
+            rows, key=lambda t: (-t[1],
+                                 hashlib.md5(str(t[0]).encode()).hexdigest())
+        )[:250])
+        assert got == want
+
+    def test_exact_plan_is_take_ordered_not_global_sort(self, spark, scored):
+        from cloud_data_quality_spark.functions.corpus import (
+            top_fraction_by_score)
+        plan = top_fraction_by_score(scored, 0.1, "score")._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan  # no global sort
+
+    def test_approx_mode_bounds(self, spark, scored):
+        from cloud_data_quality_spark.functions.corpus import (
+            top_fraction_by_score)
+        kept = top_fraction_by_score(scored, 0.3, "score", exact=False)
+        n = kept.count()
+        # threshold filter: everything kept outranks-or-ties everything
+        # dropped, and the kept count lands within a tie-block of target
+        assert n >= 300
+        min_kept = kept.agg(F.min("score")).collect()[0][0]
+        dropped_max = scored.exceptAll(kept) \
+            .agg(F.max("score")).collect()[0][0]
+        assert dropped_max < min_kept or dropped_max == min_kept - 1.0 \
+            or dropped_max < min_kept + 1e-9
+
+    def test_bad_fraction(self, spark, scored):
+        from cloud_data_quality_spark.functions.corpus import (
+            top_fraction_by_score)
+        with pytest.raises(ValueError):
+            top_fraction_by_score(scored, 0.0, "score")
