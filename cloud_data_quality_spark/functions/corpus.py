@@ -492,6 +492,7 @@ class SeenFingerprintStore:
         self.fp_col = fp_col
 
     def exists(self) -> bool:
+        _recover_compaction(self.spark, self.table)
         return self.spark.catalog.tableExists(self.table)
 
     def read(self, exclude_wave: str | None = None) -> DataFrame:
@@ -663,6 +664,7 @@ class SeenMinhashStore:
         self.jaccard_threshold = jaccard_threshold
 
     def exists(self) -> bool:
+        _recover_compaction(self.spark, self.table)
         return self.spark.catalog.tableExists(self.table)
 
     def read(self, exclude_wave: str | None = None) -> DataFrame:
@@ -856,31 +858,76 @@ def paragraph_stats(
          .alias("top_para_char_frac"))
 
 
+def _recover_compaction(spark, table: str) -> None:
+    """If a compact() crashed between its renames, the store survives only
+    as `{table}__old` — rename it back. Called from compact() AND from the
+    stores' exists(), so a post-crash nightly wave self-heals instead of
+    silently rebuilding an empty store (which would re-admit every
+    historical duplicate)."""
+    old = f"{table}__old"
+    if not spark.catalog.tableExists(table) \
+            and spark.catalog.tableExists(old):
+        spark.sql(f"alter table {old} rename to {table}")
+
+
+def _catalog_bucket_spec(spark, table: str,
+                         default_col: str, default_n: int) -> tuple[str, int]:
+    """The table's ACTUAL bucket spec from the catalog — compaction must
+    rewrite with the spec the table was created with, not whatever the
+    caller passed (a --buckets mismatch would otherwise make every later
+    bucketBy append fail with a spec-mismatch AnalysisException)."""
+    desc = {r["col_name"]: r["data_type"] for r in
+            spark.sql(f"describe extended {table}").collect()}
+    col = desc.get("Bucket Columns", "").strip("[]` ") or default_col
+    try:
+        n = int(desc.get("Num Buckets", ""))
+    except ValueError:
+        n = default_n
+    return col, n
+
+
 def _compact_catalog_table(spark, table: str, bucket_col: str,
                            n_buckets: int) -> int:
     """Rewrite a bucketed store table with DISTINCT rows, preserving the
-    bucket spec. Replayed waves re-append their rows (harmless for
-    anti-join existence semantics but unbounded growth over months of
-    crash/replay cycles); full-row distinct removes exactly that
-    duplication while keeping one row per (key, wave_id) — so replay
-    exclusion still sees every wave tag it saw before and idempotency is
-    unchanged.
+    bucket spec (read from the CATALOG, not trusted from the caller).
+    Replayed waves re-append their rows (harmless for anti-join existence
+    semantics but unbounded growth over months of crash/replay cycles);
+    full-row distinct removes exactly that duplication while keeping one
+    row per (key, wave_id) — so replay exclusion still sees every wave tag
+    it saw before and idempotency is unchanged.
 
-    Swap is tmp-table + drop + rename: v1 catalog ops are NOT atomic, so a
-    reader racing the swap can catch a missing table for an instant — run
-    compaction in a maintenance window (on Iceberg this whole function
-    becomes one atomic REPLACE TABLE AS SELECT). Returns rows removed."""
+    STOP WRITERS FIRST: an append committed after the distinct snapshot is
+    read would be absent from the rewrite — a cheap recount guard aborts
+    (tmp dropped, store untouched) if the row count moved during the
+    rewrite, but the count→swap race window remains; run in a maintenance
+    window. Swap is rename-aside → rename-tmp → drop-old, so a crash at
+    any step leaves a recoverable copy: a missing store with a surviving
+    `__old` is renamed back on the next compact() call. v1 catalog ops
+    are NOT atomic (readers can catch the instant between the renames);
+    on Iceberg this whole function becomes one atomic REPLACE TABLE AS
+    SELECT. Returns rows removed."""
+    tmp, old = f"{table}__compacting", f"{table}__old"
+    _recover_compaction(spark, table)
     spark.catalog.refreshTable(table)
     src = spark.table(table)
     before = src.count()
-    tmp = f"{table}__compacting"
+    bucket_col, n_buckets = _catalog_bucket_spec(
+        spark, table, bucket_col, n_buckets)
     spark.sql(f"drop table if exists {tmp}")
     (src.distinct().write
      .bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
      .format("parquet").saveAsTable(tmp))
     after = spark.table(tmp).count()
-    spark.sql(f"drop table {table}")
+    spark.catalog.refreshTable(table)
+    if spark.table(table).count() != before:
+        spark.sql(f"drop table {tmp}")
+        raise RuntimeError(
+            f"{table} was appended to during compaction; aborted with the "
+            f"store untouched — stop writers and rerun")
+    spark.sql(f"drop table if exists {old}")
+    spark.sql(f"alter table {table} rename to {old}")
     spark.sql(f"alter table {tmp} rename to {table}")
+    spark.sql(f"drop table {old}")
     spark.catalog.refreshTable(table)
     return before - after
 
@@ -894,6 +941,7 @@ def top_fraction_by_score(
     id_col: str = "doc_id",
     *,
     exact: bool = True,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Keep the best `fraction` of documents by score — the final selection
     step after quality scoring (keep the top X% by quality/perplexity).
@@ -908,14 +956,23 @@ def top_fraction_by_score(
     kept count approximates n·fraction within the sketch accuracy, and
     every kept score ≥ every dropped score except at the threshold value
     itself. Not exactly replayable (sketch depends on merge order), so the
-    oracle covers the exact mode and pytest bounds this one against it."""
+    oracle covers the exact mode and pytest bounds this one against it.
+
+    ``n_rows``: pass the (already known) row count to skip the counting
+    pass — exact mode otherwise evaluates the input plan twice (count +
+    TakeOrdered), which doubles upstream scoring cost; persist/checkpoint
+    the input or supply n_rows when the scoring chain is expensive."""
     if not 0 < fraction <= 1:
         raise ValueError("fraction must be in (0, 1]")
     if exact:
-        k = int(df.count() * fraction)
+        n = n_rows if n_rows is not None else df.count()
+        # floor(n·fraction) in INTEGER arithmetic: int(n * fraction) on
+        # floats truncates into float error (int(100*0.29) == 28), while
+        # the SQL oracle floors exact decimals — match the decimal answer
+        k = (n * round(fraction * 10**9)) // 10**9
         return (df.orderBy(F.col(score_col).desc(),
                            F.md5(F.col(id_col).cast("string")).asc())
-                .limit(k))
+                .limit(int(k)))
     thr = df.agg(F.percentile_approx(
         score_col, 1.0 - fraction, 10_000).alias("t")).collect()[0]["t"]
     return df.where(F.col(score_col) >= thr)

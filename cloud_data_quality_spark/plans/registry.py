@@ -1242,7 +1242,7 @@ ORACLE_TOP_QUALITY = f"""
 select doc_id, {OF.sql_word_count('text')} as score
 from documents
 order by score desc, md5(doc_id::VARCHAR) asc
-limit (select (count(*) * {_TOP_FRACTION})::BIGINT from documents)
+limit (select floor(count(*) * {_TOP_FRACTION})::BIGINT from documents)
 """
 
 
