@@ -86,3 +86,68 @@ def test_spark_column_vs_batch_on_fuzzed_corpus(spark, seed):
     b = annotate_quality(df, with_perplexity=True).select(cols)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+# ---- whitespace/tokenizer parity (the round-4 divergence class) ----
+
+ws_text_strategy = st.one_of(
+    st.none(),
+    st.text(max_size=150),
+    # heavy on the divergent whitespace: NBSP, line sep, \x0b, \x1c, ...
+    st.text(alphabet="ab \t\n\x0b\x0c\r\x1c\x85\xa0 　.", max_size=80),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(ws_text_strategy)
+def test_py_tokens_matches_duckdb_sql_tokens_fuzzed(text):
+    """py_tokens is the sanctioned Python tokenizer; it must equal the
+    generated DuckDB fragment on ARBITRARY unicode, not just ASCII."""
+    import duckdb
+
+    from cloud_data_quality_spark.functions.text import py_tokens
+    from cloud_data_quality_spark.plans.oracle_fragments import sql_tokens
+    con = duckdb.connect()
+    con.execute("create table t(x varchar)")
+    con.execute("insert into t values (?)", [text])
+    got, = con.execute(f"select {sql_tokens('x')} from t").fetchone()
+    assert py_tokens(text) == got, repr(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abqueryfastream\x02\x03 -", max_size=40))
+def test_bpe_count_matches_duckdb_fuzzed(word_soup):
+    """doc_token_count (Python/Arrow core) equals the DuckDB merge-chain
+    replay, including sentinel chars in the input."""
+    import duckdb
+
+    from cloud_data_quality_spark.functions.bpe_artifact import (
+        doc_token_count)
+    from cloud_data_quality_spark.plans.oracle_fragments import (
+        sql_bpe_token_count)
+    con = duckdb.connect()
+    con.execute("create table t(x varchar)")
+    con.execute("insert into t values (?)", [word_soup])
+    got, = con.execute(
+        f"select {sql_bpe_token_count('x')} from t").fetchone()
+    assert doc_token_count(word_soup) == got, repr(word_soup)
+
+
+def test_spark_tokens_vs_py_tokens_fuzzed_corpus(spark):
+    """Bridge to Spark for the tokenizer: one job over a hypothesis-shaped
+    corpus of divergent-whitespace strings."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cloud_data_quality_spark.functions import text as TX
+    rng = random.Random(7)
+    alphabet = "ab \t\n\x0b\x0c\r\x1c\x85\xa0 　."
+    rows = [(i, "".join(rng.choice(alphabet)
+                        for _ in range(rng.randrange(0, 60))))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "i int, x string")
+    got = {r["i"]: r["t"] for r in
+           df.select("i", TX.tokens(F.col("x")).alias("t")).collect()}
+    for i, x in rows:
+        assert got[i] == TX.py_tokens(x), repr(x)
