@@ -151,3 +151,115 @@ def test_spark_tokens_vs_py_tokens_fuzzed_corpus(spark):
            df.select("i", TX.tokens(F.col("x")).alias("t")).collect()}
     for i, x in rows:
         assert got[i] == TX.py_tokens(x), repr(x)
+
+
+def test_canonicalize_url_vs_duckdb_fuzzed_corpus(spark):
+    """Spark canonicalize_url vs a DuckDB replay generated from the SAME
+    pattern/prefix constants, over fuzzed URLs (mixed-case schemes, ports,
+    userinfo, tracking params, fragments, garbage)."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from cloud_data_quality_spark.functions.hosts import (
+        TRACKING_PARAM_PREFIXES,
+        URL_SPLIT_PATTERN,
+        canonicalize_url,
+    )
+    rng = random.Random(13)
+    schemes = ["http", "HTTP", "https", "HtTpS", "ftp", ""]
+    hosts = ["A.org", "x.Y.net:443", "b.io:80", "c.d:8080", "user@e.f"]
+    paths = ["", "/", "/P/q", "/a b"]
+    queries = ["", "?utm_source=1", "?id=2&UTM_x=3&k=4", "?REF=z&q=t",
+               "?a=1&a=2", "?gclid=9"]
+    frags = ["", "#f", "#x?y"]
+    urls = []
+    for i in range(400):
+        if i % 17 == 0:
+            urls.append(rng.choice(["not a url", "", "://x", "a b c"]))
+        else:
+            urls.append(f"{rng.choice(schemes)}://{rng.choice(hosts)}"
+                        f"{rng.choice(paths)}{rng.choice(queries)}"
+                        f"{rng.choice(frags)}")
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i int, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonicalize_url(F.col("url")).alias("c"))
+           .collect()}
+    tracking = " or ".join(
+        f"starts_with(lower(string_split(kv, '=')[1]), '{p}')"
+        for p in TRACKING_PARAM_PREFIXES)
+    con = duckdb.connect()
+    con.execute("create table u(i int, url varchar)")
+    con.executemany("insert into u values (?, ?)", list(enumerate(urls)))
+    duck = dict(con.execute(f"""
+with p as (select i, url,
+      lower(coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 1), '')) as scheme,
+      lower(coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 2), '')) as rawhost,
+      coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 3), '') as path,
+      coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 4), '') as query
+   from u),
+h as (select *, case when scheme = 'http' then regexp_replace(rawhost, ':80$', '')
+                     when scheme = 'https' then regexp_replace(rawhost, ':443$', '')
+                     else rawhost end as host from p),
+q as (select i, url, scheme, host,
+             case when length(path) = 0 then '/' else path end as path,
+             array_to_string(list_filter(string_split(query, '&'),
+                 kv -> length(kv) > 0 and not ({tracking})), '&') as qs
+      from h)
+select i, case when length(scheme) > 0
+          then scheme || '://' || host || path ||
+               case when length(qs) > 0 then '?' || qs else '' end
+          else url end from q""").fetchall())
+    assert got == duck
+
+
+def test_c4_line_filter_vs_python_replay_fuzzed(spark):
+    """c4_line_filter (pure Column) vs an independent Python restatement of
+    the C4 §2.2 rules, over fuzzed multi-line docs."""
+    import random
+    import re as _re
+
+    from cloud_data_quality_spark.functions.corpus import (
+        C4_DOC_BLOCK_SUBSTRINGS,
+        C4_LINE_BLOCK_SUBSTRING,
+        C4_MIN_LINE_WORDS,
+        C4_MIN_LINES_KEPT,
+        c4_line_filter,
+    )
+    rng = random.Random(29)
+    frag = ["good solid line with many proper words",
+            "short", "uses javascript inside it plenty of words",
+            "Lorem ipsum mention", "curly { brace", "tab\thonors words"]
+    docs = []
+    for i in range(300):
+        lines = []
+        for _ in range(rng.randrange(0, 7)):
+            base = rng.choice(frag)
+            end = rng.choice([".", "!", "?", '"', "", " .", ". "])
+            lines.append(base + end)
+        docs.append((i, "\n".join(lines) if lines else
+                     rng.choice([None, "", "   "])))
+    out = {r["doc_id"]: r for r in c4_line_filter(
+        spark.createDataFrame(docs, "doc_id int, text string")).collect()}
+
+    def line_ok(line):
+        t = line.strip(" ")
+        words = [w for w in _re.split(r"[\t\x0b\f\r ]+", t) if w]
+        return (bool(_re.search(r'[.!?"]$', t))
+                and len(words) >= C4_MIN_LINE_WORDS
+                and C4_LINE_BLOCK_SUBSTRING not in t.lower())
+
+    for i, text in docs:
+        kept = [ln for ln in (text or "").split("\n") if line_ok(ln)] \
+            if text is not None else []
+        keep = (len(kept) >= C4_MIN_LINES_KEPT
+                and text is not None
+                and not any(s in text.lower()
+                            for s in C4_DOC_BLOCK_SUBSTRINGS))
+        r = out[i]
+        assert r["keep"] == keep, (i, text)
+        assert r["n_lines_kept"] == len(kept), (i, text)
+        if keep:
+            assert r["clean_text"] == "\n".join(kept), i
