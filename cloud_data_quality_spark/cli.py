@@ -260,6 +260,19 @@ def _curate(args) -> int:
         # silently collapse to a single row)
         return dedup_exact(d, text_col=args.text_col, id_col=args.id_col)
 
+    def select_top(d):
+        from pyspark.sql import functions as F
+
+        from cloud_data_quality_spark.functions.corpus import (
+            top_fraction_by_score)
+        from cloud_data_quality_spark.functions.text import quality_score
+        scored = d.withColumn("__q", quality_score(F.col(args.text_col)))
+        # approx mode: threshold from one partial-agg pass, no ordering —
+        # the only viable shape when the kept set itself is corpus-sized
+        return top_fraction_by_score(
+            scored, args.top_fraction, "__q", id_col=args.id_col,
+            exact=False).drop("__q")
+
     stages = []
     if args.c4_clean:
         stages.append(PipelineStage("c4_clean", c4, kind="partition"))
@@ -267,6 +280,8 @@ def _curate(args) -> int:
     if blocklist or args.max_per_host > 0:
         stages.append(PipelineStage("hosts", hosts, kind="global"))
     stages.append(PipelineStage("dedup", dedup, kind="global"))
+    if 0 < args.top_fraction < 1:
+        stages.append(PipelineStage("select_top", select_top, kind="global"))
 
     pipe = ResumableCurationPipeline(
         spark, args.work_dir, n_buckets=args.buckets, id_col=args.id_col,
@@ -384,6 +399,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated blocked domains (suffix match)")
     cu.add_argument("--max-per-host", type=int, default=0,
                     help="cap docs per URL host (0 = no cap)")
+    cu.add_argument("--top-fraction", type=float, default=0.0,
+                    help="after dedup, keep only the best fraction of docs "
+                         "by composite quality score (approx-threshold "
+                         "selection; 0 = keep all)")
     cu.add_argument("--c4-clean", action="store_true",
                     help="prepend C4 §2.2 line-level cleaning (terminal-"
                          "punctuation lines, ≥5 words, no javascript; "

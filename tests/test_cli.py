@@ -314,3 +314,24 @@ class TestCorpusNewOps:
         assert out["rows_removed"] == 2
         assert spark.table(table).count() == 2
         spark.sql(f"drop table {table}")
+
+
+class TestCurateTopFraction:
+    def test_select_top_stage(self, spark, pages_parquet, tmp_path, capsys):
+        import json as _json
+        work = str(tmp_path / "w")
+        rc = main(["curate", "--input", pages_parquet, "--work-dir", work,
+                   "--run-id", "tf", "--buckets", "8",
+                   "--top-fraction", "0.5"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        names = [s["name"] for s in out["stages"]]
+        assert names == ["quality", "dedup", "select_top"]
+        dedup_out = out["stages"][1]["rows_out"]
+        sel = out["stages"][2]
+        # approx threshold keeps roughly half (ties can overshoot)
+        assert 0.3 * dedup_out <= sel["rows_out"] <= dedup_out
+        assert sel["rows_out"] < dedup_out or dedup_out == 0
+        # schema unchanged (score column dropped)
+        final = spark.read.parquet(sel["output"])
+        assert "__q" not in final.columns
