@@ -556,3 +556,60 @@ def embedding_cosine_pairs(
                                      F.lit(0.0))).alias("cos")))
     return (pairs.select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    containment_threshold: float = 0.8,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """DIRECTED near-containment pairs: (inner_id, outer_id) where at least
+    containment_threshold of inner's distinct n-gram shingles also occur in
+    outer — Jaccard misses these (a tweet quoted inside an article has tiny
+    Jaccard but containment ≈ 1). The standard quote/boilerplate-inclusion
+    detector (Broder 1997's containment coefficient, public).
+
+    Shape (scale path, NOT a quadratic baseline): a shingle inverted index
+    — explode distinct shingles, self-equi-join on the shingle, count
+    matches per ordered pair, divide by |inner|. Ubiquitous shingles are
+    the skew hazard (a boilerplate shingle in 10^6 docs would emit 10^12
+    join rows); shingles with document frequency > max_shingle_df are
+    dropped BEFORE the join — principled, not just defensive: a shingle
+    present in everything carries no containment signal, and dropping it
+    can only LOWER estimated containment (never create a false pair).
+    Cost: one DF-count agg + one equi join on uniform shingle keys.
+
+    Returns (inner_id, outer_id, n_common, containment). Self-pairs and
+    docs with no shingles excluded; both directions reported when both
+    clear the threshold."""
+    if not 0 < containment_threshold <= 1:
+        raise ValueError("containment_threshold must be in (0, 1]")
+    base = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    word_shingles(F.col(text_col), n).alias("sh")))
+    shingles = base.select("id", F.explode("sh").alias("s"))
+    rare = (shingles.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .where(F.col("df_count") <= max_shingle_df)
+            .select("s"))
+    filtered = shingles.join(rare, "s")
+    sizes = base.select("id", F.size("sh").alias("n_sh")) \
+        .where(F.col("n_sh") > 0)
+    a = filtered.select(F.col("id").alias("inner_id"), "s")
+    b = filtered.select(F.col("id").alias("outer_id"), "s")
+    common = (a.join(b, "s")
+              .where(F.col("inner_id") != F.col("outer_id"))
+              .groupBy("inner_id", "outer_id")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    return (common
+            .join(sizes.select(F.col("id").alias("inner_id"),
+                               F.col("n_sh").alias("inner_size")),
+                  "inner_id")
+            .withColumn("containment",
+                        F.round(F.col("n_common")
+                                / F.col("inner_size"), 6))
+            .where(F.col("containment") >= containment_threshold)
+            .select("inner_id", "outer_id", "n_common", "containment"))

@@ -1223,6 +1223,54 @@ from m
 """
 
 
+_CONT_N, _CONT_THR, _CONT_MAX_DF = 3, 0.9, 50
+_CONT_QUOTE_WORDS = 8
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Directed near-containment (Broder containment coefficient) via a
+    DF-capped shingle inverted index. The corpus is documents plus a
+    synthesized 8-word 'quote' of each doc (id + 100000) — every quote is
+    fully contained in its source, so the detector must find the directed
+    (quote → source) pairs Jaccard would miss."""
+    from cloud_data_quality_spark.functions.dedup import containment_pairs
+    docs = _t(spark, sf_dir, "documents")
+    quotes = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(TX.tokens(F.col("text")), 1,
+                             _CONT_QUOTE_WORDS), " ").alias("text"))
+    corpus = docs.select("doc_id", "text").unionAll(quotes)
+    return containment_pairs(corpus, n=_CONT_N,
+                             containment_threshold=_CONT_THR,
+                             max_shingle_df=_CONT_MAX_DF)
+
+
+def _oracle_containment_pairs() -> str:
+    toks = OF.sql_tokens("text")
+    sh = OF.sql_word_shingles("text", _CONT_N)
+    return f"""
+with corpus as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 100000 as doc_id,
+         array_to_string(({toks})[1:{_CONT_QUOTE_WORDS}], ' ') as text
+  from documents),
+s as (select doc_id as id, {sh} as sh from corpus where text is not null),
+e as (select id, unnest(sh) as s from s),
+rare as (select s from e group by s having count(*) <= {_CONT_MAX_DF}),
+f as (select e.id, e.s from e join rare using (s)),
+sizes as (select id, len(sh) as n_sh from s where len(sh) > 0),
+common as (select a.id as inner_id, b.id as outer_id,
+                  count(*) as n_common
+           from f a join f b using (s)
+           where a.id != b.id group by 1, 2)
+select inner_id, outer_id, n_common::BIGINT as n_common,
+       round(n_common / sz.n_sh::DOUBLE, 6) as containment
+from common join sizes sz on sz.id = common.inner_id
+where round(n_common / sz.n_sh::DOUBLE, 6) >= {_CONT_THR}
+"""
+
+
 _TOP_FRACTION = 0.2
 
 
@@ -2033,6 +2081,7 @@ QUERIES = {
     "bpe_tokens": q_bpe_tokens,
     "paragraph_stats_docs": q_paragraph_stats,
     "top_quality_docs": q_top_quality_docs,
+    "containment_pairs": q_containment_pairs,
 }
 
 ORACLES = {
@@ -2091,4 +2140,5 @@ ORACLES = {
     "bpe_tokens": _oracle_bpe_tokens(),
     "paragraph_stats_docs": _oracle_paragraph_stats(),
     "top_quality_docs": ORACLE_TOP_QUALITY,
+    "containment_pairs": _oracle_containment_pairs(),
 }

@@ -481,3 +481,41 @@ class TestIvfAnn:
             .orderBy("probe_id", "rank")
         assert [tuple(r) for r in a.collect()] == \
             [tuple(r) for r in b.collect()]
+
+
+class TestContainmentPairs:
+    def test_quote_detected_directionally(self, spark):
+        from cloud_data_quality_spark.functions.dedup import containment_pairs
+        article = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                   "kappa lam mu nu xi omicron pi rho sigma tau")
+        quote = "gamma delta epsilon zeta eta theta"
+        other = "one two three four five six seven eight nine ten"
+        df = spark.createDataFrame(
+            [(1, article), (2, quote), (3, other)],
+            "doc_id long, text string")
+        out = {(r["inner_id"], r["outer_id"]): r for r in
+               containment_pairs(df, n=3, containment_threshold=0.9)
+               .collect()}
+        assert (2, 1) in out                  # quote ⊂ article
+        assert out[(2, 1)]["containment"] == 1.0
+        assert (1, 2) not in out              # article ⊄ quote
+        assert not any(3 in k for k in out)   # unrelated doc clean
+
+    def test_ubiquitous_shingles_capped_not_exploded(self, spark):
+        from cloud_data_quality_spark.functions.dedup import containment_pairs
+        # every doc shares one boilerplate sentence; with max_shingle_df=2
+        # those shingles drop and no pair is reported
+        boiler = "subscribe to our newsletter today please"
+        df = spark.createDataFrame(
+            [(i, f"{boiler} unique{i} uniq{i}x uniq{i}y uniq{i}z")
+             for i in range(6)], "doc_id long, text string")
+        out = containment_pairs(df, n=3, containment_threshold=0.5,
+                                max_shingle_df=2).collect()
+        assert out == []
+
+    def test_threshold_validation(self, spark):
+        import pytest as _pytest
+        from cloud_data_quality_spark.functions.dedup import containment_pairs
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            containment_pairs(df, containment_threshold=0.0)
