@@ -180,6 +180,12 @@ def _corpus(args) -> int:
     elif args.op == "repetition-stats":
         out = C.repetition_stats(df, text_col=args.text_col,
                                  id_col=args.id_col)
+    elif args.op == "containment":
+        from cloud_data_quality_spark.functions.dedup import containment_pairs
+        out = containment_pairs(
+            df, text_col=args.text_col, id_col=args.id_col,
+            n=args.shingle_words,
+            containment_threshold=args.containment_threshold)
     elif args.op == "canonicalize-urls":
         from cloud_data_quality_spark.functions.hosts import canonicalize_url
         if args.url_col not in df.columns:
@@ -343,7 +349,8 @@ def main(argv: list[str] | None = None) -> int:
                             "incremental-minhash-dedup", "chunk",
                             "c4-clean", "paragraph-stats",
                             "canonicalize-urls", "repetition-stats",
-                            "compact-store", "compact-minhash-store"])
+                            "compact-store", "compact-minhash-store",
+                            "containment"])
     c.add_argument("--input", default=None,
                    help="required for all ops except compact-*")
     c.add_argument("--output", default=None,
@@ -372,6 +379,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="chunk: tokens per context window")
     c.add_argument("--overlap-tokens", type=int, default=0,
                    help="chunk: overlapping tokens between windows")
+    c.add_argument("--containment-threshold", type=float, default=0.8,
+                   help="containment: min fraction of inner-doc shingles "
+                        "present in the outer doc")
     c.add_argument("--jaccard-threshold", type=float, default=0.5,
                    help="bottom-k Jaccard estimate at/above which a wave "
                         "doc is a near-recrawl (incremental-minhash-dedup)")

@@ -335,3 +335,21 @@ class TestCurateTopFraction:
         # schema unchanged (score column dropped)
         final = spark.read.parquet(sel["output"])
         assert "__q" not in final.columns
+
+    def test_containment_op(self, spark, tmp_path, capsys):
+        import json as _json
+        inp = str(tmp_path / "cin.parquet")
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+             (2, "gamma delta epsilon zeta"),
+             (3, "unrelated words entirely different here")],
+            "doc_id long, text string").write.parquet(inp)
+        out = str(tmp_path / "cout")
+        rc = main(["corpus", "--op", "containment", "--input", inp,
+                   "--output", out, "--shingle-words", "3",
+                   "--containment-threshold", "0.9"])
+        assert rc == 0
+        got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert got["rows_out"] == 1
+        r = spark.read.parquet(out).collect()[0]
+        assert (r["inner_id"], r["outer_id"]) == (2, 1)
