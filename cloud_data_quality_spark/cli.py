@@ -29,6 +29,11 @@ import argparse
 import json
 import sys
 
+# module-level: pandas_udf resolves 'pd.Series' type hints through the
+# enclosing function's GLOBALS — a local `import pandas as pd` breaks with
+# UNSUPPORTED_SIGNATURE (same trap documented in functions/bpe_artifact.py)
+import pandas as pd  # noqa: E402
+
 
 def _validate(args) -> int:
     from cloud_data_quality_spark.config.loader import load_configs
@@ -149,9 +154,10 @@ def _corpus(args) -> int:
         if not args.benchmark:
             raise SystemExit("decontaminate needs --benchmark")
         bench = spark.read.parquet(args.benchmark)
-        stats = C.contamination(df, bench, text_col=args.text_col,
-                                id_col=args.id_col,
-                                shingle_words=args.shingle_words)
+        stats = C.contamination(
+            df, bench, text_col=args.text_col, id_col=args.id_col,
+            shingle_words=(args.shingle_words
+                           if args.shingle_words is not None else 8))
         if args.drop:
             clean = stats.where(~F.col("is_contaminated")).select(args.id_col)
             out = df.join(clean, args.id_col, "left_semi")
@@ -182,10 +188,13 @@ def _corpus(args) -> int:
                                  id_col=args.id_col)
     elif args.op == "containment":
         from cloud_data_quality_spark.functions.dedup import containment_pairs
+        # containment wants SHORT shingles (quotes are short); don't inherit
+        # decontaminate's 8-word default
+        n = args.shingle_words if args.shingle_words is not None else 3
         out = containment_pairs(
-            df, text_col=args.text_col, id_col=args.id_col,
-            n=args.shingle_words,
-            containment_threshold=args.containment_threshold)
+            df, text_col=args.text_col, id_col=args.id_col, n=n,
+            containment_threshold=args.containment_threshold,
+            max_shingle_df=args.max_shingle_df)
     elif args.op == "canonicalize-urls":
         from cloud_data_quality_spark.functions.hosts import canonicalize_url
         if args.url_col not in df.columns:
@@ -271,8 +280,18 @@ def _curate(args) -> int:
 
         from cloud_data_quality_spark.functions.corpus import (
             top_fraction_by_score)
-        from cloud_data_quality_spark.functions.text import quality_score
-        scored = d.withColumn("__q", quality_score(F.col(args.text_col)))
+        from cloud_data_quality_spark.functions.webtext_rules import (
+            perplexity_batch)
+
+        # selection score = NEGATIVE perplexity — a CONTINUOUS ranking
+        # (threshold selection over the 5-valued composite quality_score
+        # would keep the whole top tie-block, not the requested fraction:
+        # most gate-surviving docs share the max composite)
+        @F.pandas_udf("double")
+        def _neg_ppl(s: pd.Series) -> pd.Series:
+            return -perplexity_batch(s)
+
+        scored = d.withColumn("__q", _neg_ppl(F.col(args.text_col)))
         # approx mode: threshold from one partial-agg pass, no ordering —
         # the only viable shape when the kept set itself is corpus-sized
         return top_fraction_by_score(
@@ -286,7 +305,11 @@ def _curate(args) -> int:
     if blocklist or args.max_per_host > 0:
         stages.append(PipelineStage("hosts", hosts, kind="global"))
     stages.append(PipelineStage("dedup", dedup, kind="global"))
-    if 0 < args.top_fraction < 1:
+    if not 0 <= args.top_fraction < 1:
+        raise SystemExit(
+            f"--top-fraction must be in [0, 1) (0 disables selection); "
+            f"got {args.top_fraction}")
+    if args.top_fraction > 0:
         stages.append(PipelineStage("select_top", select_top, kind="global"))
 
     pipe = ResumableCurationPipeline(
@@ -365,7 +388,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="span-dedup: fixed word-count spans")
     c.add_argument("--benchmark", default=None,
                    help="decontaminate: parquet path of the eval corpus")
-    c.add_argument("--shingle-words", type=int, default=8)
+    c.add_argument("--shingle-words", type=int, default=None,
+                   help="shingle width: decontaminate defaults to 8, "
+                        "containment to 3 (quotes are short)")
+    c.add_argument("--max-shingle-df", type=int, default=1000,
+                   help="containment: drop shingles present in more than "
+                        "this many docs before the join (skew control; "
+                        "ubiquitous shingles carry no signal)")
     c.add_argument("--drop", action="store_true",
                    help="decontaminate: emit the clean corpus rows instead "
                         "of per-doc contamination stats")
@@ -411,8 +440,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="cap docs per URL host (0 = no cap)")
     cu.add_argument("--top-fraction", type=float, default=0.0,
                     help="after dedup, keep only the best fraction of docs "
-                         "by composite quality score (approx-threshold "
-                         "selection; 0 = keep all)")
+                         "by (negative) perplexity — a continuous score, so "
+                         "the approx threshold actually selects the "
+                         "requested fraction (0 = keep all)")
     cu.add_argument("--c4-clean", action="store_true",
                     help="prepend C4 §2.2 line-level cleaning (terminal-"
                          "punctuation lines, ≥5 words, no javascript; "

@@ -590,7 +590,14 @@ def containment_pairs(
     base = (df.where(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("id"),
                     word_shingles(F.col(text_col), n).alias("sh")))
+    # persist the exploded shingles: they feed the DF-count agg AND both
+    # self-join sides — without the pin the tokenize/shingle subtree
+    # re-evaluates up to three times (same materialize-once argument as
+    # duplicate_clusters' edges)
     shingles = base.select("id", F.explode("sh").alias("s"))
+    from pyspark.storagelevel import StorageLevel
+    if shingles.storageLevel == StorageLevel.NONE:
+        shingles = shingles.persist()
     rare = (shingles.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df_count"))
             .where(F.col("df_count") <= max_shingle_df)

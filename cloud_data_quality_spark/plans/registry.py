@@ -1230,13 +1230,16 @@ _CONT_QUOTE_WORDS = 8
 def q_containment_pairs(spark, sf_dir):
     """Directed near-containment (Broder containment coefficient) via a
     DF-capped shingle inverted index. The corpus is documents plus a
-    synthesized 8-word 'quote' of each doc (id + 100000) — every quote is
+    synthesized 8-word 'quote' of each doc (negative-id namespace) — every quote is
     fully contained in its source, so the detector must find the directed
     (quote → source) pairs Jaccard would miss."""
     from cloud_data_quality_spark.functions.dedup import containment_pairs
     docs = _t(spark, sf_dir, "documents")
+    # quote ids live in the NEGATIVE namespace — collision-proof against
+    # real doc_ids at any scale factor (an additive offset would collide
+    # once the table exceeds the offset)
     quotes = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.array_join(F.slice(TX.tokens(F.col("text")), 1,
                              _CONT_QUOTE_WORDS), " ").alias("text"))
     corpus = docs.select("doc_id", "text").unionAll(quotes)
@@ -1252,7 +1255,7 @@ def _oracle_containment_pairs() -> str:
 with corpus as (
   select doc_id, text from documents
   union all
-  select doc_id + 100000 as doc_id,
+  select -doc_id - 1 as doc_id,
          array_to_string(({toks})[1:{_CONT_QUOTE_WORDS}], ' ') as text
   from documents),
 s as (select doc_id as id, {sh} as sh from corpus where text is not null),
