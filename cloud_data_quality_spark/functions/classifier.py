@@ -1,0 +1,132 @@
+"""Model-based quality scoring: hashed-n-gram linear classifier, pure JVM.
+
+Applies the offline-trained fastText-style artifact (qc_artifact.py) to a
+corpus as a fully declarative Spark plan — no Python in the scoring path:
+
+    tokens → unigram+bigram features → md5 bucket → broadcast-join the
+    2048-row weight table → per-doc int64 sum + bias → keep iff score ≥ 0
+
+Scale posture (10^12 docs): the weight table is QC_BUCKETS rows and
+explicitly broadcast — never a shuffle side. The explode is narrow; the
+per-doc sum's partial aggregation collapses each doc's feature rows to one
+row inside the map stage (features of one doc are co-partitioned by
+construction — explode never crosses partitions), so the only Exchange
+moves ~one row per document. Weights are integer micro-units: int64
+aggregation is exact and order-free, which is what lets the DuckDB oracle
+replay every score bit-for-bit (plans/registry.py classifier_score_docs)
+and keeps cross-parallelism runs byte-identical.
+
+Reference anchor: CloudDQ rules are YAML->SQL predicates over columns
+(clouddq/classes/rule.py, rule_type.py); this operator is the same
+contract — a per-row boolean verdict with evidence — produced by a learned
+model instead of a hand-written predicate, registered as the
+CLASSIFIER_KEEP batch rule alongside the heuristic gates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud_data_quality_spark.functions import text as TX
+from cloud_data_quality_spark.functions.qc_artifact import (
+    QC_BIAS_MICRO,
+    QC_BUCKETS,
+    QC_WEIGHTS_MICRO,
+    feature_bucket,
+)
+from cloud_data_quality_spark.functions.text import py_tokens
+
+#: md5 buckets memoized per unique feature string across batches — web text
+#: token vocabularies are Zipfian, so the cache hit rate approaches 1 after
+#: the first few batches on an executor
+_BUCKET_CACHE: dict[str, int] = {}
+
+
+def _cached_bucket(feat: str) -> int:
+    b = _BUCKET_CACHE.get(feat)
+    if b is None:
+        b = feature_bucket(feat)
+        if len(_BUCKET_CACHE) < 1_000_000:  # bound executor memory
+            _BUCKET_CACHE[feat] = b
+    return b
+
+
+def classifier_scores_batch(texts: pd.Series) -> np.ndarray:
+    """Arrow-batch twin of the JVM scoring plan: exact int64 scores.
+
+    Vectorized the repo's usual way — one Python tokenize pass, md5 only on
+    cache-miss features, then a single float64 bincount over doc indexes
+    (score magnitudes stay < 2^53, so the float accumulate is exact and the
+    int64 cast lossless). Used by the CLASSIFIER_KEEP batch rule so the
+    learned filter can sit inside a fused multi-rule Arrow stage next to
+    the heuristic gates; the standalone query path uses classifier_scores
+    (pure JVM) instead. pytest pins the two paths element-wise equal."""
+    tok_lists = [py_tokens(t) for t in texts]
+    doc_idx: list[int] = []
+    weights: list[int] = []
+    for k, toks in enumerate(tok_lists):
+        for t in toks:
+            doc_idx.append(k)
+            weights.append(QC_WEIGHTS_MICRO[_cached_bucket(t)])
+        for a, b in zip(toks, toks[1:]):
+            doc_idx.append(k)
+            weights.append(QC_WEIGHTS_MICRO[_cached_bucket(a + " " + b)])
+    sums = np.bincount(
+        np.asarray(doc_idx, dtype=np.int64),
+        weights=np.asarray(weights, dtype=np.float64),
+        minlength=len(texts))
+    return sums.astype(np.int64) + np.int64(QC_BIAS_MICRO)
+
+
+def feature_bucket_col(feat: Column) -> Column:
+    """md5-prefix 60-bit bucket — keep in lockstep with
+    qc_artifact.feature_bucket (hashlib) and the DuckDB oracle fragment."""
+    h = F.conv(F.substring(F.md5(feat), 1, 15), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(QC_BUCKETS))
+
+
+def ngram_features(toks: Column) -> Column:
+    """Unigrams + space-joined adjacent bigrams, as one array column.
+
+    The bigram builder uses transform's (element, index) lambda over the
+    tail slice: sliced[i] pairs with element_at(toks, i+1) — i is 0-based,
+    element_at 1-based, so each element joins its left neighbour."""
+    tail = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.transform(
+        tail, lambda x, i: F.concat_ws(" ", F.element_at(toks, i + 1), x))
+    return F.concat(toks, bigrams)
+
+
+def classifier_weights(spark: SparkSession) -> DataFrame:
+    """The embedded artifact as a QC_BUCKETS-row DataFrame (bucket, wm)."""
+    rows = [(int(i), int(w)) for i, w in enumerate(QC_WEIGHTS_MICRO)]
+    return spark.createDataFrame(rows, "bucket bigint, wm bigint")
+
+
+def classifier_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Score every row: (id_col, score_micro, ml_keep).
+
+    Empty/NULL text explodes to no feature rows and comes back through the
+    left join with the bias-only score — identical to the reference
+    semantics (qc_artifact.predict_micro on an empty token list)."""
+    spark = df.sparkSession
+    base = df.select(id_col, TX.tokens(F.col(text_col)).alias("_toks"))
+    feats = base.select(
+        id_col, F.explode(ngram_features(F.col("_toks"))).alias("f"))
+    summed = (
+        feats
+        .select(id_col, feature_bucket_col(F.col("f")).alias("bucket"))
+        .join(F.broadcast(classifier_weights(spark)), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("wm").alias("_w_sum")))
+    score = (F.coalesce(F.col("_w_sum"), F.lit(0)) +
+             F.lit(int(QC_BIAS_MICRO))).cast("bigint")
+    return (base.select(id_col)
+            .join(summed, id_col, "left")
+            .select(F.col(id_col),
+                    score.alias("score_micro"),
+                    (score >= 0).alias("ml_keep")))

@@ -1,0 +1,129 @@
+"""Token-budget corpus selection — "the best documents up to N tokens".
+
+The final curation decision a pretraining pipeline makes is not a fraction
+("keep the top 30%") but a BUDGET: rank everything by a quality score and
+take documents until the token target for the training mix is met. That is
+a global cumulative sum over a total order — the one primitive a naive
+Spark translation gets catastrophically wrong: `Window.orderBy(score)`
+with no partitioning collapses the whole corpus into a single task.
+
+This module implements the distributed prefix-sum instead:
+
+1. `repartitionByRange(score desc, id)` + `sortWithinPartitions` — Spark's
+   own global-sort shape: disjoint, ordered ranges, partition i holding
+   strictly better rows than partition i+1 (range boundaries come from
+   sampling, but the RESULT depends only on the total order, never on
+   where the cuts land — partitioning-invariance is pytest-pinned);
+2. one `mapInPandas` pass summing tokens per physical partition
+   (TaskContext.partitionId) → a #partitions-row collect (tiny by
+   contract: one number per partition, not per row);
+3. driver-side exclusive prefix over those totals → an offsets dict shipped
+   back in the next stage's closure;
+4. a second `mapInPandas` pass: within-partition int64 cumsum + the
+   partition's offset, keep rows with cum ≤ budget.
+
+The sorted frame is persisted between the two passes so both read the SAME
+physical partitioning (pass 1's ids must mean the same thing in pass 2);
+at cluster scale you'd reliable-checkpoint instead — same mechanics as
+functions/dedup.duplicate_clusters' auto-selection.
+
+Token counts are integers, the cumsum is exact int64, and ties in the
+score order are broken by the unique id — so the kept set is deterministic
+across engines and parallelism levels, and the DuckDB oracle
+(sum() over (order by score desc, id)) replays it bit-for-bit.
+
+Scale posture (10^12 docs): two narrow passes over a range-shuffled frame
+— the same cost as any global sort — plus an O(#partitions) driver merge.
+No per-row driver traffic, no single-partition window, no skew hotspot
+(range partitioning balances by sampled quantiles of the score).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark import StorageLevel, TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def select_token_budget(df: DataFrame, budget_tokens: int,
+                        score_col: str = "score",
+                        token_col: str = "n_tokens",
+                        id_col: str = "doc_id",
+                        n_partitions: int | None = None) -> DataFrame:
+    """Greedy prefix selection: rank by (score desc, id asc), keep each doc
+    whose cumulative token count (including itself) stays ≤ budget_tokens.
+
+    Strict prefix semantics: the first document that would overflow the
+    budget ends the selection — later, smaller documents are NOT admitted
+    (the deterministic contract; best-fit packing is functions/packing's
+    job, not selection's). Rows with NULL score or NULL token count are
+    dropped before ranking. Returns the selected rows with all input
+    columns plus `cum_tokens`."""
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    cols = df.columns
+    if token_col not in cols or score_col not in cols or id_col not in cols:
+        raise ValueError(
+            f"need columns {score_col!r}, {token_col!r}, {id_col!r}; "
+            f"frame has {cols}")
+    clean = df.where(F.col(score_col).isNotNull()
+                     & F.col(token_col).isNotNull())
+    n_parts = n_partitions or clean.sparkSession.sparkContext \
+        .defaultParallelism
+    ranked = (clean
+              .repartitionByRange(n_parts, F.col(score_col).desc(),
+                                  F.col(id_col).asc())
+              .sortWithinPartitions(F.col(score_col).desc(),
+                                    F.col(id_col).asc())
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        schema_totals = "pid int, total bigint"
+
+        def part_totals(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pid = TaskContext.get().partitionId()
+            total = 0
+            for pdf in it:
+                total += int(pdf[token_col].astype("int64").sum())
+            yield pd.DataFrame({"pid": [pid], "total": [total]})
+
+        totals = {int(r["pid"]): int(r["total"])
+                  for r in ranked.mapInPandas(part_totals,
+                                              schema=schema_totals).collect()}
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid]
+
+        # build a fresh StructType — StructType.add mutates in place, and
+        # df.schema is cached on the DataFrame object
+        from pyspark.sql.types import LongType, StructField, StructType
+        out_schema = StructType(list(ranked.schema.fields)
+                                + [StructField("cum_tokens", LongType())])
+        budget = int(budget_tokens)
+
+        def keep_within(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pid = TaskContext.get().partitionId()
+            cum = offsets.get(pid, 0)
+            if cum > budget:  # whole partition past the budget: emit nothing
+                return
+            for pdf in it:
+                c = pdf[token_col].astype("int64").cumsum() + cum
+                cum = int(c.iloc[-1]) if len(c) else cum
+                kept = pdf[c <= budget].copy()
+                kept["cum_tokens"] = c[c <= budget]
+                if len(kept):
+                    yield kept
+                if cum > budget:
+                    return
+
+        # the selection itself is tiny relative to the sort; materialize it
+        # so the caller's downstream plan doesn't re-run both passes
+        out = ranked.mapInPandas(keep_within, schema=out_schema)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        ranked.unpersist()
+    return out

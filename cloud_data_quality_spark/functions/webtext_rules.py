@@ -598,3 +598,20 @@ def scrub_batch(texts: pd.Series, params: dict | None = None) -> pd.Series:
         s = s.str.replace(rx, repl, regex=True)
     out[candidates] = s
     return out
+
+
+@register_batch_function("CLASSIFIER_KEEP")
+def classifier_keep(texts: pd.Series, params: dict) -> pd.Series:
+    """Validity rule from the learned quality model (functions/classifier):
+    TRUE iff the hashed-n-gram linear classifier's exact int64 score ≥
+    min_score_micro (default 0 — the trained decision boundary). NULL text
+    → NULL (the model would score it bias-only, but a missing document is
+    a missingness fact, not a quality verdict — consistent with the other
+    text rules here)."""
+    from cloud_data_quality_spark.functions.classifier import (
+        classifier_scores_batch,
+    )
+    min_score = int(params.get("min_score_micro", 0))
+    scores = classifier_scores_batch(texts)
+    ok = pd.Series(scores >= min_score, index=texts.index)
+    return ok.where(texts.notna(), other=pd.NA)
