@@ -2026,6 +2026,109 @@ from ranked where rank <= {k}
 """
 
 
+# ---------------------------------------- learned quality classifier ops
+
+def q_classifier_score_docs(spark, sf_dir):
+    """Model-based quality filter: the offline-trained hashed-n-gram linear
+    classifier (functions/qc_artifact) applied as a pure-JVM plan —
+    broadcast weight join + exact int64 aggregation, so every score and
+    keep/drop decision replays bit-for-bit in the oracle."""
+    from cloud_data_quality_spark.functions.classifier import (
+        classifier_scores)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return classifier_scores(docs)
+
+
+def _oracle_classifier_score() -> str:
+    from cloud_data_quality_spark.functions.qc_artifact import (
+        QC_BIAS_MICRO, QC_BUCKETS, QC_WEIGHTS_MICRO)
+    weights = ",".join(str(int(v)) for v in QC_WEIGHTS_MICRO)
+    toks = OF.sql_tokens("text")
+    return f"""
+with wl as (select [{weights}]::BIGINT[] as l),
+w as (select i as bucket, l[i::INT + 1] as wm from wl cross join range({QC_BUCKETS}) t(i)),
+toks as (select doc_id, {toks} as t from documents),
+feats as (
+  select doc_id, unnest(list_concat(t,
+    case when len(t) >= 2
+         then list_transform(list_slice(t, 2, len(t)), (x, i) -> t[i] || ' ' || x)
+         else []::VARCHAR[] end)) as f
+  from toks),
+summed as (
+  select doc_id, sum(wm)::BIGINT as ws
+  from feats join w
+    on (('0x' || substr(md5(f), 1, 15))::BIGINT % {QC_BUCKETS}) = w.bucket
+  group by doc_id)
+select d.doc_id,
+       (coalesce(s.ws, 0) + {QC_BIAS_MICRO})::BIGINT as score_micro,
+       (coalesce(s.ws, 0) + {QC_BIAS_MICRO}) >= 0 as ml_keep
+from documents d left join summed s using (doc_id)
+"""
+
+
+_TOKEN_BUDGET = 15_000
+
+
+def q_token_budget_select(spark, sf_dir):
+    """Budgeted corpus selection: rank every document by the learned
+    classifier score (int64-exact) and keep documents until the corpus
+    token budget is met — the distributed prefix-sum of
+    functions/selection.select_token_budget (range partition +
+    per-partition totals + driver offset merge; never a single-partition
+    global window)."""
+    from cloud_data_quality_spark.functions.classifier import (
+        classifier_scores)
+    from cloud_data_quality_spark.functions.selection import (
+        select_token_budget)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = (classifier_scores(docs)
+              .join(docs.select(
+                  "doc_id",
+                  TX.word_count(F.col("text")).alias("n_tokens")),
+                  "doc_id")
+              .select("doc_id", F.col("score_micro").alias("score"),
+                      "n_tokens"))
+    sel = select_token_budget(scored, _TOKEN_BUDGET, score_col="score",
+                              token_col="n_tokens", id_col="doc_id")
+    return sel.select("doc_id", "n_tokens", "cum_tokens")
+
+
+def _oracle_token_budget_select() -> str:
+    from cloud_data_quality_spark.functions.qc_artifact import (
+        QC_BIAS_MICRO, QC_BUCKETS, QC_WEIGHTS_MICRO)
+    weights = ",".join(str(int(v)) for v in QC_WEIGHTS_MICRO)
+    toks = OF.sql_tokens("text")
+    wc = OF.sql_word_count("text")
+    return f"""
+with wl as (select [{weights}]::BIGINT[] as l),
+w as (select i as bucket, l[i::INT + 1] as wm from wl cross join range({QC_BUCKETS}) t(i)),
+toks as (select doc_id, {toks} as t from documents),
+feats as (
+  select doc_id, unnest(list_concat(t,
+    case when len(t) >= 2
+         then list_transform(list_slice(t, 2, len(t)), (x, i) -> t[i] || ' ' || x)
+         else []::VARCHAR[] end)) as f
+  from toks),
+summed as (
+  select doc_id, sum(wm)::BIGINT as ws
+  from feats join w
+    on (('0x' || substr(md5(f), 1, 15))::BIGINT % {QC_BUCKETS}) = w.bucket
+  group by doc_id),
+scored as (
+  select d.doc_id, (coalesce(s.ws, 0) + {QC_BIAS_MICRO})::BIGINT as score,
+         {wc} as n_tokens
+  from documents d left join summed s using (doc_id)),
+c as (
+  select doc_id, n_tokens,
+         sum(n_tokens) over (order by score desc, doc_id asc
+                             rows between unbounded preceding
+                                      and current row) as cum
+  from scored)
+select doc_id, n_tokens::BIGINT as n_tokens, cum::BIGINT as cum_tokens
+from c where cum <= {_TOKEN_BUDGET}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2085,6 +2188,8 @@ QUERIES = {
     "paragraph_stats_docs": q_paragraph_stats,
     "top_quality_docs": q_top_quality_docs,
     "containment_pairs": q_containment_pairs,
+    "classifier_score_docs": q_classifier_score_docs,
+    "token_budget_select": q_token_budget_select,
 }
 
 ORACLES = {
@@ -2144,4 +2249,6 @@ ORACLES = {
     "paragraph_stats_docs": _oracle_paragraph_stats(),
     "top_quality_docs": ORACLE_TOP_QUALITY,
     "containment_pairs": _oracle_containment_pairs(),
+    "classifier_score_docs": _oracle_classifier_score(),
+    "token_budget_select": _oracle_token_budget_select(),
 }

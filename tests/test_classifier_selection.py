@@ -1,0 +1,150 @@
+"""Learned quality classifier (functions/classifier, qc_artifact) and
+token-budget selection (functions/selection)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_data_quality_spark.functions import qc_artifact as qa
+from cloud_data_quality_spark.functions.classifier import (
+    classifier_scores,
+    classifier_scores_batch,
+)
+from cloud_data_quality_spark.functions.selection import select_token_budget
+from cloud_data_quality_spark.sources.pages import _row_lang_kind_text
+
+
+def _sample(seed: int, base: int, n: int, skip_zh: bool = True):
+    out = []
+    i = base
+    while len(out) < n:
+        lang, kind, text = _row_lang_kind_text(seed, i)
+        i += 1
+        if skip_zh and lang == "zh":
+            continue
+        out.append((kind, text))
+    return out
+
+
+class TestClassifier:
+    def test_three_paths_identical(self, spark):
+        """JVM plan == Arrow batch twin == reference scorer, including
+        NULL/empty/whitespace-only text."""
+        texts = [t for _, t in _sample(991, 5_000_000, 60, skip_zh=False)]
+        texts += [None, "", "   ", "one", "a b"]
+        ref = qa.predict_micro(texts, qa.QC_WEIGHTS_MICRO, qa.QC_BIAS_MICRO)
+        batch = classifier_scores_batch(pd.Series(texts))
+        assert batch.tolist() == ref.tolist()
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in classifier_scores(df).collect()}
+        assert [rows[i]["score_micro"] for i in range(len(texts))] == \
+            ref.tolist()
+        assert all(rows[i]["ml_keep"] == (ref[i] >= 0)
+                   for i in range(len(texts)))
+
+    def test_held_out_f1(self):
+        """Generalization on ids/seed never seen in training: keep-class F1
+        >= 0.9 overall; the four lexical junk classes are near-perfect.
+        `repetitive` is EXPECTED to leak through (a linear bag-of-ngrams
+        model cannot represent within-doc concentration — the Gopher
+        repetition gates own that class)."""
+        sample = _sample(777, 2_000_000, 1500)
+        scores = classifier_scores_batch(pd.Series([t for _, t in sample]))
+        tp = fp = fn = 0
+        per_kind: dict[str, list[int]] = {}
+        for (kind, _), s in zip(sample, scores):
+            pred, truth = s >= 0, kind == "good"
+            k = per_kind.setdefault(kind, [0, 0])
+            k[0] += int(pred == truth)
+            k[1] += 1
+            tp += pred and truth
+            fp += pred and not truth
+            fn += (not pred) and truth
+        f1 = 2 * tp / (2 * tp + fp + fn)
+        assert f1 >= 0.90, (f1, per_kind)
+        for kind in ("pii", "short", "symbol_spam", "toxic"):
+            ok, n = per_kind[kind]
+            assert ok / n >= 0.95, (kind, ok, n)
+
+    def test_training_deterministic(self):
+        w1, b1 = qa.train(n_docs=150, n_iter=40)
+        w2, b2 = qa.train(n_docs=150, n_iter=40)
+        assert b1 == b2 and np.array_equal(w1, w2)
+
+    def test_scoring_plan_is_jvm_only(self, spark):
+        """The standalone scoring path must stay whole-JVM: broadcast join
+        for the weights, no Python evaluation anywhere."""
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = classifier_scores(df)._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "FlatMapsInPandas" not in plan and "InPandas" not in plan
+
+    def test_classifier_keep_rule_null_semantics(self):
+        from cloud_data_quality_spark.functions.batch_registry import (
+            get_batch_function)
+        fn = get_batch_function("CLASSIFIER_KEEP")
+        good = " ".join(["the of and to in data quality engine table"] * 8)
+        out = fn(pd.Series([good, None, "#$%@!*"]), {})
+        assert bool(out[0]) is True
+        assert pd.isna(out[1])
+        assert bool(out[2]) is False
+
+
+class TestTokenBudgetSelection:
+    def _frame(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, score long, n_tokens long")
+
+    def test_matches_window_semantics(self, spark):
+        rows = [(i, (i * 37) % 101, (i * 13) % 50 + 1) for i in range(300)]
+        got = select_token_budget(self._frame(spark, rows), 2_000,
+                                  score_col="score", n_partitions=8)
+        # reference: plain python replay of the total order
+        order = sorted(rows, key=lambda r: (-r[1], r[0]))
+        cum, want = 0, {}
+        for did, _, nt in order:
+            cum += nt
+            if cum <= 2_000:
+                want[did] = cum
+        assert {r["doc_id"]: r["cum_tokens"] for r in got.collect()} == want
+
+    def test_partitioning_invariance(self, spark):
+        rows = [(i, (i * 7) % 23, (i * 11) % 40 + 1) for i in range(500)]
+        df = self._frame(spark, rows)
+        a = {(r["doc_id"], r["cum_tokens"])
+             for r in select_token_budget(df, 3_000,
+                                          n_partitions=2).collect()}
+        b = {(r["doc_id"], r["cum_tokens"])
+             for r in select_token_budget(df, 3_000,
+                                          n_partitions=16).collect()}
+        assert a == b and a
+
+    def test_strict_prefix_blocks_later_small_docs(self, spark):
+        # doc 2 overflows the budget; doc 3 would fit but must NOT be
+        # admitted — selection is a prefix of the ranking, not bin packing
+        df = self._frame(spark, [(1, 10, 5), (2, 9, 10), (3, 8, 2)])
+        got = [r["doc_id"] for r in select_token_budget(df, 7).collect()]
+        assert got == [1]
+
+    def test_edges(self, spark):
+        df = self._frame(spark, [(1, 5, 10), (2, 4, 10)])
+        assert select_token_budget(df, 0).count() == 0
+        assert select_token_budget(df, 10**9).count() == 2
+        with pytest.raises(ValueError, match="budget_tokens"):
+            select_token_budget(df, -1)
+        with pytest.raises(ValueError, match="need columns"):
+            select_token_budget(df.drop("score"), 10)
+
+    def test_null_rows_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5, 10), (2, None, 10), (3, 4, None)],
+            "doc_id long, score long, n_tokens long")
+        got = [r["doc_id"] for r in select_token_budget(df, 100).collect()]
+        assert got == [1]
