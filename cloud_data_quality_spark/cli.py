@@ -195,6 +195,16 @@ def _corpus(args) -> int:
             df, text_col=args.text_col, id_col=args.id_col, n=n,
             containment_threshold=args.containment_threshold,
             max_shingle_df=args.max_shingle_df)
+    elif args.op == "classify":
+        from cloud_data_quality_spark.functions.classifier import (
+            classifier_scores)
+        scores = classifier_scores(df, text_col=args.text_col,
+                                   id_col=args.id_col)
+        if args.drop:
+            out = df.join(scores.where("ml_keep").select(args.id_col),
+                          args.id_col, "left_semi")
+        else:
+            out = df.join(scores, args.id_col)
     elif args.op == "canonicalize-urls":
         from cloud_data_quality_spark.functions.hosts import canonicalize_url
         if args.url_col not in df.columns:
@@ -298,6 +308,29 @@ def _curate(args) -> int:
             scored, args.top_fraction, "__q", id_col=args.id_col,
             exact=False).drop("__q")
 
+    def select_budget(d):
+        from pyspark.sql import functions as F
+
+        from cloud_data_quality_spark.functions import text as TX
+        from cloud_data_quality_spark.functions.classifier import (
+            classifier_scores)
+        from cloud_data_quality_spark.functions.selection import (
+            select_token_budget)
+
+        # budget ranking = the learned classifier score: int64-exact (no
+        # float ordering anywhere) and already the "how good is this doc"
+        # signal; token cost = word count (swap in bpe_token_count for
+        # subword budgets)
+        cols = d.columns
+        scored = (d.join(classifier_scores(d, text_col=args.text_col,
+                                           id_col=args.id_col)
+                         .select(args.id_col, "score_micro"), args.id_col)
+                  .withColumn("__nt",
+                              TX.word_count(F.col(args.text_col))))
+        return select_token_budget(
+            scored, args.token_budget, score_col="score_micro",
+            token_col="__nt", id_col=args.id_col).select(*cols)
+
     stages = []
     if args.c4_clean:
         stages.append(PipelineStage("c4_clean", c4, kind="partition"))
@@ -309,8 +342,19 @@ def _curate(args) -> int:
         raise SystemExit(
             f"--top-fraction must be in [0, 1) (0 disables selection); "
             f"got {args.top_fraction}")
+    if args.token_budget < 0:
+        raise SystemExit(
+            f"--token-budget must be >= 0 (0 disables budget selection); "
+            f"got {args.token_budget}")
+    if args.top_fraction > 0 and args.token_budget > 0:
+        raise SystemExit(
+            "--top-fraction and --token-budget are both final selection "
+            "stages; pass at most one")
     if args.top_fraction > 0:
         stages.append(PipelineStage("select_top", select_top, kind="global"))
+    if args.token_budget > 0:
+        stages.append(PipelineStage("select_budget", select_budget,
+                                    kind="global"))
 
     pipe = ResumableCurationPipeline(
         spark, args.work_dir, n_buckets=args.buckets, id_col=args.id_col,
@@ -373,7 +417,7 @@ def main(argv: list[str] | None = None) -> int:
                             "c4-clean", "paragraph-stats",
                             "canonicalize-urls", "repetition-stats",
                             "compact-store", "compact-minhash-store",
-                            "containment"])
+                            "containment", "classify"])
     c.add_argument("--input", default=None,
                    help="required for all ops except compact-*")
     c.add_argument("--output", default=None,
@@ -443,6 +487,11 @@ def main(argv: list[str] | None = None) -> int:
                          "by (negative) perplexity — a continuous score, so "
                          "the approx threshold actually selects the "
                          "requested fraction (0 = keep all)")
+    cu.add_argument("--token-budget", type=int, default=0,
+                    help="after dedup, keep the best documents by learned-"
+                         "classifier score until this many (word) tokens "
+                         "are selected (0 = disabled; mutually exclusive "
+                         "with --top-fraction)")
     cu.add_argument("--c4-clean", action="store_true",
                     help="prepend C4 §2.2 line-level cleaning (terminal-"
                          "punctuation lines, ≥5 words, no javascript; "

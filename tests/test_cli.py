@@ -353,3 +353,69 @@ class TestCurateTopFraction:
         assert got["rows_out"] == 1
         r = spark.read.parquet(out).collect()[0]
         assert (r["inner_id"], r["outer_id"]) == (2, 1)
+
+
+class TestClassifierCli:
+    def test_classify_op_and_drop(self, spark, tmp_path, capsys):
+        import json as _json
+        inp = str(tmp_path / "clin.parquet")
+        good = " ".join(
+            ["the of and to in data quality engine table content"] * 6)
+        spark.createDataFrame(
+            [(1, good), (2, "#$%@!*^|\\~{}[]<>"), (3, None)],
+            "doc_id long, text string",
+        ).write.parquet(inp)
+        outp = str(tmp_path / "clout")
+        rc = main(["corpus", "--op", "classify", "--input", inp,
+                   "--output", outp])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rows_out"] == 3
+        rows = {r["doc_id"]: r for r in spark.read.parquet(outp).collect()}
+        assert rows[1]["ml_keep"] is True
+        assert rows[2]["ml_keep"] is False
+        assert "score_micro" in spark.read.parquet(outp).columns
+
+        outp2 = str(tmp_path / "clout2")
+        rc = main(["corpus", "--op", "classify", "--input", inp,
+                   "--output", outp2, "--drop"])
+        assert rc == 0
+        kept = spark.read.parquet(outp2)
+        assert [r["doc_id"] for r in kept.collect()] == [1]
+        # --drop keeps the input schema untouched
+        assert kept.columns == ["doc_id", "text"]
+
+    def test_curate_token_budget_stage(self, spark, pages_parquet, tmp_path,
+                                       capsys):
+        import json as _json
+        work = str(tmp_path / "wb")
+        rc = main(["curate", "--input", pages_parquet, "--work-dir", work,
+                   "--run-id", "tb", "--buckets", "8",
+                   "--token-budget", "20000"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        names = [s["name"] for s in out["stages"]]
+        assert names == ["quality", "dedup", "select_budget"]
+        sel = out["stages"][2]
+        assert 0 < sel["rows_out"] < sel["rows_in"]
+        final = spark.read.parquet(sel["output"])
+        # selection helper columns dropped; input schema preserved (the
+        # pipeline's own part_key lineage column is expected)
+        for c in ("__nt", "score_micro", "cum_tokens"):
+            assert c not in final.columns
+        for c in spark.read.parquet(pages_parquet).columns:
+            assert c in final.columns
+        # budget respected: total words of the kept set <= budget
+        from pyspark.sql import functions as F
+
+        from cloud_data_quality_spark.functions import text as TX
+        total = final.agg(
+            F.sum(TX.word_count(F.col("text")))).collect()[0][0]
+        assert total <= 20000
+
+    def test_curate_budget_and_fraction_conflict(self, spark, pages_parquet,
+                                                 tmp_path):
+        with pytest.raises(SystemExit):
+            main(["curate", "--input", pages_parquet,
+                  "--work-dir", str(tmp_path / "wx"), "--run-id", "x",
+                  "--top-fraction", "0.5", "--token-budget", "1000"])
