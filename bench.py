@@ -144,6 +144,16 @@ def build_suite(spark, sf_dir: str, pages_path: str):
         kept = drop_blocklisted(pages, ["site7.example.org"])
         return cap_per_host(kept, 500, order_col="url").count()
 
+    def q_classifier_pages():
+        """Learned quality classifier over the pages corpus — the whole
+        scoring plan is JVM (explode → md5 bucket → broadcast weight join →
+        int64 partial agg), so this times codegen'd feature hashing, not
+        Python."""
+        from cloud_data_quality_spark.functions.classifier import (
+            classifier_scores)
+        return classifier_scores(pages, text_col="text", id_col="url") \
+            .where(F.col("ml_keep")).count()
+
     def q_resumable_write():
         """The shipped quality-filter CLI path: annotate → keep → single-scan
         partitionBy write with Observation-metric lineage (16 buckets)."""
@@ -175,6 +185,7 @@ def build_suite(spark, sf_dir: str, pages_path: str):
         "pack_pages": q_pack_pages,
         "span_dedup_pages": q_span_dedup,
         "host_cap_pages": q_host_cap_pages,
+        "classifier_pages": q_classifier_pages,
         "resumable_filter_write": q_resumable_write,
     }
 
