@@ -198,6 +198,16 @@ def _corpus(args) -> int:
     elif args.op == "classify":
         from cloud_data_quality_spark.functions.classifier import (
             classifier_scores)
+        # the score join back onto the input is id-keyed: NULL ids would
+        # silently vanish (NULL never equi-joins) and duplicate ids would
+        # fan out N^2 — both are caller data bugs; refuse loudly
+        n_rows = df.count()
+        n_ids = df.select(args.id_col).where(
+            F.col(args.id_col).isNotNull()).distinct().count()
+        if n_ids != n_rows:
+            raise SystemExit(
+                f"classify: --id-col {args.id_col!r} must be unique and "
+                f"non-null ({n_rows} rows, {n_ids} distinct non-null ids)")
         scores = classifier_scores(df, text_col=args.text_col,
                                    id_col=args.id_col)
         if args.drop:
@@ -441,7 +451,9 @@ def main(argv: list[str] | None = None) -> int:
                         "ubiquitous shingles carry no signal)")
     c.add_argument("--drop", action="store_true",
                    help="decontaminate: emit the clean corpus rows instead "
-                        "of per-doc contamination stats")
+                        "of per-doc contamination stats; classify: emit "
+                        "only ml_keep rows (input schema) instead of "
+                        "annotating every row with score_micro/ml_keep")
     c.add_argument("--fractions", default="",
                    help="sample/resample: 'en=0.5,de=0.2' (sample: keep "
                         "rates; resample: target distribution)")

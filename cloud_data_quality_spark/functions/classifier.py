@@ -64,16 +64,17 @@ def classifier_scores_batch(texts: pd.Series) -> np.ndarray:
     learned filter can sit inside a fused multi-rule Arrow stage next to
     the heuristic gates; the standalone query path uses classifier_scores
     (pure JVM) instead. pytest pins the two paths element-wise equal."""
-    tok_lists = [py_tokens(t) for t in texts]
+    from cloud_data_quality_spark.functions.qc_artifact import iter_features
+
+    # missing text may arrive as None (Arrow path) or float NaN (plain
+    # pandas frames) — both mean "no tokens", like the sibling batch rules
+    tok_lists = [py_tokens(t if isinstance(t, str) else None) for t in texts]
     doc_idx: list[int] = []
     weights: list[int] = []
     for k, toks in enumerate(tok_lists):
-        for t in toks:
+        for f in iter_features(toks):
             doc_idx.append(k)
-            weights.append(QC_WEIGHTS_MICRO[_cached_bucket(t)])
-        for a, b in zip(toks, toks[1:]):
-            doc_idx.append(k)
-            weights.append(QC_WEIGHTS_MICRO[_cached_bucket(a + " " + b)])
+            weights.append(QC_WEIGHTS_MICRO[_cached_bucket(f)])
     sums = np.bincount(
         np.asarray(doc_idx, dtype=np.int64),
         weights=np.asarray(weights, dtype=np.float64),

@@ -60,8 +60,9 @@ def select_token_budget(df: DataFrame, budget_tokens: int,
     budget ends the selection — later, smaller documents are NOT admitted
     (the deterministic contract; best-fit packing is functions/packing's
     job, not selection's). Rows with NULL score or NULL token count are
-    dropped before ranking. Returns the selected rows with all input
-    columns plus `cum_tokens`."""
+    dropped before ranking; a NEGATIVE token count raises (it would make
+    the cumsum non-monotone and the result partitioning-dependent).
+    Returns the selected rows with all input columns plus `cum_tokens`."""
     if budget_tokens < 0:
         raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
     cols = df.columns
@@ -86,7 +87,17 @@ def select_token_budget(df: DataFrame, budget_tokens: int,
             pid = TaskContext.get().partitionId()
             total = 0
             for pdf in it:
-                total += int(pdf[token_col].astype("int64").sum())
+                t = pdf[token_col].astype("int64")
+                # a negative token count is upstream corruption — and it
+                # would make the cumsum non-monotone, breaking both the
+                # whole-partition skip and the strict-prefix early return.
+                # Fail loudly here (free: this pass reads every row anyway).
+                if (t < 0).any():
+                    bad = pdf.loc[t < 0, id_col].iloc[0]
+                    raise ValueError(
+                        f"select_token_budget: negative {token_col!r} for "
+                        f"{id_col}={bad!r} — token counts must be >= 0")
+                total += int(t.sum())
             yield pd.DataFrame({"pid": [pid], "total": [total]})
 
         totals = {int(r["pid"]): int(r["total"])

@@ -2039,13 +2039,17 @@ def q_classifier_score_docs(spark, sf_dir):
     return classifier_scores(docs)
 
 
-def _oracle_classifier_score() -> str:
+def _classifier_score_ctes() -> str:
+    """Shared WITH-block replaying the classifier scoring plan in DuckDB
+    (weight list literal, tokenize, unigram+bigram features, md5 bucket
+    join, per-doc int64 sum) — ONE spelling, consumed by both classifier
+    oracles so the feature/hash lockstep can't drift between them."""
     from cloud_data_quality_spark.functions.qc_artifact import (
-        QC_BIAS_MICRO, QC_BUCKETS, QC_WEIGHTS_MICRO)
+        QC_BUCKETS, QC_WEIGHTS_MICRO)
     weights = ",".join(str(int(v)) for v in QC_WEIGHTS_MICRO)
     toks = OF.sql_tokens("text")
     return f"""
-with wl as (select [{weights}]::BIGINT[] as l),
+wl as (select [{weights}]::BIGINT[] as l),
 w as (select i as bucket, l[i::INT + 1] as wm from wl cross join range({QC_BUCKETS}) t(i)),
 toks as (select doc_id, {toks} as t from documents),
 feats as (
@@ -2058,7 +2062,13 @@ summed as (
   select doc_id, sum(wm)::BIGINT as ws
   from feats join w
     on (('0x' || substr(md5(f), 1, 15))::BIGINT % {QC_BUCKETS}) = w.bucket
-  group by doc_id)
+  group by doc_id)"""
+
+
+def _oracle_classifier_score() -> str:
+    from cloud_data_quality_spark.functions.qc_artifact import QC_BIAS_MICRO
+    return f"""
+with {_classifier_score_ctes()}
 select d.doc_id,
        (coalesce(s.ws, 0) + {QC_BIAS_MICRO})::BIGINT as score_micro,
        (coalesce(s.ws, 0) + {QC_BIAS_MICRO}) >= 0 as ml_keep
@@ -2094,26 +2104,10 @@ def q_token_budget_select(spark, sf_dir):
 
 
 def _oracle_token_budget_select() -> str:
-    from cloud_data_quality_spark.functions.qc_artifact import (
-        QC_BIAS_MICRO, QC_BUCKETS, QC_WEIGHTS_MICRO)
-    weights = ",".join(str(int(v)) for v in QC_WEIGHTS_MICRO)
-    toks = OF.sql_tokens("text")
+    from cloud_data_quality_spark.functions.qc_artifact import QC_BIAS_MICRO
     wc = OF.sql_word_count("text")
     return f"""
-with wl as (select [{weights}]::BIGINT[] as l),
-w as (select i as bucket, l[i::INT + 1] as wm from wl cross join range({QC_BUCKETS}) t(i)),
-toks as (select doc_id, {toks} as t from documents),
-feats as (
-  select doc_id, unnest(list_concat(t,
-    case when len(t) >= 2
-         then list_transform(list_slice(t, 2, len(t)), (x, i) -> t[i] || ' ' || x)
-         else []::VARCHAR[] end)) as f
-  from toks),
-summed as (
-  select doc_id, sum(wm)::BIGINT as ws
-  from feats join w
-    on (('0x' || substr(md5(f), 1, 15))::BIGINT % {QC_BUCKETS}) = w.bucket
-  group by doc_id),
+with {_classifier_score_ctes()},
 scored as (
   select d.doc_id, (coalesce(s.ws, 0) + {QC_BIAS_MICRO})::BIGINT as score,
          {wc} as n_tokens

@@ -148,3 +148,25 @@ class TestTokenBudgetSelection:
             "doc_id long, score long, n_tokens long")
         got = [r["doc_id"] for r in select_token_budget(df, 100).collect()]
         assert got == [1]
+
+
+class TestReviewRegressions:
+    def test_batch_scorer_tolerates_float_nan(self):
+        """Missing text as float NaN (plain pandas frames) must score
+        bias-only like None, not crash py_tokens."""
+        s = pd.Series(["a b", np.nan, None], dtype=object)
+        got = classifier_scores_batch(s)
+        assert got[1] == qa.QC_BIAS_MICRO and got[2] == qa.QC_BIAS_MICRO
+
+    def test_negative_token_count_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5, 10), (2, 4, -3)], "doc_id long, score long, n_tokens long")
+        with pytest.raises(Exception, match="negative"):
+            select_token_budget(df, 100).collect()
+
+    def test_train_and_score_share_feature_enumeration(self):
+        toks = ["a", "b", "c"]
+        assert list(qa.iter_features(toks)) == ["a", "b", "c", "a b", "b c"]
+        # doc_features counts exactly the iter_features multiset
+        x = qa.doc_features("a b c")
+        assert int(x.sum()) == 5
