@@ -163,6 +163,12 @@ def _corpus(args) -> int:
             out = df.join(clean, args.id_col, "left_semi")
         else:
             out = stats
+    elif args.op == "split":
+        if not args.fractions:
+            raise SystemExit(
+                "split needs --fractions, e.g. train=0.98,val=0.01,test=0.01")
+        out = C.dataset_split(df, _parse_fractions(args.fractions),
+                              id_col=args.id_col, salt=args.salt)
     elif args.op == "sample":
         out = C.stratified_sample(df, _parse_fractions(args.fractions),
                                   stratum_col=args.stratum_col,
@@ -427,7 +433,7 @@ def main(argv: list[str] | None = None) -> int:
                             "c4-clean", "paragraph-stats",
                             "canonicalize-urls", "repetition-stats",
                             "compact-store", "compact-minhash-store",
-                            "containment", "classify"])
+                            "containment", "classify", "split"])
     c.add_argument("--input", default=None,
                    help="required for all ops except compact-*")
     c.add_argument("--output", default=None,

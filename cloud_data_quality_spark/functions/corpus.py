@@ -263,6 +263,53 @@ def stratified_sample(
     return df.where(sample_hash(id_col, salt) < cond)
 
 
+def split_boundaries(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, upper-bound) pairs over the 60-bit hash space, cumulative in
+    the dict's (insertion) order — shared verbatim by the Spark plan and
+    the generated DuckDB oracle. The LAST split takes everything at or
+    above its predecessor's bound, so assignment is exhaustive regardless
+    of float rounding in the cumulative fractions."""
+    if len(weights) < 2:
+        raise ValueError("dataset_split needs at least two splits")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"negative split weight in {weights}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    out: list[tuple[str, int]] = []
+    cum = 0.0
+    for name, w in weights.items():
+        cum += w
+        out.append((name, sample_threshold(min(cum, 1.0))))
+    return out
+
+
+def dataset_split(df: DataFrame, weights: dict[str, float],
+                  id_col: str = "doc_id", salt: str = "",
+                  split_col: str = "split") -> DataFrame:
+    """Deterministic exclusive train/val/test assignment: each row's 60-bit
+    id-hash lands in exactly one cumulative-threshold interval. Exhaustive
+    and exclusive by construction; reproducible across runs, partitionings
+    and engines (same property as stratified_sample — a re-run wave MUST
+    place every document in the same split, or eval data leaks into
+    training). `salt` decorrelates the split from any sampling decisions
+    made over the same ids. Pure narrow projection: no shuffle.
+
+    Note weights are consumed in dict order — reordering the dict moves
+    the interval boundaries and reassigns rows, so pin the order (it is
+    part of the split's identity, like the salt)."""
+    bounds = split_boundaries(weights)
+    h = sample_hash(id_col, salt)
+    # chained whens: earlier (smaller) bounds win, so each row takes the
+    # FIRST interval whose upper bound exceeds its hash
+    first = bounds[0]
+    cond = F.when(h < F.lit(first[1]), F.lit(first[0]))
+    for name, bound in bounds[1:-1]:
+        cond = cond.when(h < F.lit(bound), F.lit(name))
+    cond = cond.otherwise(F.lit(bounds[-1][0]))
+    return df.withColumn(split_col, cond)
+
+
 def chunk_documents(
     df: DataFrame,
     budget_tokens: int,

@@ -2123,6 +2123,36 @@ from c where cum <= {_TOKEN_BUDGET}
 """
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SALT = "split1"
+
+
+def q_dataset_split_docs(spark, sf_dir):
+    """Deterministic exclusive train/val/test assignment
+    (functions/corpus.dataset_split): 60-bit id-hash vs cumulative integer
+    thresholds — exhaustive, exclusive, reproducible across engines and
+    partitionings (re-runs MUST NOT leak eval docs into training)."""
+    from cloud_data_quality_spark.functions.corpus import dataset_split
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return dataset_split(docs, _SPLIT_WEIGHTS, id_col="doc_id",
+                         salt=_SPLIT_SALT)
+
+
+def _oracle_dataset_split() -> str:
+    """Generated from the SAME weights/salt via split_boundaries — the two
+    engines compare the same integers against the same md5 prefix."""
+    from cloud_data_quality_spark.functions.corpus import split_boundaries
+    bounds = split_boundaries(_SPLIT_WEIGHTS)
+    h = (f"('0x' || substr(md5(doc_id::VARCHAR || '|{_SPLIT_SALT}'), "
+         f"1, 15))::BIGINT")
+    whens = " ".join(f"when {h} < {bound} then '{name}'"
+                     for name, bound in bounds[:-1])
+    return f"""
+select doc_id, case {whens} else '{bounds[-1][0]}' end as split
+from documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2184,6 +2214,7 @@ QUERIES = {
     "containment_pairs": q_containment_pairs,
     "classifier_score_docs": q_classifier_score_docs,
     "token_budget_select": q_token_budget_select,
+    "dataset_split_docs": q_dataset_split_docs,
 }
 
 ORACLES = {
@@ -2245,4 +2276,5 @@ ORACLES = {
     "containment_pairs": _oracle_containment_pairs(),
     "classifier_score_docs": _oracle_classifier_score(),
     "token_budget_select": _oracle_token_budget_select(),
+    "dataset_split_docs": _oracle_dataset_split(),
 }

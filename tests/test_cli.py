@@ -419,3 +419,28 @@ class TestClassifierCli:
             main(["curate", "--input", pages_parquet,
                   "--work-dir", str(tmp_path / "wx"), "--run-id", "x",
                   "--top-fraction", "0.5", "--token-budget", "1000"])
+
+
+class TestSplitCli:
+    def test_split_op(self, spark, tmp_path, capsys):
+        import json as _json
+        inp = str(tmp_path / "spin.parquet")
+        spark.range(0, 300).selectExpr("id as doc_id",
+                                       "'t' as text").write.parquet(inp)
+        outp = str(tmp_path / "spout")
+        rc = main(["corpus", "--op", "split", "--input", inp,
+                   "--output", outp,
+                   "--fractions", "train=0.8,val=0.1,test=0.1"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rows_out"] == 300
+        got = spark.read.parquet(outp)
+        assert got.where("split is null").count() == 0
+        assert got.select("split").distinct().count() == 3
+
+    def test_split_requires_fractions(self, spark, tmp_path):
+        inp = str(tmp_path / "spin2.parquet")
+        spark.range(0, 5).selectExpr("id as doc_id").write.parquet(inp)
+        with pytest.raises(SystemExit, match="fractions"):
+            main(["corpus", "--op", "split", "--input", inp,
+                  "--output", str(tmp_path / "o")])

@@ -951,3 +951,49 @@ class TestCompactionCrashSafety:
         # 1 row survived compaction (the (a, w) pair deduped) + 1 appended
         assert spark.table(table).count() == 2
         spark.sql(f"drop table {table}")
+
+
+class TestDatasetSplit:
+    def _docs(self, spark, n=400, parts=4):
+        return spark.range(0, n, numPartitions=parts) \
+            .selectExpr("id as doc_id")
+
+    def test_exhaustive_exclusive_and_proportions(self, spark):
+        from cloud_data_quality_spark.functions.corpus import dataset_split
+        df = dataset_split(self._docs(spark, 2000),
+                           {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r["split"]: r["n"] for r in
+                  df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 2000          # exhaustive
+        assert set(counts) == {"train", "val", "test"}
+        assert 0.75 <= counts["train"] / 2000 <= 0.85
+        assert 0.06 <= counts["val"] / 2000 <= 0.14
+
+    def test_deterministic_across_partitioning_and_salt(self, spark):
+        from cloud_data_quality_spark.functions.corpus import dataset_split
+        w = {"train": 0.6, "test": 0.4}
+        a = {(r["doc_id"], r["split"]) for r in dataset_split(
+            self._docs(spark, 500, parts=2), w).collect()}
+        b = {(r["doc_id"], r["split"]) for r in dataset_split(
+            self._docs(spark, 500, parts=13), w).collect()}
+        assert a == b
+        c = {(r["doc_id"], r["split"]) for r in dataset_split(
+            self._docs(spark, 500, parts=2), w, salt="other").collect()}
+        assert a != c  # salt decorrelates
+
+    def test_weight_validation(self, spark):
+        from cloud_data_quality_spark.functions.corpus import dataset_split
+        df = self._docs(spark, 10)
+        with pytest.raises(ValueError, match="sum to 1"):
+            dataset_split(df, {"a": 0.5, "b": 0.6})
+        with pytest.raises(ValueError, match="at least two"):
+            dataset_split(df, {"a": 1.0})
+        with pytest.raises(ValueError, match="negative"):
+            dataset_split(df, {"a": 1.2, "b": -0.2})
+
+    def test_no_shuffle_plan(self, spark):
+        from cloud_data_quality_spark.functions.corpus import dataset_split
+        plan = dataset_split(self._docs(spark, 10),
+                             {"train": 0.9, "val": 0.1}) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
