@@ -192,6 +192,10 @@ def _corpus(args) -> int:
     elif args.op == "repetition-stats":
         out = C.repetition_stats(df, text_col=args.text_col,
                                  id_col=args.id_col)
+    elif args.op == "dup-ngram-stats":
+        n = args.shingle_words if args.shingle_words is not None else 8
+        out = C.duplicated_ngram_stats(df, text_col=args.text_col,
+                                       id_col=args.id_col, n=n)
     elif args.op == "containment":
         from cloud_data_quality_spark.functions.dedup import containment_pairs
         # containment wants SHORT shingles (quotes are short); don't inherit
@@ -433,7 +437,8 @@ def main(argv: list[str] | None = None) -> int:
                             "c4-clean", "paragraph-stats",
                             "canonicalize-urls", "repetition-stats",
                             "compact-store", "compact-minhash-store",
-                            "containment", "classify", "split"])
+                            "containment", "classify", "split",
+                            "dup-ngram-stats"])
     c.add_argument("--input", default=None,
                    help="required for all ops except compact-*")
     c.add_argument("--output", default=None,

@@ -857,6 +857,58 @@ def c4_clean_stage(df: DataFrame, text_col: str = "text",
 _PARA_CONTENT_RE = "[^\\t\\n\\x0b\\f\\r ]"
 
 
+def duplicated_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document exact-substring duplication signal (the
+    RefinedWeb / Lee et al. 2021 "duplicated n-gram coverage" family):
+    per document, the fraction of its DISTINCT word n-gram shingles that
+    also occur in at least one other document. Complements the repo's
+    other dedup views — repetition_stats is within-doc, containment_pairs
+    is pairwise-directional; this is the per-doc scalar a curation gate
+    thresholds ("drop docs that are mostly boilerplate seen elsewhere").
+
+    Returns (id_col, n_shingles, n_dup_shingles, dup_ngram_frac) for every
+    non-NULL-text row; docs too short to form a shingle get 0/0/NULL.
+
+    Exactness: shingle sets are distinct per doc (dedup.word_shingles), so
+    the per-fingerprint occurrence count IS the containing-doc count, and
+    every output is an integer ratio — bit-replayable in DuckDB.
+
+    Scale posture (10^12 docs): three wide stages, all on uniform keys —
+    the df-count agg and the count-join shuffle on md5 shingle
+    fingerprints (no hot key can exist), then the per-doc rollup's partial
+    agg collapses to one row per doc before its exchange. Shuffle volume
+    ~ corpus token count, the inherent cost of any cross-doc frequency
+    computation (same class as span_dedup); there is no driver-side state
+    and nothing is broadcast."""
+    from cloud_data_quality_spark.functions.dedup import word_shingles
+    base = (df.where(F.col(text_col).isNotNull())
+            .select(id_col,
+                    word_shingles(F.col(text_col), n=n).alias("__sh")))
+    occ = base.select(id_col, F.explode("__sh").alias("__s")) \
+        .select(id_col, F.md5("__s").alias("__fp"))
+    counts = occ.groupBy("__fp").agg(F.count(F.lit(1)).alias("__docs"))
+    per_doc = (occ.join(counts, "__fp")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_shingles"),
+                    F.sum((F.col("__docs") > 1).cast("bigint"))
+                    .alias("n_dup_shingles")))
+    return (base.select(id_col)
+            .join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+                    F.coalesce("n_dup_shingles", F.lit(0))
+                    .alias("n_dup_shingles"),
+                    F.round(F.coalesce("n_dup_shingles", F.lit(0))
+                            / F.nullif(F.coalesce("n_shingles", F.lit(0)),
+                                       F.lit(0)).cast("double"), 6)
+                    .alias("dup_ngram_frac")))
+
+
 def paragraph_stats(
     df: DataFrame,
     text_col: str = "text",

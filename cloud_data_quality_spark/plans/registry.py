@@ -2123,6 +2123,38 @@ from c where cum <= {_TOKEN_BUDGET}
 """
 
 
+_DUP_NGRAM_N = 8
+
+
+def q_dup_ngram_stats_docs(spark, sf_dir):
+    """Cross-document duplicated n-gram coverage
+    (functions/corpus.duplicated_ngram_stats): per-doc fraction of distinct
+    8-word shingles that occur in other documents — the RefinedWeb-style
+    boilerplate signal; exact integer ratios end to end."""
+    from cloud_data_quality_spark.functions.corpus import (
+        duplicated_ngram_stats)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_ngram_stats(docs, n=_DUP_NGRAM_N)
+
+
+def _oracle_dup_ngram_stats() -> str:
+    sh = OF.sql_word_shingles("text", _DUP_NGRAM_N)
+    return f"""
+with s as (select doc_id, {sh} as sh from documents where text is not null),
+e as (select doc_id, md5(unnest(sh)) as fp from s),
+c as (select fp, count(*) as docs from e group by fp),
+d as (select e.doc_id, count(*) as n_sh,
+             sum(case when c.docs > 1 then 1 else 0 end) as n_dup
+      from e join c using (fp) group by e.doc_id)
+select s.doc_id,
+       coalesce(d.n_sh, 0)::BIGINT as n_shingles,
+       coalesce(d.n_dup, 0)::BIGINT as n_dup_shingles,
+       round(coalesce(d.n_dup, 0) /
+             nullif(coalesce(d.n_sh, 0), 0)::DOUBLE, 6) as dup_ngram_frac
+from s left join d using (doc_id)
+"""
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _SPLIT_SALT = "split1"
 
@@ -2215,6 +2247,7 @@ QUERIES = {
     "classifier_score_docs": q_classifier_score_docs,
     "token_budget_select": q_token_budget_select,
     "dataset_split_docs": q_dataset_split_docs,
+    "dup_ngram_stats_docs": q_dup_ngram_stats_docs,
 }
 
 ORACLES = {
@@ -2277,4 +2310,5 @@ ORACLES = {
     "classifier_score_docs": _oracle_classifier_score(),
     "token_budget_select": _oracle_token_budget_select(),
     "dataset_split_docs": _oracle_dataset_split(),
+    "dup_ngram_stats_docs": _oracle_dup_ngram_stats(),
 }

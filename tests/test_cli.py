@@ -444,3 +444,20 @@ class TestSplitCli:
         with pytest.raises(SystemExit, match="fractions"):
             main(["corpus", "--op", "split", "--input", inp,
                   "--output", str(tmp_path / "o")])
+
+
+class TestDupNgramCli:
+    def test_dup_ngram_stats_op(self, spark, tmp_path, capsys):
+        import json as _json
+        inp = str(tmp_path / "dgin.parquet")
+        spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c x")], "doc_id long, text string") \
+            .write.parquet(inp)
+        outp = str(tmp_path / "dgout")
+        rc = main(["corpus", "--op", "dup-ngram-stats", "--input", inp,
+                   "--output", outp, "--shingle-words", "3"])
+        assert rc == 0
+        _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        got = {r["doc_id"]: r["n_dup_shingles"]
+               for r in spark.read.parquet(outp).collect()}
+        assert got == {1: 1, 2: 1}

@@ -997,3 +997,38 @@ class TestDatasetSplit:
                              {"train": 0.9, "val": 0.1}) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestDuplicatedNgramStats:
+    def test_hand_computed(self, spark):
+        from cloud_data_quality_spark.functions.corpus import (
+            duplicated_ngram_stats)
+        # n=3 shingles: doc1 {a b c, b c d}; doc2 {a b c, b c x};
+        # doc3 {p q r}; doc4 too short; doc5 NULL
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c x"), (3, "p q r"),
+             (4, "t u"), (5, None)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               duplicated_ngram_stats(df, n=3).collect()}
+        assert set(got) == {1, 2, 3, 4}  # NULL text excluded
+        assert (got[1]["n_shingles"], got[1]["n_dup_shingles"]) == (2, 1)
+        assert got[1]["dup_ngram_frac"] == 0.5
+        assert (got[2]["n_shingles"], got[2]["n_dup_shingles"]) == (2, 1)
+        assert (got[3]["n_shingles"], got[3]["n_dup_shingles"]) == (1, 0)
+        assert got[3]["dup_ngram_frac"] == 0.0
+        # too short: zero shingles, NULL fraction
+        assert (got[4]["n_shingles"], got[4]["n_dup_shingles"]) == (0, 0)
+        assert got[4]["dup_ngram_frac"] is None
+
+    def test_within_doc_repeat_is_not_cross_doc(self, spark):
+        """A shingle repeated inside ONE doc only (distinct sets) must not
+        count as duplicated — this stat is cross-document by design."""
+        from cloud_data_quality_spark.functions.corpus import (
+            duplicated_ngram_stats)
+        df = spark.createDataFrame(
+            [(1, "a b c a b c"), (2, "z z z z")], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               duplicated_ngram_stats(df, n=3).collect()}
+        assert got[1]["n_dup_shingles"] == 0
+        assert got[2]["n_dup_shingles"] == 0
