@@ -47,6 +47,13 @@ def webtext_registry(pages_parquet):
         "rule_ids": ["TEXT_NOT_NULL", "IS_ENGLISH", "GOPHER_OK",
                      "LOW_PERPLEXITY", "PII_FREE"],
     })
+    reg.rules["ML_KEEP"] = Rule.from_dict("ML_KEEP", {
+        "rule_type": "CUSTOM_PANDAS_BATCH",
+        "params": {"function": "CLASSIFIER_KEEP"}})
+    reg.rule_bindings["RB_ML"] = RuleBinding.from_dict("RB_ML", {
+        "entity_id": "PAGES", "column_id": "TEXT", "row_filter_id": "NONE",
+        "rule_ids": ["TEXT_NOT_NULL", "ML_KEEP"],
+    })
     return reg
 
 
@@ -236,3 +243,42 @@ class TestRepetitionRule:
         assert row["success_count"] == 2   # clean + too-short
         assert row["failed_count"] == 1    # the spam doc
         assert row["null_count"] == 1
+
+
+class TestStreamingClassifierRule:
+    def test_ml_keep_stream_totals_match_batch(self, spark, pages_parquet,
+                                               webtext_registry, tmp_path):
+        """The learned-classifier rule is just another CUSTOM_PANDAS_BATCH
+        rule to the streaming DQ contract: per-micro-batch summary totals
+        must equal one batch run (exact int64 scoring makes the equality
+        strict, not approximate)."""
+        from cloud_data_quality_spark.engine.runner import DqEngine
+        from cloud_data_quality_spark.engine.sinks import ParquetAppendSink
+        from cloud_data_quality_spark.streaming.dq_stream import (
+            run_bindings_on_stream,
+        )
+        sink = ParquetAppendSink(str(tmp_path / "ml_summary_stream"))
+        engine = DqEngine(spark, webtext_registry, summary_sink=sink)
+        schema = ("url string, warc_ts timestamp, html binary, "
+                  "text string, lang string")
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(pages_parquet))
+        q = run_bindings_on_stream(engine, ["RB_ML"], stream, run_id="ml1",
+                                   checkpoint_path=str(tmp_path / "ckpt_ml"))
+        q.awaitTermination(300)
+        rows = [r.asDict() for r in sink.read(spark, deduped=True).collect()]
+        ml_rows = [r for r in rows if r["rule_id"] == "ML_KEEP"]
+        assert ml_rows
+
+        batch = DqEngine(spark, webtext_registry) \
+            .run(["RB_ML"], write_summary=False)
+        b = {r["rule_id"]: r.asDict() for r in batch.summary.collect()}
+        assert sum(r["rows_validated"] for r in ml_rows) == \
+            b["ML_KEEP"]["rows_validated"]
+        assert sum(r["success_count"] for r in ml_rows) == \
+            b["ML_KEEP"]["success_count"]
+        assert sum(r["failed_count"] for r in ml_rows) == \
+            b["ML_KEEP"]["failed_count"]
+        assert sum(r["null_count"] for r in ml_rows) == \
+            b["ML_KEEP"]["null_count"]
