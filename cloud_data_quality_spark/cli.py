@@ -122,6 +122,21 @@ def _parse_fractions(spec: str) -> dict[str, float]:
     return out
 
 
+def _require_unique_ids(df, id_col: str, op: str) -> None:
+    """Ops that key per-doc results on the id (score joins, split
+    assignment, cross-doc frequency) silently corrupt on NULL or duplicate
+    ids (NULL never equi-joins; dup ids fan out / self-duplicate) — refuse
+    loudly instead."""
+    from pyspark.sql import functions as F
+    n_rows = df.count()
+    n_ids = df.select(id_col).where(
+        F.col(id_col).isNotNull()).distinct().count()
+    if n_ids != n_rows:
+        raise SystemExit(
+            f"{op}: --id-col {id_col!r} must be unique and non-null "
+            f"({n_rows} rows, {n_ids} distinct non-null ids)")
+
+
 def _corpus(args) -> int:
     from pyspark.sql import functions as F
 
@@ -167,8 +182,13 @@ def _corpus(args) -> int:
         if not args.fractions:
             raise SystemExit(
                 "split needs --fractions, e.g. train=0.98,val=0.01,test=0.01")
+        _require_unique_ids(df, args.id_col, "split")
+        # default salt must differ from the sample/resample default (''):
+        # with the SAME salt, sampling keeps exactly the low-hash rows, so
+        # a subsequent split would park every survivor in the first split
         out = C.dataset_split(df, _parse_fractions(args.fractions),
-                              id_col=args.id_col, salt=args.salt)
+                              id_col=args.id_col,
+                              salt=args.salt or "split")
     elif args.op == "sample":
         out = C.stratified_sample(df, _parse_fractions(args.fractions),
                                   stratum_col=args.stratum_col,
@@ -193,6 +213,7 @@ def _corpus(args) -> int:
         out = C.repetition_stats(df, text_col=args.text_col,
                                  id_col=args.id_col)
     elif args.op == "dup-ngram-stats":
+        _require_unique_ids(df, args.id_col, "dup-ngram-stats")
         n = args.shingle_words if args.shingle_words is not None else 8
         out = C.duplicated_ngram_stats(df, text_col=args.text_col,
                                        id_col=args.id_col, n=n)
@@ -208,16 +229,7 @@ def _corpus(args) -> int:
     elif args.op == "classify":
         from cloud_data_quality_spark.functions.classifier import (
             classifier_scores)
-        # the score join back onto the input is id-keyed: NULL ids would
-        # silently vanish (NULL never equi-joins) and duplicate ids would
-        # fan out N^2 — both are caller data bugs; refuse loudly
-        n_rows = df.count()
-        n_ids = df.select(args.id_col).where(
-            F.col(args.id_col).isNotNull()).distinct().count()
-        if n_ids != n_rows:
-            raise SystemExit(
-                f"classify: --id-col {args.id_col!r} must be unique and "
-                f"non-null ({n_rows} rows, {n_ids} distinct non-null ids)")
+        _require_unique_ids(df, args.id_col, "classify")
         scores = classifier_scores(df, text_col=args.text_col,
                                    id_col=args.id_col)
         if args.drop:
@@ -470,7 +482,11 @@ def main(argv: list[str] | None = None) -> int:
                         "rates; resample: target distribution)")
     c.add_argument("--stratum-col", default="lang")
     c.add_argument("--default-fraction", type=float, default=0.0)
-    c.add_argument("--salt", default="")
+    c.add_argument("--salt", default="",
+                   help="decorrelates hash decisions over the same ids; "
+                        "sample/resample default '', split defaults to "
+                        "'split' so splitting a sampled corpus stays "
+                        "uniform")
     c.add_argument("--budget-tokens", type=int, default=2048,
                    help="chunk: tokens per context window")
     c.add_argument("--overlap-tokens", type=int, default=0,

@@ -234,9 +234,18 @@ def sample_threshold(fraction: float) -> int:
 
 def sample_hash(id_col: str, salt: str = "") -> Column:
     """Uniform 60-bit integer from md5(id‖salt) — the md5-prefix trick that
-    DuckDB reproduces bit-identically (('0x'||substr(md5(x),1,15))::BIGINT)."""
+    DuckDB reproduces bit-identically (('0x'||substr(md5(x),1,15))::BIGINT).
+
+    NULL ids hash to NULL (NOT to a shared constant — concat_ws would
+    silently skip the NULL and give every NULL-id row the same md5(salt)
+    hash, an en-masse keep/drop that also diverges from the SQL oracle,
+    where NULL || salt is NULL). With a NULL hash, every threshold compare
+    is NULL: sampling filters drop the row — exactly what the oracle's
+    WHERE does."""
     key = F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))
-    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    return F.when(F.col(id_col).isNull(),
+                  F.lit(None).cast("bigint")).otherwise(h)
 
 
 def stratified_sample(
@@ -297,13 +306,19 @@ def dataset_split(df: DataFrame, weights: dict[str, float],
 
     Note weights are consumed in dict order — reordering the dict moves
     the interval boundaries and reassigns rows, so pin the order (it is
-    part of the split's identity, like the salt)."""
+    part of the split's identity, like the salt). A NULL id raises at
+    evaluation time: silently parking every NULL-id row in one split
+    would leak an unbounded slice of undifferentiated rows into whichever
+    partition caught them."""
     bounds = split_boundaries(weights)
     h = sample_hash(id_col, salt)
     # chained whens: earlier (smaller) bounds win, so each row takes the
     # FIRST interval whose upper bound exceeds its hash
     first = bounds[0]
-    cond = F.when(h < F.lit(first[1]), F.lit(first[0]))
+    cond = F.when(F.col(id_col).isNull(), F.raise_error(F.lit(
+        f"dataset_split: NULL {id_col} — split assignment needs a "
+        f"non-null id")).cast("string"))
+    cond = cond.when(h < F.lit(first[1]), F.lit(first[0]))
     for name, bound in bounds[1:-1]:
         cond = cond.when(h < F.lit(bound), F.lit(name))
     cond = cond.otherwise(F.lit(bounds[-1][0]))
@@ -878,6 +893,11 @@ def duplicated_ngram_stats(
     the per-fingerprint occurrence count IS the containing-doc count, and
     every output is an integer ratio — bit-replayable in DuckDB.
 
+    Id contract: id_col must be unique (two rows sharing an id would count
+    each other's shingles as cross-doc duplication — the CLI op enforces
+    this loudly); NULL-id rows are excluded up front (their stats could
+    never join back through an equi-join anyway).
+
     Scale posture (10^12 docs): three wide stages, all on uniform keys —
     the df-count agg and the count-join shuffle on md5 shingle
     fingerprints (no hot key can exist), then the per-doc rollup's partial
@@ -886,7 +906,8 @@ def duplicated_ngram_stats(
     computation (same class as span_dedup); there is no driver-side state
     and nothing is broadcast."""
     from cloud_data_quality_spark.functions.dedup import word_shingles
-    base = (df.where(F.col(text_col).isNotNull())
+    base = (df.where(F.col(text_col).isNotNull()
+                     & F.col(id_col).isNotNull())
             .select(id_col,
                     word_shingles(F.col(text_col), n=n).alias("__sh")))
     occ = base.select(id_col, F.explode("__sh").alias("__s")) \

@@ -461,3 +461,38 @@ class TestDupNgramCli:
         got = {r["doc_id"]: r["n_dup_shingles"]
                for r in spark.read.parquet(outp).collect()}
         assert got == {1: 1, 2: 1}
+
+
+class TestCliIdContract:
+    def test_split_refuses_dup_ids_and_uses_distinct_salt(self, spark,
+                                                          tmp_path, capsys):
+        inp = str(tmp_path / "ct.parquet")
+        spark.range(0, 100).selectExpr("id as doc_id").write.parquet(inp)
+        outp = str(tmp_path / "cto")
+        rc = main(["corpus", "--op", "split", "--input", inp,
+                   "--output", outp, "--fractions", "a=0.5,b=0.5"])
+        assert rc == 0
+        capsys.readouterr()
+        from cloud_data_quality_spark.functions.corpus import dataset_split
+        want = {(r["doc_id"], r["split"]) for r in dataset_split(
+            spark.read.parquet(inp), {"a": 0.5, "b": 0.5},
+            salt="split").collect()}
+        got = {(r["doc_id"], r["split"])
+               for r in spark.read.parquet(outp).collect()}
+        assert got == want  # CLI default salt is 'split', not ''
+
+        dup = str(tmp_path / "dup.parquet")
+        spark.createDataFrame([(1,), (1,)], "doc_id long") \
+            .write.parquet(dup)
+        with pytest.raises(SystemExit, match="unique"):
+            main(["corpus", "--op", "split", "--input", dup,
+                  "--output", str(tmp_path / "x"),
+                  "--fractions", "a=0.5,b=0.5"])
+
+    def test_dup_ngram_stats_refuses_dup_ids(self, spark, tmp_path):
+        dup = str(tmp_path / "dg.parquet")
+        spark.createDataFrame([(1, "a b c"), (1, "a b c")],
+                              "doc_id long, text string").write.parquet(dup)
+        with pytest.raises(SystemExit, match="unique"):
+            main(["corpus", "--op", "dup-ngram-stats", "--input", dup,
+                  "--output", str(tmp_path / "y"), "--shingle-words", "3"])

@@ -1032,3 +1032,31 @@ class TestDuplicatedNgramStats:
                duplicated_ngram_stats(df, n=3).collect()}
         assert got[1]["n_dup_shingles"] == 0
         assert got[2]["n_dup_shingles"] == 0
+
+
+class TestIdContractRegressions:
+    def test_dataset_split_null_id_raises(self, spark):
+        from cloud_data_quality_spark.functions.corpus import dataset_split
+        df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+        with pytest.raises(Exception, match="non-null id"):
+            dataset_split(df, {"a": 0.5, "b": 0.5}).collect()
+
+    def test_sample_hash_null_id_is_null(self, spark):
+        """NULL ids must hash NULL (oracle parity) — not md5(salt), which
+        would keep/drop every NULL-id row en masse."""
+        from cloud_data_quality_spark.functions.corpus import (
+            stratified_sample)
+        df = spark.createDataFrame(
+            [(1, "en"), (None, "en")], "doc_id long, lang string")
+        kept = stratified_sample(df, {"en": 1.0}, stratum_col="lang")
+        assert [r["doc_id"] for r in kept.collect()] == [1]
+
+    def test_dup_ngram_stats_null_id_excluded(self, spark):
+        from cloud_data_quality_spark.functions.corpus import (
+            duplicated_ngram_stats)
+        df = spark.createDataFrame(
+            [(1, "a b c"), (None, "a b c")], "doc_id long, text string")
+        got = duplicated_ngram_stats(df, n=3).collect()
+        assert [r["doc_id"] for r in got] == [1]
+        # the NULL-id row is gone entirely, so no cross-doc dup is seen
+        assert got[0]["n_dup_shingles"] == 0
