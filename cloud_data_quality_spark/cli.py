@@ -340,6 +340,47 @@ def _curate(args) -> int:
             scored, args.top_fraction, "__q", id_col=args.id_col,
             exact=False).drop("__q")
 
+    def spandedup(d):
+        from pyspark.sql import functions as F
+
+        from cloud_data_quality_spark.functions.corpus import span_dedup
+        # rewrite text in place; docs that reassemble to '' (every span
+        # lost its cross-corpus race) are dropped — they carry no content
+        sd = span_dedup(d, text_col=args.text_col, id_col=args.id_col,
+                        delimiter=args.span_delimiter)
+        return (d.drop(args.text_col)
+                .join(sd.select(args.id_col,
+                                F.col("text_deduped").alias(args.text_col)),
+                      args.id_col, "inner")
+                .where(F.length(F.col(args.text_col)) > 0))
+
+    def decontaminate(d):
+        from pyspark.sql import functions as F
+
+        from cloud_data_quality_spark.functions.corpus import contamination
+        bench = spark.read.parquet(args.decontaminate)
+        stats = contamination(d, bench, text_col=args.text_col,
+                              id_col=args.id_col)
+        clean = stats.where(~F.col("is_contaminated")).select(args.id_col)
+        return d.join(clean, args.id_col, "left_semi")
+
+    def sample(d):
+        from cloud_data_quality_spark.functions.corpus import (
+            stratified_sample)
+        return stratified_sample(
+            d, _parse_fractions(args.sample_fractions),
+            stratum_col=args.stratum_col, id_col=args.id_col,
+            default_fraction=args.default_fraction, salt="curate")
+
+    def pack(d):
+        from cloud_data_quality_spark.functions.packing import pack_documents
+        # terminal stage: the output is the packing MANIFEST (doc -> pack
+        # assignment + token counts), not a corpus rewrite — training-prep
+        # joins text back by id
+        return pack_documents(d, budget=args.pack_budget,
+                              id_col=args.id_col, text_col=args.text_col,
+                              tokenizer=args.pack_tokenizer)
+
     def select_budget(d):
         from pyspark.sql import functions as F
 
@@ -367,9 +408,16 @@ def _curate(args) -> int:
     if args.c4_clean:
         stages.append(PipelineStage("c4_clean", c4, kind="partition"))
     stages.append(PipelineStage("quality", quality, kind="partition"))
+    if args.span_dedup:
+        stages.append(PipelineStage("span_dedup", spandedup, kind="global"))
+    if args.decontaminate:
+        stages.append(PipelineStage("decontaminate", decontaminate,
+                                    kind="global"))
     if blocklist or args.max_per_host > 0:
         stages.append(PipelineStage("hosts", hosts, kind="global"))
     stages.append(PipelineStage("dedup", dedup, kind="global"))
+    if args.sample_fractions:
+        stages.append(PipelineStage("sample", sample, kind="partition"))
     if not 0 <= args.top_fraction < 1:
         raise SystemExit(
             f"--top-fraction must be in [0, 1) (0 disables selection); "
@@ -387,6 +435,8 @@ def _curate(args) -> int:
     if args.token_budget > 0:
         stages.append(PipelineStage("select_budget", select_budget,
                                     kind="global"))
+    if args.pack_budget > 0:
+        stages.append(PipelineStage("pack", pack, kind="global"))
 
     pipe = ResumableCurationPipeline(
         spark, args.work_dir, n_buckets=args.buckets, id_col=args.id_col,
@@ -535,6 +585,26 @@ def main(argv: list[str] | None = None) -> int:
                     help="prepend C4 §2.2 line-level cleaning (terminal-"
                          "punctuation lines, ≥5 words, no javascript; "
                          "drop '{'/'lorem ipsum' docs)")
+    cu.add_argument("--span-dedup", action="store_true",
+                    help="after quality: cross-document span dedup (C4 "
+                         "§2.2 duplicated-span removal); text rewritten in "
+                         "place, docs reassembling to '' dropped")
+    cu.add_argument("--span-delimiter", default="\n",
+                    help="span boundary for --span-dedup (default newline)")
+    cu.add_argument("--decontaminate", default=None, metavar="PARQUET",
+                    help="drop documents sharing 8-word shingles with this "
+                         "benchmark/eval parquet (broadcast semi-join)")
+    cu.add_argument("--sample-fractions", default="",
+                    help="after dedup: deterministic stratified sampling, "
+                         "e.g. en=0.5,de=0.2 over --stratum-col")
+    cu.add_argument("--stratum-col", default="lang")
+    cu.add_argument("--default-fraction", type=float, default=0.0)
+    cu.add_argument("--pack-budget", type=int, default=0,
+                    help="terminal stage: greedy sequence packing to this "
+                         "token budget; output is the packing manifest "
+                         "(doc -> pack assignment), 0 = disabled")
+    cu.add_argument("--pack-tokenizer", default="words",
+                    choices=["words", "bpe"])
     cu.add_argument("--partitions-per-commit", type=int, default=None)
 
     args = p.parse_args(argv)

@@ -192,12 +192,17 @@ class ResumableCurationPipeline:
                                    rows_out=prior[0]["n_kept"], resumed=True)
         obs_in, obs_out = Observation(), Observation()
         keyed = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
-        out = stage.transform(keyed).observe(
-            obs_out, F.count(F.lit(1)).alias("n"))
-        writer = out.write.mode("overwrite")
-        if "part_key" in out.columns:
-            writer = writer.partitionBy("part_key")
+        # the transform CALL must sit inside preserve_observations too: a
+        # transform with eager internal jobs (selection's prefix-sum pass,
+        # a checkpoint) executes the observed input subtree right there —
+        # on an empty corpus AQE would drop the CollectMetrics during
+        # those jobs, long before the guarded write
         with preserve_observations(self.spark):
+            out = stage.transform(keyed).observe(
+                obs_out, F.count(F.lit(1)).alias("n"))
+            writer = out.write.mode("overwrite")
+            if "part_key" in out.columns:
+                writer = writer.partitionBy("part_key")
             writer.parquet(out_path)
             n_in, n_out = obs_in.get["n"], obs_out.get["n"]
         self._mark_stage(stage_run_id, n_in, n_out)

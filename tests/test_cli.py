@@ -496,3 +496,81 @@ class TestCliIdContract:
         with pytest.raises(SystemExit, match="unique"):
             main(["corpus", "--op", "dup-ngram-stats", "--input", dup,
                   "--output", str(tmp_path / "y"), "--shingle-words", "3"])
+
+
+class TestCurateFullPipeline:
+    def test_all_stages_compose(self, spark, pages_parquet, tmp_path,
+                                capsys):
+        """The complete one-command corpus build: c4 -> quality ->
+        span-dedup -> decontaminate -> hosts -> dedup -> sample -> budget
+        select -> pack, as ONE resumable run."""
+        import json as _json
+
+        # benchmark fixture: text copied from a real page so decontaminate
+        # has something to drop
+        some = spark.read.parquet(pages_parquet) \
+            .where("text is not null and length(text) > 200").limit(1) \
+            .collect()[0]["text"]
+        bench = str(tmp_path / "bench.parquet")
+        spark.createDataFrame([(1, some)], "doc_id long, text string") \
+            .write.parquet(bench)
+
+        # NOTE no --c4-clean here: the synthetic pages' word-soup lines
+        # carry no terminal punctuation, so C4 line cleaning empties the
+        # whole corpus on this fixture (the empty-cascade path has its own
+        # regression below)
+        work = str(tmp_path / "wfull")
+        argv = ["curate", "--input", pages_parquet, "--work-dir", work,
+                "--run-id", "full", "--buckets", "8",
+                "--span-dedup",
+                "--decontaminate", bench,
+                "--max-per-host", "400",
+                "--sample-fractions", "en=0.9,es=0.9,fr=0.9,de=0.9,zh=0.9",
+                "--token-budget", "150000",
+                "--pack-budget", "512"]
+        rc = main(argv)
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        names = [s["name"] for s in out["stages"]]
+        assert names == ["quality", "span_dedup",
+                         "decontaminate", "hosts", "dedup", "sample",
+                         "select_budget", "pack"]
+        # every stage committed and monotonically filters (pack re-shapes)
+        for s in out["stages"][:-1]:
+            assert s["rows_out"] <= s["rows_in"]
+        # the decontaminated page is gone
+        sel = out["stages"][-2]
+        kept = spark.read.parquet(sel["output"])
+        assert kept.where(kept["text"] == some).count() == 0
+        # pack manifest covers exactly the selected docs
+        packed = spark.read.parquet(out["stages"][-1]["output"])
+        assert packed.count() == kept.count()
+        assert packed.where("pack_id is null").count() == 0
+
+        # resume: re-running the same run-id re-executes nothing
+        rc = main(argv)
+        assert rc == 0
+        out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert all(s["resumed"] for s in out2["stages"])
+        assert out2["rows_out"] == out["rows_out"]
+
+    def test_empty_cascade_survives_all_stages(self, spark, pages_parquet,
+                                               tmp_path, capsys):
+        """--c4-clean empties this fixture's corpus at stage 0; every later
+        stage (including selection's eager prefix-sum jobs and packing)
+        must flow the empty frame through and commit, not die on a dropped
+        Observation (AQE empty-relation propagation)."""
+        import json as _json
+        work = str(tmp_path / "wempty")
+        rc = main(["curate", "--input", pages_parquet, "--work-dir", work,
+                   "--run-id", "empty", "--buckets", "8",
+                   "--c4-clean", "--span-dedup",
+                   "--sample-fractions", "en=0.9",
+                   "--token-budget", "1000", "--pack-budget", "128"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rows_out"] == 0
+        assert [s["name"] for s in out["stages"]] == [
+            "c4_clean", "quality", "span_dedup", "dedup", "sample",
+            "select_budget", "pack"]
+        assert out["stages"][0]["rows_out"] == 0  # C4 drops everything
