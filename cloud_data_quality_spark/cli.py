@@ -16,11 +16,18 @@ Subcommands:
   quality-filter  resumable web-text filter pipeline (annotate → keep →
                   scrubbed output) with per-partition lineage
   corpus          corpus curation ops: span-dedup | decontaminate | sample |
-                  resample | incremental-dedup | incremental-minhash-dedup |
-                  chunk | c4-clean | paragraph-stats | repetition-stats |
-                  canonicalize-urls (functions/corpus.py, functions/hosts.py)
-  curate          composed resumable pipeline: [c4-clean →] quality filter →
-                  host blocklist+cap → exact dedup (engine/pipeline.py)
+                  resample | split | incremental-dedup |
+                  incremental-minhash-dedup | chunk | c4-clean |
+                  paragraph-stats | repetition-stats | dup-ngram-stats |
+                  canonicalize-urls | classify | containment
+                  (functions/corpus.py, functions/hosts.py,
+                  functions/classifier.py)
+  curate          composed resumable pipeline, every stage optional except
+                  quality+dedup: [c4-clean →] quality filter →
+                  [span-dedup →] [decontaminate →] [host blocklist+cap →]
+                  exact dedup → [stratified sample →] [top-fraction |
+                  token-budget selection →] [sequence packing]
+                  (engine/pipeline.py)
 """
 
 from __future__ import annotations
@@ -292,6 +299,11 @@ def _curate(args) -> int:
 
     spark = get_spark(app_name="cdq_curate", master=args.master)
     df = spark.read.parquet(args.input)
+    # several stages key per-doc results on the id (span-dedup join-back,
+    # decontaminate semi-join, selection, packing) and the lineage buckets
+    # hash it — a duplicate or NULL id corrupts silently, so refuse up
+    # front (one agg over the input; the pipeline scans it many times)
+    _require_unique_ids(df, args.id_col, "curate")
     blocklist = [d.strip() for d in args.blocklist.split(",") if d.strip()]
 
     def c4(d):
@@ -340,6 +352,19 @@ def _curate(args) -> int:
             scored, args.top_fraction, "__q", id_col=args.id_col,
             exact=False).drop("__q")
 
+    # convenience: shells deliver $'\n' only with effort — accept the
+    # two-character escapes users actually type
+    args.span_delimiter = {"\\n": "\n", "\\t": "\t",
+                           "\\r\\n": "\r\n"}.get(args.span_delimiter,
+                                                 args.span_delimiter)
+    if args.span_dedup and set(args.span_delimiter) & set(r".^$*+?{}[]()|\\"):
+        # span_dedup SPLITS on the delimiter as a regex but REJOINS it as a
+        # literal — a metachar delimiter would corrupt every document
+        # (re.escape won't do as the test: it also escapes plain whitespace)
+        raise SystemExit(
+            f"--span-delimiter must be a literal string without regex "
+            f"metacharacters; got {args.span_delimiter!r}")
+
     def spandedup(d):
         from pyspark.sql import functions as F
 
@@ -364,11 +389,20 @@ def _curate(args) -> int:
         clean = stats.where(~F.col("is_contaminated")).select(args.id_col)
         return d.join(clean, args.id_col, "left_semi")
 
+    # parse/validate eagerly: a typo must fail BEFORE hours of upstream
+    # stages run, like the --top-fraction / --token-budget checks below
+    sample_fractions = (_parse_fractions(args.sample_fractions)
+                        if args.sample_fractions else {})
+    if sample_fractions and args.stratum_col not in df.columns:
+        raise SystemExit(
+            f"--sample-fractions needs --stratum-col {args.stratum_col!r} "
+            f"in the input (columns: {df.columns})")
+
     def sample(d):
         from cloud_data_quality_spark.functions.corpus import (
             stratified_sample)
         return stratified_sample(
-            d, _parse_fractions(args.sample_fractions),
+            d, sample_fractions,
             stratum_col=args.stratum_col, id_col=args.id_col,
             default_fraction=args.default_fraction, salt="curate")
 
@@ -376,10 +410,15 @@ def _curate(args) -> int:
         from cloud_data_quality_spark.functions.packing import pack_documents
         # terminal stage: the output is the packing MANIFEST (doc -> pack
         # assignment + token counts), not a corpus rewrite — training-prep
-        # joins text back by id
-        return pack_documents(d, budget=args.pack_budget,
-                              id_col=args.id_col, text_col=args.text_col,
-                              tokenizer=args.pack_tokenizer)
+        # joins text back by --id-col (the manifest's id column is renamed
+        # to match it)
+        out = pack_documents(d, budget=args.pack_budget,
+                             id_col=args.id_col, text_col=args.text_col,
+                             n_buckets=args.buckets,
+                             tokenizer=args.pack_tokenizer)
+        if args.id_col != "doc_id":
+            out = out.withColumnRenamed("doc_id", args.id_col)
+        return out
 
     def select_budget(d):
         from pyspark.sql import functions as F
@@ -556,8 +595,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--buckets", type=int, default=64)
 
     cu = sub.add_parser(
-        "curate", help="composed resumable pipeline: quality filter → "
-                       "host blocklist+cap → exact dedup (staged, "
+        "curate", help="composed resumable pipeline: [c4-clean →] quality "
+                       "filter → [span-dedup →] [decontaminate →] [host "
+                       "blocklist+cap →] exact dedup → [sample →] "
+                       "[top-fraction | token-budget →] [pack] (staged, "
                        "per-partition lineage, restart-safe)")
     cu.add_argument("--input", required=True)
     cu.add_argument("--work-dir", required=True,

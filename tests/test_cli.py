@@ -538,7 +538,10 @@ class TestCurateFullPipeline:
         # every stage committed and monotonically filters (pack re-shapes)
         for s in out["stages"][:-1]:
             assert s["rows_out"] <= s["rows_in"]
-        # the decontaminated page is gone
+        # decontaminate itself dropped rows (not vacuously true via later
+        # stages): its stage report shows the contaminated page removed
+        dc = next(s for s in out["stages"] if s["name"] == "decontaminate")
+        assert dc.get("rows_out") < dc.get("rows_in")
         sel = out["stages"][-2]
         kept = spark.read.parquet(sel["output"])
         assert kept.where(kept["text"] == some).count() == 0
@@ -574,3 +577,30 @@ class TestCurateFullPipeline:
             "c4_clean", "quality", "span_dedup", "dedup", "sample",
             "select_budget", "pack"]
         assert out["stages"][0]["rows_out"] == 0  # C4 drops everything
+
+
+class TestCurateArgValidation:
+    def test_span_delimiter_metachar_rejected(self, spark, pages_parquet,
+                                              tmp_path):
+        with pytest.raises(SystemExit, match="metachar"):
+            main(["curate", "--input", pages_parquet,
+                  "--work-dir", str(tmp_path / "w"), "--run-id", "x",
+                  "--span-dedup", "--span-delimiter", "|"])
+
+    def test_sample_fraction_typo_fails_fast(self, spark, pages_parquet,
+                                             tmp_path):
+        with pytest.raises(Exception):
+            main(["curate", "--input", pages_parquet,
+                  "--work-dir", str(tmp_path / "w2"), "--run-id", "x",
+                  "--sample-fractions", "en=0.5,de"])
+        # nothing was staged: validation beat the pipeline
+        assert not (tmp_path / "w2" / "x").exists()
+
+    def test_curate_refuses_dup_ids(self, spark, tmp_path):
+        dup = str(tmp_path / "cdup.parquet")
+        spark.createDataFrame(
+            [("u", "text one here"), ("u", "other text")],
+            "url string, text string").write.parquet(dup)
+        with pytest.raises(SystemExit, match="unique"):
+            main(["curate", "--input", dup,
+                  "--work-dir", str(tmp_path / "w3"), "--run-id", "x"])
