@@ -48,6 +48,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ranked(df: DataFrame, score_col: str, id_col: str,
+            n_partitions: int | None) -> DataFrame:
+    """The global order as a RANGE-partitioned frame — the load-bearing
+    plan shape (disjoint ordered ranges across many tasks), pinned by a
+    plan test against the single-partition `Window.orderBy` shape a naive
+    translation would produce."""
+    clean = df.where(F.col(score_col).isNotNull())
+    n_parts = n_partitions or clean.sparkSession.sparkContext \
+        .defaultParallelism
+    return (clean
+            .repartitionByRange(n_parts, F.col(score_col).desc(),
+                                F.col(id_col).asc())
+            .sortWithinPartitions(F.col(score_col).desc(),
+                                  F.col(id_col).asc()))
+
+
 def select_token_budget(df: DataFrame, budget_tokens: int,
                         score_col: str = "score",
                         token_col: str = "n_tokens",
@@ -70,16 +86,9 @@ def select_token_budget(df: DataFrame, budget_tokens: int,
         raise ValueError(
             f"need columns {score_col!r}, {token_col!r}, {id_col!r}; "
             f"frame has {cols}")
-    clean = df.where(F.col(score_col).isNotNull()
-                     & F.col(token_col).isNotNull())
-    n_parts = n_partitions or clean.sparkSession.sparkContext \
-        .defaultParallelism
-    ranked = (clean
-              .repartitionByRange(n_parts, F.col(score_col).desc(),
-                                  F.col(id_col).asc())
-              .sortWithinPartitions(F.col(score_col).desc(),
-                                    F.col(id_col).asc())
-              .persist(StorageLevel.MEMORY_AND_DISK))
+    ranked = _ranked(df.where(F.col(token_col).isNotNull()),
+                     score_col, id_col, n_partitions) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         schema_totals = "pid int, total bigint"
 

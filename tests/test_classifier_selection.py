@@ -170,3 +170,17 @@ class TestReviewRegressions:
         # doc_features counts exactly the iter_features multiset
         x = qa.doc_features("a b c")
         assert int(x.sum()) == 5
+
+    def test_ranked_plan_is_range_partitioned(self, spark):
+        """The load-bearing plan shape: the global order is RANGE
+        partitioned across tasks — never the single-partition exchange a
+        naive Window.orderBy translation produces."""
+        from cloud_data_quality_spark.functions.selection import _ranked
+        df = spark.createDataFrame(
+            [(i, i % 7, 3) for i in range(100)],
+            "doc_id long, score long, n_tokens long")
+        plan = _ranked(df, "score", "doc_id", 8) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan.lower()
+        assert "SinglePartition" not in plan
+        assert "Window" not in plan
