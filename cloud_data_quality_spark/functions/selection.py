@@ -147,3 +147,69 @@ def select_token_budget(df: DataFrame, budget_tokens: int,
     finally:
         ranked.unpersist()
     return out
+
+
+def quantile_buckets(df: DataFrame, score_col: str,
+                     cuts: list[tuple[int, int]] = [(1, 3), (2, 3)],
+                     labels: list[str] = ["head", "middle", "tail"],
+                     bucket_col: str = "bucket",
+                     max_distinct: int = 1_000_000) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020 §4.3: split the
+    corpus into head/middle/tail by language-model perplexity): label every
+    row by which exact corpus quantile its score falls in.
+
+    Exactness contract: cut fractions are RATIONALS (num, den) and the
+    rank targets are integer arithmetic — target_k = ceil(n·num/den) =
+    (n·num + den - 1) // den — so the DuckDB oracle computes the same
+    boundary scores from the same integers (no float quantile estimation;
+    percentile_approx would diverge between engines AND between runs).
+    Boundary k = the smallest score whose ascending cumulative count
+    reaches target_k; bucket = first k whose boundary the row's score does
+    not exceed. NULL scores are dropped.
+
+    Scale posture (10^12 docs): ONE groupBy(score) aggregate; the driver
+    sees only the VALUE-FREQUENCY table, whose cardinality is bounded by
+    the score's precision (a 4-decimal-rounded perplexity in [0, 30] has
+    ≤ 3·10^5 distinct values no matter the corpus size) and guarded by
+    max_distinct — pass a rounded score, not a raw double. Labeling is a
+    narrow CASE projection; no sort, no window, no second shuffle."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(labels) == len(cuts)+1, got {len(labels)} labels "
+            f"for {len(cuts)} cuts")
+    if any(not (0 < n < d) for n, d in cuts):
+        raise ValueError(f"cuts must be proper fractions, got {cuts}")
+    fracs = [n / d for n, d in cuts]
+    if sorted(fracs) != fracs or len(set(fracs)) != len(fracs):
+        raise ValueError(f"cuts must be strictly increasing, got {cuts}")
+    clean = df.where(F.col(score_col).isNotNull())
+    freq = (clean.groupBy(score_col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .orderBy(score_col))
+    rows = freq.limit(max_distinct + 1).collect()
+    if len(rows) > max_distinct:
+        raise ValueError(
+            f"quantile_buckets: more than {max_distinct} distinct "
+            f"{score_col!r} values — round the score before bucketing "
+            f"(the driver-side frequency table must stay small)")
+    n_total = sum(r["__c"] for r in rows)
+    if n_total == 0:
+        return clean.withColumn(bucket_col,
+                                F.lit(None).cast("string"))
+    boundaries: list = []
+    cum = 0
+    it = iter(rows)
+    for num, den in cuts:
+        target = (n_total * num + den - 1) // den  # ceil, integer-exact
+        while cum < target:
+            r = next(it)
+            cum += r["__c"]
+            last_score = r[score_col]
+        boundaries.append(last_score)
+    cond = None
+    for label, b in zip(labels, boundaries):
+        branch = (F.col(score_col) <= F.lit(b), F.lit(label))
+        cond = F.when(*branch) if cond is None else cond.when(*branch)
+    cond = (F.lit(labels[-1]) if cond is None
+            else cond.otherwise(F.lit(labels[-1])))
+    return clean.withColumn(bucket_col, cond)

@@ -2123,6 +2123,46 @@ from c where cum <= {_TOKEN_BUDGET}
 """
 
 
+_PPL_CUTS = [(1, 3), (2, 3)]
+_PPL_LABELS = ["head", "middle", "tail"]
+
+
+def q_perplexity_buckets_docs(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): label
+    every doc by which exact corpus-perplexity tercile it falls in
+    (functions/selection.quantile_buckets over the corpus-unigram NLL).
+    Rank targets are integer-exact (ceil(n·k/3) via integer arithmetic),
+    so both engines derive identical boundary scores — no approximate
+    percentile anywhere."""
+    from cloud_data_quality_spark.functions.selection import quantile_buckets
+    scored = q_unigram_logprob(spark, sf_dir)
+    return quantile_buckets(scored, "nll", cuts=_PPL_CUTS,
+                            labels=_PPL_LABELS)
+
+
+def _oracle_perplexity_buckets() -> str:
+    # boundaries replayed with the SAME integer rank targets over the same
+    # 4dp-rounded nll the unigram oracle produces
+    cuts_sql = []
+    for k, (num, den) in enumerate(_PPL_CUTS):
+        cuts_sql.append(
+            f"b{k} as (select min(nll) as b from cum "
+            f"where c >= (n * {num} + {den - 1}) // {den})")
+    whens = " ".join(
+        f"when s.nll <= (select b from b{k}) then '{label}'"
+        for k, label in enumerate(_PPL_LABELS[:-1]))
+    return f"""
+with scored as ({ORACLE_UNIGRAM_LOGPROB}),
+f as (select nll, count(*) cnt from scored group by nll),
+cum as (select nll, sum(cnt) over (order by nll) as c,
+               (select count(*) from scored) as n from f),
+{", ".join(cuts_sql)}
+select s.doc_id, s.nll,
+       case {whens} else '{_PPL_LABELS[-1]}' end as bucket
+from scored s
+"""
+
+
 _DUP_NGRAM_N = 8
 
 
@@ -2248,6 +2288,7 @@ QUERIES = {
     "token_budget_select": q_token_budget_select,
     "dataset_split_docs": q_dataset_split_docs,
     "dup_ngram_stats_docs": q_dup_ngram_stats_docs,
+    "perplexity_buckets_docs": q_perplexity_buckets_docs,
 }
 
 ORACLES = {
@@ -2311,4 +2352,5 @@ ORACLES = {
     "token_budget_select": _oracle_token_budget_select(),
     "dataset_split_docs": _oracle_dataset_split(),
     "dup_ngram_stats_docs": _oracle_dup_ngram_stats(),
+    "perplexity_buckets_docs": _oracle_perplexity_buckets(),
 }

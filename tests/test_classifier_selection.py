@@ -184,3 +184,64 @@ class TestReviewRegressions:
         assert "rangepartitioning" in plan.lower()
         assert "SinglePartition" not in plan
         assert "Window" not in plan
+
+
+class TestQuantileBuckets:
+    def test_hand_computed_terciles(self, spark):
+        from cloud_data_quality_spark.functions.selection import (
+            quantile_buckets)
+        # 9 rows, scores 1..9: targets ceil(9/3)=3, ceil(18/3)=6
+        # -> head {1,2,3}, middle {4,5,6}, tail {7,8,9}
+        df = spark.createDataFrame([(i, float(i)) for i in range(1, 10)],
+                                   "doc_id long, score double")
+        got = {r["doc_id"]: r["bucket"]
+               for r in quantile_buckets(df, "score").collect()}
+        assert got == {1: "head", 2: "head", 3: "head",
+                       4: "middle", 5: "middle", 6: "middle",
+                       7: "tail", 8: "tail", 9: "tail"}
+
+    def test_ties_cross_boundary(self, spark):
+        from cloud_data_quality_spark.functions.selection import (
+            quantile_buckets)
+        # all rows share one score: the single value reaches every target,
+        # so everything lands in the FIRST bucket (score <= boundary)
+        df = spark.createDataFrame([(i, 5.0) for i in range(6)],
+                                   "doc_id long, score double")
+        got = {r["bucket"] for r in quantile_buckets(df, "score").collect()}
+        assert got == {"head"}
+
+    def test_validation_and_edges(self, spark):
+        from cloud_data_quality_spark.functions.selection import (
+            quantile_buckets)
+        df = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+        with pytest.raises(ValueError, match="labels"):
+            quantile_buckets(df, "score", cuts=[(1, 2)], labels=["a"])
+        with pytest.raises(ValueError, match="proper fraction"):
+            quantile_buckets(df, "score", cuts=[(3, 2)],
+                             labels=["a", "b"])
+        with pytest.raises(ValueError, match="increasing"):
+            quantile_buckets(df, "score", cuts=[(2, 3), (1, 3)],
+                             labels=["a", "b", "c"])
+        with pytest.raises(ValueError, match="distinct"):
+            quantile_buckets(
+                spark.createDataFrame(
+                    [(i, float(i)) for i in range(20)],
+                    "doc_id long, score double"),
+                "score", max_distinct=5)
+        # empty corpus: no boundaries derivable; NULL bucket column
+        empty = quantile_buckets(
+            df.where("score < 0"), "score")
+        assert empty.count() == 0
+        assert "bucket" in empty.columns
+
+    def test_deterministic_across_partitioning(self, spark):
+        from cloud_data_quality_spark.functions.selection import (
+            quantile_buckets)
+        rows = [(i, float((i * 13) % 40)) for i in range(400)]
+        a = {(r["doc_id"], r["bucket"]) for r in quantile_buckets(
+            spark.createDataFrame(rows, "doc_id long, score double")
+            .repartition(2), "score").collect()}
+        b = {(r["doc_id"], r["bucket"]) for r in quantile_buckets(
+            spark.createDataFrame(rows, "doc_id long, score double")
+            .repartition(17), "score").collect()}
+        assert a == b
