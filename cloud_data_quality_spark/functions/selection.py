@@ -150,8 +150,8 @@ def select_token_budget(df: DataFrame, budget_tokens: int,
 
 
 def quantile_buckets(df: DataFrame, score_col: str,
-                     cuts: list[tuple[int, int]] = [(1, 3), (2, 3)],
-                     labels: list[str] = ["head", "middle", "tail"],
+                     cuts: tuple[tuple[int, int], ...] = ((1, 3), (2, 3)),
+                     labels: tuple[str, ...] = ("head", "middle", "tail"),
                      bucket_col: str = "bucket",
                      max_distinct: int = 1_000_000) -> DataFrame:
     """CCNet-style quality bucketing (Wenzek et al. 2020 §4.3: split the
@@ -172,7 +172,12 @@ def quantile_buckets(df: DataFrame, score_col: str,
     the score's precision (a 4-decimal-rounded perplexity in [0, 30] has
     ≤ 3·10^5 distinct values no matter the corpus size) and guarded by
     max_distinct — pass a rounded score, not a raw double. Labeling is a
-    narrow CASE projection; no sort, no window, no second shuffle."""
+    narrow CASE projection; no sort, no window, no second shuffle.
+
+    The input is persisted (spill-to-disk) for the duration: boundaries
+    and labels MUST derive from one materialization. The returned frame
+    keeps that cache alive — callers labeling a truly corpus-sized frame
+    should pre-materialize upstream and may unpersist after consuming."""
     if len(labels) != len(cuts) + 1:
         raise ValueError(
             f"need len(labels) == len(cuts)+1, got {len(labels)} labels "
@@ -182,7 +187,14 @@ def quantile_buckets(df: DataFrame, score_col: str,
     fracs = [n / d for n, d in cuts]
     if sorted(fracs) != fracs or len(set(fracs)) != len(fracs):
         raise ValueError(f"cuts must be strictly increasing, got {cuts}")
-    clean = df.where(F.col(score_col).isNotNull())
+    # persist: the input lineage feeds BOTH the driver-side frequency
+    # collect and the returned labeled frame — without the pin an
+    # expensive upstream (the unigram-NLL pipeline) runs twice, and a
+    # nondeterministic lineage could label rows against boundaries from a
+    # DIFFERENT materialization (same reason select_token_budget pins its
+    # ranked frame)
+    clean = df.where(F.col(score_col).isNotNull()) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     freq = (clean.groupBy(score_col)
             .agg(F.count(F.lit(1)).alias("__c"))
             .orderBy(score_col))
