@@ -9,6 +9,11 @@
                           the reference DQ engine has no corpus-rewrite
                           operator, so this is a pipeline extension, not a
                           parity item.
+* substring_dedup       — exact duplicated-substring removal at arbitrary
+                          offsets (word-granular ExactSubstr, Lee et al.
+                          2022): overlapping k-word shingle fingerprints,
+                          canonical-occurrence window, covered-word removal
+                          with byte-exact reassembly of the survivors.
 * contamination         — benchmark decontamination: per-document count of
                           word shingles that also occur in a (small) benchmark
                           /eval corpus, the standard train/test-leak gate.
@@ -159,6 +164,91 @@ def span_dedup(
                 joiner).alias("text_deduped"),
             F.count(F.lit(1)).cast("bigint").alias("n_spans"),
             F.count_if(F.col("kept")).cast("bigint").alias("n_spans_kept"),
+        )
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact duplicated-substring removal at arbitrary offsets (the
+    word-granular form of Lee et al. 2022's ExactSubstr suffix-array dedup,
+    'Deduplicating Training Data Makes Language Models Better').
+
+    span_dedup only catches duplicates aligned to span boundaries; this
+    catches a duplicated >=k-word run starting ANYWHERE: every overlapping
+    k-word shingle is fingerprinted, each fingerprint survives only at its
+    canonical occurrence (corpus-wide smallest (doc_id, pos)), and every
+    NON-canonical occurrence marks its k-word window as duplicated. A
+    duplicated run of length L >= k yields L-k+1 overlapping non-canonical
+    shingles whose windows union to exactly the run, so the whole run is
+    removed from every copy but the first — the suffix-array semantics,
+    computed with data-parallel joins instead of a suffix array.
+
+    Returns one row per document with at least one token:
+    (id_col, text_deduped, n_words, n_words_kept). Reassembly joins the
+    surviving words with single spaces (word-granular, like chunk-mode
+    span_dedup). Matching is case-insensitive (fingerprints lowercase),
+    reassembly preserves original case.
+
+    Scale posture (10^12 docs): three wide stages, all on uniform keys —
+    (1) the md5-fingerprint window (partitioned, never global; a viral
+    boilerplate shingle degrades one reducer to an external sort, not OOM),
+    (2) distinct over (doc, position) covered pairs — only DUPLICATED
+    positions are expanded k-fold, so this is small unless the corpus is
+    mostly duplicate, and (3) the words⋈covered equi-join + per-doc
+    reassembly, partitioned by doc id. The corpus is scanned twice (once
+    for shingles, once for words) — both scans prune to (id, text); at
+    100 TB that beats persisting the exploded word table, and an aligned
+    partitioner carries the second scan's join for free.
+    """
+    base = (df.select(F.col(id_col), _clean_tokens(F.col(text_col))
+                      .alias("words"))
+            .where(F.size("words") > 0))
+
+    from pyspark.sql.window import Window
+
+    shingles = (
+        base.where(F.size("words") >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("words") - k),
+                    lambda i: F.slice(F.col("words"), i + 1, k),
+                )).alias("pos", "shingle"))
+        .select(F.col(id_col), "pos",
+                _span_fp(F.array_join("shingle", " ")).alias("fp")))
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc(),
+                                         F.col("pos").asc())
+    dups = (shingles.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") > 1).select(id_col, "pos"))
+    covered = (dups.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + (k - 1))).alias("wpos"))
+        .distinct())
+
+    words = base.select(F.col(id_col),
+                        F.posexplode("words").alias("wpos", "word"))
+    joined = words.join(covered.withColumn("covered", F.lit(True)),
+                        on=[id_col, "wpos"], how="left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("covered").isNull(),
+                               F.struct(F.col("wpos"), F.col("word"))))),
+                    lambda s: s.word),
+                " ").alias("text_deduped"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.count_if(F.col("covered").isNull()).cast("bigint")
+            .alias("n_words_kept"),
         )
     )
 

@@ -1733,6 +1733,47 @@ from flagged group by doc_id
 """
 
 
+def q_substring_dedup_docs(spark, sf_dir):
+    """Exact duplicated-substring removal at arbitrary offsets
+    (functions/corpus.substring_dedup — the word-granular ExactSubstr of
+    Lee et al. 2022): every overlapping 5-word shingle keeps only its
+    corpus-wide canonical occurrence; non-canonical windows are cut and
+    documents reassembled from the surviving words."""
+    from cloud_data_quality_spark.functions.corpus import substring_dedup
+    return substring_dedup(_t(spark, sf_dir, "documents"),
+                           text_col="text", id_col="doc_id", k=5)
+
+
+_SUBSTR_K = 5
+
+ORACLE_SUBSTRING_DEDUP_DOCS = f"""
+with s0 as (select doc_id, {OF.sql_tokens('text')} as words from documents),
+base as (select doc_id, words from s0 where len(words) > 0),
+sh as (select doc_id, g.i - 1 as pos,
+              md5(lower(trim(array_to_string(
+                words[g.i:g.i+{_SUBSTR_K - 1}], ' '), ' '))) as fp
+       from base cross join
+         unnest(generate_series(1, greatest(len(words) - {_SUBSTR_K} + 1, 0)))
+           as g(i)),
+dups as (select doc_id, pos from (
+          select doc_id, pos,
+                 row_number() over (partition by fp order by doc_id, pos) as rn
+          from sh) t where rn > 1),
+covered as (select distinct doc_id, pos + g.i as wpos
+            from dups cross join
+              unnest(generate_series(0, {_SUBSTR_K - 1})) as g(i)),
+w as (select doc_id, g.i - 1 as wpos, words[g.i] as word
+      from base cross join unnest(generate_series(1, len(words))) as g(i))
+select w.doc_id,
+       coalesce(string_agg(w.word, ' ' order by w.wpos)
+                filter (where c.wpos is null), '') as text_deduped,
+       count(*)::BIGINT as n_words,
+       (count(*) filter (where c.wpos is null))::BIGINT as n_words_kept
+from w left join covered c on c.doc_id = w.doc_id and c.wpos = w.wpos
+group by w.doc_id
+"""
+
+
 def q_decontaminate_docs(spark, sf_dir):
     """Benchmark decontamination (functions/corpus.contamination): the
     'benchmark' is the deterministic doc_id%50==0 slice standing in for an
@@ -2268,6 +2309,7 @@ QUERIES = {
     "integrity_unnest_join": q_integrity_unnest_join,
     "timeliness_recent_events": q_timeliness_recent_events,
     "span_dedup_docs": q_span_dedup_docs,
+    "substring_dedup_docs": q_substring_dedup_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "incremental_minhash_docs": q_incremental_minhash_docs,
     "importance_resample_docs": q_importance_resample_docs,
@@ -2332,6 +2374,7 @@ ORACLES = {
     "integrity_unnest_join": ORACLE_INTEGRITY_UNNEST_JOIN,
     "timeliness_recent_events": ORACLE_TIMELINESS_RECENT_EVENTS,
     "span_dedup_docs": ORACLE_SPAN_DEDUP_DOCS,
+    "substring_dedup_docs": ORACLE_SUBSTRING_DEDUP_DOCS,
     "incremental_dedup_docs": ORACLE_INCREMENTAL_DEDUP_DOCS,
     "incremental_minhash_docs": ORACLE_INCREMENTAL_MINHASH_DOCS,
     "importance_resample_docs": _oracle_importance_resample(),

@@ -16,11 +16,54 @@ from cloud_data_quality_spark.functions.corpus import (
     sample_threshold,
     span_dedup,
     stratified_sample,
+    substring_dedup,
 )
 
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, schema="doc_id bigint, text string")
+
+
+class TestSubstringDedup:
+    def test_unaligned_duplicate_run_removed_byte_exact(self, spark):
+        # doc 2 embeds doc 1's 8-word run at offset 2 — no span boundary
+        # alignment; the run (>= k=5 words) must be cut exactly, keeping
+        # the surrounding unique words.
+        df = _docs(spark, [
+            (1, "a b c d e f g h i j"),
+            (2, "x y a b c d e f g h z"),
+        ])
+        out = {r["doc_id"]: r.asDict()
+               for r in substring_dedup(df, k=5).collect()}
+        assert out[1]["text_deduped"] == "a b c d e f g h i j"
+        assert out[1]["n_words_kept"] == 10
+        assert out[2]["text_deduped"] == "x y z"
+        assert out[2]["n_words"] == 11 and out[2]["n_words_kept"] == 3
+
+    def test_within_doc_repetition_removed(self, spark):
+        df = _docs(spark, [(7, "p q r s t u p q r s t u")])
+        out = substring_dedup(df, k=5).collect()[0].asDict()
+        assert out["text_deduped"] == "p q r s t u"
+        assert out["n_words"] == 12 and out["n_words_kept"] == 6
+
+    def test_short_docs_and_case_insensitive_match(self, spark):
+        df = _docs(spark, [
+            (1, "one two three"),            # < k words: no shingles, kept
+            (2, "Alpha Beta Gamma Delta Eps"),
+            (3, "alpha beta gamma delta eps tail"),  # lowercase copy loses
+        ])
+        out = {r["doc_id"]: r.asDict()
+               for r in substring_dedup(df, k=5).collect()}
+        assert out[1]["text_deduped"] == "one two three"
+        assert out[2]["text_deduped"] == "Alpha Beta Gamma Delta Eps"
+        assert out[3]["text_deduped"] == "tail"
+
+    def test_fully_duplicated_doc_reassembles_empty(self, spark):
+        df = _docs(spark, [(1, "m n o p q"), (2, "m n o p q")])
+        out = {r["doc_id"]: r.asDict()
+               for r in substring_dedup(df, k=5).collect()}
+        assert out[1]["text_deduped"] == "m n o p q"
+        assert out[2]["text_deduped"] == "" and out[2]["n_words_kept"] == 0
 
 
 class TestSpanDedup:
