@@ -619,6 +619,66 @@ group by doc_id
 """
 
 
+_TRI_VOCAB = 500
+_TRI_ALPHA = 0.4
+_TRI_PRUNE = 2
+
+
+def q_trigram_logprob(spark, sf_dir):
+    """Stupid-backoff word-trigram NLL per document (CCNet-faithful n-gram
+    LM scoring — functions/ngram_lm.trigram_backoff_logprob): top-V vocab
+    with <unk> mapping, singleton-pruned trigram/bigram tables, backoff
+    penalty alpha per level. The model is trained on the corpus inside the
+    same job; every count and division replays exactly in DuckDB."""
+    from cloud_data_quality_spark.functions.ngram_lm import (
+        trigram_backoff_logprob)
+    return trigram_backoff_logprob(
+        _t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id",
+        vocab_size=_TRI_VOCAB, alpha=_TRI_ALPHA, prune_below=_TRI_PRUNE)
+
+
+ORACLE_TRIGRAM_LOGPROB = f"""
+with s0 as (select doc_id, {OF.sql_tokens('text')} as words from documents),
+toks as (select doc_id, g.i - 1 as pos, words[g.i] as w_raw
+         from s0 cross join unnest(generate_series(1, len(words))) as g(i)),
+freq as (select w_raw, count(*) c from toks group by w_raw),
+vocab as (select w_raw from freq order by c desc, w_raw limit {_TRI_VOCAB}),
+mapped as (select doc_id, pos,
+                  case when w_raw in (select w_raw from vocab) then w_raw
+                       else '<unk>' end as w
+           from toks),
+adj as (select doc_id, pos, w as w1,
+               lead(w, 1) over (partition by doc_id order by pos) as w2,
+               lead(w, 2) over (partition by doc_id order by pos) as w3
+        from mapped),
+tri as (select * from adj where w3 is not null),
+bi as (select w1 as b1, w2 as b2, count(*) cb
+       from adj where w2 is not null group by 1, 2),
+uni as (select w as u, count(*) cu from mapped group by 1),
+ctri as (select w1 t1, w2 t2, w3 t3, count(*) ct from tri group by 1, 2, 3),
+ntot as (select count(*)::DOUBLE n from mapped),
+scored as (
+  select tri.doc_id,
+         case when ct.ct is not null
+              then ct.ct::DOUBLE / cb_ctx.cb
+              when bp.cb is not null
+              then {_TRI_ALPHA} * (bp.cb::DOUBLE / u2.cu)
+              else {_TRI_ALPHA} * {_TRI_ALPHA}
+                   * (u3.cu::DOUBLE / (select n from ntot))
+         end as s
+  from tri
+  left join (select * from ctri where ct >= {_TRI_PRUNE}) ct
+    on tri.w1 = ct.t1 and tri.w2 = ct.t2 and tri.w3 = ct.t3
+  left join bi cb_ctx on tri.w1 = cb_ctx.b1 and tri.w2 = cb_ctx.b2
+  left join (select * from bi where cb >= {_TRI_PRUNE}) bp
+    on tri.w2 = bp.b1 and tri.w3 = bp.b2
+  left join uni u2 on tri.w2 = u2.u
+  left join uni u3 on tri.w3 = u3.u)
+select doc_id, round(avg(-ln(s)), 4) as nll, count(*)::BIGINT as n_trigrams
+from scored group by doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Dedup / similarity queries
 # --------------------------------------------------------------------------
@@ -2289,6 +2349,7 @@ QUERIES = {
     "token_count_by_source": q_token_count_by_source,
     "unigram_logprob": q_unigram_logprob,
     "unigram_logprob_topk": q_unigram_logprob_topk,
+    "trigram_logprob": q_trigram_logprob,
     "dedup_exact_prefix": q_dedup_exact_prefix,
     "minhash_pairs": q_minhash_pairs,
     "minhash_clusters": q_minhash_clusters,
@@ -2352,6 +2413,7 @@ ORACLES = {
     "token_count_by_source": ORACLE_TOKEN_COUNT_BY_SOURCE,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "unigram_logprob_topk": ORACLE_UNIGRAM_LOGPROB_TOPK,
+    "trigram_logprob": ORACLE_TRIGRAM_LOGPROB,
     "dedup_exact_prefix": ORACLE_DEDUP_EXACT_PREFIX,
     "minhash_pairs": ORACLE_MINHASH_PAIRS,
     "minhash_clusters": ORACLE_MINHASH_CLUSTERS,
