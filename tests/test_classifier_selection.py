@@ -75,16 +75,32 @@ class TestClassifier:
         w2, b2 = qa.train(n_docs=150, n_iter=40)
         assert b1 == b2 and np.array_equal(w1, w2)
 
-    def test_scoring_plan_is_jvm_only(self, spark):
-        """The standalone scoring path must stay whole-JVM: broadcast join
-        for the weights, no Python evaluation anywhere."""
+    def test_jvm_engine_plan_is_jvm_only(self, spark):
+        """The declarative engine must stay whole-JVM: broadcast join for
+        the weights, no Python evaluation anywhere."""
         df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
-        plan = classifier_scores(df)._jdf.queryExecution().executedPlan() \
-            .toString()
+        plan = classifier_scores(df, engine="jvm")._jdf.queryExecution() \
+            .executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "FlatMapsInPandas" not in plan and "InPandas" not in plan
+
+    def test_arrow_engine_is_shuffle_free_and_matches_jvm(self, spark):
+        """The default (arrow) engine: one narrow Arrow stage, NO Exchange
+        at all, element-wise identical to the jvm engine."""
+        rows = [(i, t) for i, t in enumerate(
+            [t for _, t in _sample(313, 9_000_000, 40)] + [None, "", "a b"])]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        arrow = classifier_scores(df)  # default engine
+        plan = arrow._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan
+        assert "Exchange" not in plan
+        got_a = {r["doc_id"]: (r["score_micro"], r["ml_keep"])
+                 for r in arrow.collect()}
+        got_j = {r["doc_id"]: (r["score_micro"], r["ml_keep"])
+                 for r in classifier_scores(df, engine="jvm").collect()}
+        assert got_a == got_j
 
     def test_classifier_keep_rule_null_semantics(self):
         from cloud_data_quality_spark.functions.batch_registry import (
