@@ -35,6 +35,7 @@ rule_type.py:29-31 stops at REGEX).
 
 from __future__ import annotations
 
+import heapq
 from collections import Counter
 from functools import lru_cache
 
@@ -186,42 +187,155 @@ def regenerate(sample_path: str = "/root/testdata/sf0.001/documents.parquet",
 
 # ---------------------------------------------------------------- encoder
 
-@lru_cache(maxsize=1)
-def _merge_patterns() -> list[tuple[str, str]]:
+def _patterns_for(merges: tuple[tuple[str, str], ...]) -> list[tuple[str, str]]:
     return [(f"{SENT_L}{a}{SENT_R}{SENT_L}{b}{SENT_R}",
-             f"{SENT_L}{a}{b}{SENT_R}") for a, b in BPE_MERGES]
+             f"{SENT_L}{a}{b}{SENT_R}") for a, b in merges]
 
 
-@lru_cache(maxsize=1 << 16)
+@lru_cache(maxsize=4)
+def make_word_encoder(merges: tuple[tuple[str, str], ...]):
+    """A memoized word→subword-tokens encoder for an arbitrary merge table
+    (the 64-merge oracle anchor, the 1024-merge production table, or a
+    caller's own).
+
+    Cache MISSES run the classic rank-priority encode (repeatedly merge
+    the lowest-rank pair present — O(word·applied merges)), which is
+    provably identical to applying the whole table in order (what the
+    DuckDB replays do): a pair of two symbols both created before rank r
+    can never be CREATED by a merge at rank >= r — merges only fuse
+    adjacent symbols, never bring two pre-existing symbols together — so
+    by the time the in-order chain reaches rank r, exactly the occurrences
+    the priority loop merges are present. Equality with the literal
+    replace-chain (encode_word_chain) is pytest-pinned over the training
+    vocabulary and adversarial self-overlap strings. Memoized per distinct
+    word: web corpora are Zipfian, so per-batch encoding cost collapses to
+    the cache-miss tail regardless of table size."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @lru_cache(maxsize=1 << 16)
+    def encode(word: str) -> tuple[str, ...]:
+        # heap + linked-list merge: O(L log L + applied·log L). A naive
+        # "min over all pairs per step" loop is O(L^2) and costs ~1.5 ms
+        # on the long junk tokens web corpora carry (symbol runs) — that
+        # was the whole cold-cache cost of the 1024-merge table.
+        w = word.replace(SENT_L, "").replace(SENT_R, "")
+        n = len(w)
+        if n < 2:
+            return tuple(w)
+        sym = list(w)
+        nxt = list(range(1, n + 1))
+        prv = list(range(-1, n - 1))
+        alive = [True] * n
+        heap = [(r, i) for i in range(n - 1)
+                if (r := ranks.get((w[i], w[i + 1]))) is not None]
+        heapq.heapify(heap)
+        while heap:
+            r, i = heapq.heappop(heap)
+            # stale guard: the entry is valid only if position i still
+            # starts the pair that carried rank r
+            if not alive[i]:
+                continue
+            j = nxt[i]
+            if j >= n or ranks.get((sym[i], sym[j])) != r:
+                continue
+            sym[i] = sym[i] + sym[j]
+            alive[j] = False
+            nxt[i] = nxt[j]
+            if nxt[j] < n:
+                prv[nxt[j]] = i
+            p = prv[i]
+            if p >= 0 and (r2 := ranks.get((sym[p], sym[i]))) is not None:
+                heapq.heappush(heap, (r2, p))
+            q = nxt[i]
+            if q < n and (r2 := ranks.get((sym[i], sym[q]))) is not None:
+                heapq.heappush(heap, (r2, i))
+        return tuple(sym[i] for i in range(n) if alive[i])
+
+    return encode
+
+
+@lru_cache(maxsize=4)
+def make_word_encoder_chain(merges: tuple[tuple[str, str], ...]):
+    """The literal table-order replace-chain encoder — the byte-level twin
+    of the DuckDB replays (nested replace() for small tables, step-joined
+    recursive CTE for the 1024-merge table). Kept as the parity anchor the
+    fast rank-priority encoder is pinned against; O(table size) per
+    distinct word, so not the production path."""
+    patterns = _patterns_for(merges)
+
+    @lru_cache(maxsize=1 << 16)
+    def encode(word: str) -> tuple[str, ...]:
+        w = word.replace(SENT_L, "").replace(SENT_R, "")
+        s = "".join(f"{SENT_L}{c}{SENT_R}" for c in w)
+        for pat, repl in patterns:
+            s = s.replace(pat, repl)
+        return tuple(t[:-1] for t in s.split(SENT_L)[1:]) if s else ()
+
+    return encode
+
+
 def encode_word(word: str) -> tuple[str, ...]:
-    """BPE-encode one word → its subword tokens. Memoized: web corpora
-    repeat words heavily, so per-batch distinct-word encoding dominates."""
-    w = word.replace(SENT_L, "").replace(SENT_R, "")
-    s = "".join(f"{SENT_L}{c}{SENT_R}" for c in w)
-    for pat, repl in _merge_patterns():
-        s = s.replace(pat, repl)
-    return tuple(t[:-1] for t in s.split(SENT_L)[1:]) if s else ()
+    """BPE-encode one word with the embedded 64-merge table."""
+    return make_word_encoder(tuple(BPE_MERGES))(word)
 
 
 def word_token_count(word: str) -> int:
     return len(encode_word(word))
 
 
-def doc_token_count(text: str | None) -> int:
-    return sum(word_token_count(w) for w in _words(text or ""))
+def doc_token_count(text: str | None,
+                    merges: tuple[tuple[str, str], ...] | None = None) -> int:
+    enc = (make_word_encoder(merges) if merges is not None
+           else make_word_encoder(tuple(BPE_MERGES)))
+    return sum(len(enc(w)) for w in _words(text or ""))
 
 
-def bpe_token_count_column(text_col: str = "text"):
+#: per-merge-table word→token-count caches for the batch path. A plain
+#: dict .get beats the lru_cache wrapper ~7x over a warm Zipfian stream
+#: (measured 0.9 s vs 6.4 s per 2M words) — at that point the batch is
+#: tokenization-bound. Bounded like classifier._BUCKET_CACHE.
+_COUNT_CACHES: dict[int, dict[str, int]] = {}
+
+
+def doc_token_counts_batch(texts, merges: tuple[tuple[str, str], ...]):
+    """Token counts for an iterable of texts (the Arrow-batch hot path)."""
+    enc = make_word_encoder(merges)
+    # keyed by content hash, not id(): a temporary tuple's address can be
+    # reused after GC and would silently serve another table's counts
+    cache = _COUNT_CACHES.setdefault(hash(merges), {})
+    out = []
+    for t in texts:
+        if not isinstance(t, str):
+            out.append(0)
+            continue
+        tot = 0
+        for w in _words(t):
+            c = cache.get(w)
+            if c is None:
+                c = len(enc(w))
+                if len(cache) < 1_000_000:
+                    cache[w] = c
+            tot += c
+        out.append(tot)
+    return out
+
+
+def bpe_token_count_column(text_col: str = "text",
+                           merges: list[tuple[str, str]] | None = None):
     """Arrow-vectorized Spark Column: BPE token count per document. A
-    pandas UDF (not per-row Python): each Arrow batch runs the memoized
-    per-distinct-word encoder — the merge table travels in the closure,
-    broadcast once per executor."""
+    pandas UDF (not per-row Python loop in the plan): each Arrow batch runs
+    the dict-memoized per-distinct-word encoder — the merge table travels
+    in the closure, broadcast once per executor. Pass ``merges`` to use a
+    non-default table (e.g. bpe_large_artifact.BPE_MERGES_LARGE)."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
+    key = tuple(merges) if merges is not None else tuple(BPE_MERGES)
+
     @pandas_udf("bigint")
     def _count(texts: pd.Series) -> pd.Series:
-        return texts.map(doc_token_count).astype("int64")
+        return pd.Series(doc_token_counts_batch(texts.array, key),
+                         index=texts.index, dtype="int64")
 
     return _count(F.col(text_col))
 
@@ -250,7 +364,7 @@ def bpe_tokens_column(text_col: str = "text"):
             F.transform(chars,
                         lambda c: F.concat(F.lit(SENT_L), c, F.lit(SENT_R))),
             "")
-        for pat, repl in _merge_patterns():
+        for pat, repl in _patterns_for(tuple(BPE_MERGES)):
             s = F.replace(s, F.lit(pat), F.lit(repl))
         segs = F.filter(F.split(s, SENT_L), lambda t: F.length(t) > 0)
         return F.transform(

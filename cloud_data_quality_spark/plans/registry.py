@@ -1005,6 +1005,86 @@ ORACLE_PACK_DOCUMENTS = _oracle_pack(OF.sql_word_count("text"))
 ORACLE_PACK_DOCUMENTS_BPE = _oracle_pack(OF.sql_bpe_token_count("text"))
 
 
+def q_pack_documents_bpe_1k(spark, sf_dir):
+    """Sequence packing budgeted by the PRODUCTION-SIZE tokenizer: the
+    1024-merge artifact (functions/bpe_large_artifact). Spark side runs the
+    Arrow memoized encoder (a 1024-deep nested replace chain would blow up
+    whole-stage codegen); the oracle replays the same table as a flat
+    step-joined recursive CTE (no nesting — DuckDB's expression-depth limit
+    never engages)."""
+    return q_pack_documents(spark, sf_dir, tokenizer="bpe_large")
+
+
+def _oracle_pack_bpe_large() -> str:
+    """Greedy-pack oracle with token counts from the 1024-merge table:
+    distinct words are sentinel-encoded once, the merge chain applies as a
+    recursive CTE joined to a 1024-row merge TABLE by step index, and
+    per-doc counts come back through a join on the stripped word."""
+    from cloud_data_quality_spark.functions.bpe_large_artifact import (
+        BPE_MERGES_LARGE,
+        N_MERGES_LARGE,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    rows = ",\n".join(
+        f"({i + 1}, chr(2)||'{q(a)}'||chr(3)||chr(2)||'{q(b)}'||chr(3), "
+        f"chr(2)||'{q(a + b)}'||chr(3))"
+        for i, (a, b) in enumerate(BPE_MERGES_LARGE))
+    return f"""
+with recursive
+dw_raw as (select doc_id, unnest({OF.sql_tokens('text')}) as w
+           from documents where text is not null),
+dw as (select doc_id,
+              replace(replace(w, chr(2), ''), chr(3), '') as w from dw_raw),
+words as (select distinct w from dw),
+merges(step, pat, rep) as (select * from (values
+{rows}
+) t(step, pat, rep)),
+enc as (
+  select w, 0 as step,
+         array_to_string(list_transform(range(1, length(w) + 1),
+           i -> chr(2) || substr(w, i, 1) || chr(3)), '') as s
+  from words
+  union all
+  select e.w, e.step + 1, replace(e.s, m.pat, m.rep)
+  from enc e join merges m on m.step = e.step + 1),
+wtok as (select w, (length(s) - length(replace(s, chr(2), '')))::BIGINT as n
+         from enc where step = {N_MERGES_LARGE}),
+dt as (select dw.doc_id, sum(wtok.n)::BIGINT as tok
+       from dw join wtok using (w) group by dw.doc_id),
+d as (select documents.doc_id,
+         (('0x' || substr(md5(documents.doc_id::VARCHAR), 1, 15))::BIGINT
+          % {_PACK_BUCKETS})::INT as bucket,
+         coalesce(dt.tok, 0) as tok
+      from documents left join dt using (doc_id) where text is not null),
+ordered as (
+  select doc_id, bucket, tok,
+         row_number() over (partition by bucket order by doc_id) as rn
+  from d),
+packed as (
+  select bucket, rn, doc_id, tok, tok as acc, 0 as pack_seq, 0 as pack_pos
+  from ordered where rn = 1
+  union all
+  select o.bucket, o.rn, o.doc_id, o.tok,
+         case when p.acc + o.tok > {_PACK_BUDGET} then o.tok
+              else p.acc + o.tok end,
+         case when p.acc + o.tok > {_PACK_BUDGET} then p.pack_seq + 1
+              else p.pack_seq end,
+         case when p.acc + o.tok > {_PACK_BUDGET} then 0
+              else p.pack_pos + 1 end
+  from packed p join ordered o on o.bucket = p.bucket and o.rn = p.rn + 1)
+select doc_id, bucket::VARCHAR || '-' || pack_seq::VARCHAR as pack_id,
+       pack_seq::INT as pack_seq, pack_pos::INT as pack_pos,
+       tok::BIGINT as n_tokens
+from packed
+"""
+
+
+ORACLE_PACK_DOCUMENTS_BPE_1K = _oracle_pack_bpe_large()
+
+
 # ------------------------------------------------------- host curation ops
 
 _HOST_BLOCKLIST = ["src1.example.com", "ads.src2.example.com"]
@@ -2340,6 +2420,7 @@ QUERIES = {
     "extract_text_roundtrip": q_extract_text_roundtrip,
     "pack_documents": q_pack_documents,
     "pack_documents_bpe": q_pack_documents_bpe,
+    "pack_documents_bpe_1k": q_pack_documents_bpe_1k,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -2404,6 +2485,7 @@ ORACLES = {
     "extract_text_roundtrip": _oracle_extract_text_roundtrip(),
     "pack_documents": ORACLE_PACK_DOCUMENTS,
     "pack_documents_bpe": ORACLE_PACK_DOCUMENTS_BPE,
+    "pack_documents_bpe_1k": ORACLE_PACK_DOCUMENTS_BPE_1K,
     "text_stats": ORACLE_TEXT_STATS,
     "text_langid": ORACLE_TEXT_LANGID,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,

@@ -132,6 +132,54 @@ class TestBpeArtifact:
         t = "the stream filters fast"
         assert 0 < doc_token_count(t) <= sum(len(w) for w in t.split())
 
+    def test_rank_priority_encoder_equals_replace_chain(self):
+        """The fast rank-priority encoder must equal the literal in-order
+        replace-chain (the DuckDB-replay semantics) — over the full pages
+        training vocabulary at BOTH table sizes, plus adversarial
+        self-overlap strings."""
+        import numpy as np
+
+        from cloud_data_quality_spark.functions.bpe_artifact import (
+            BPE_MERGES,
+            make_word_encoder,
+            make_word_encoder_chain,
+        )
+        from cloud_data_quality_spark.functions.bpe_large_artifact import (
+            BPE_MERGES_LARGE)
+        from cloud_data_quality_spark.sources.pages import generate_rows
+
+        texts = generate_rows(np.arange(400), seed=42)["text"].tolist()
+        vocab = sorted({w for t in texts if t for w in t.split()})
+        adversarial = ["aaaa", "aaaaa", "ererer", "stst", "ststst",
+                       "\x02ha\x03sh", "erer", "inin", "a" * 31]
+        for table in (tuple(BPE_MERGES), tuple(BPE_MERGES_LARGE)):
+            fast, chain = make_word_encoder(table), \
+                make_word_encoder_chain(table)
+            for w in vocab + adversarial:
+                assert fast(w) == chain(w), (len(table), w)
+
+    def test_large_artifact_fresh_and_reassembles(self):
+        """The 1024-merge table: regenerating from the pinned fixture
+        reproduces the embedded literal (first/last spot rows + length),
+        and encoding always reassembles byte-exact."""
+        from cloud_data_quality_spark.functions.bpe_artifact import (
+            make_word_encoder, train_bpe)
+        from cloud_data_quality_spark.functions.bpe_large_artifact import (
+            BPE_MERGES_LARGE, N_MERGES_LARGE)
+
+        assert len(BPE_MERGES_LARGE) == N_MERGES_LARGE == 1024
+        enc = make_word_encoder(tuple(BPE_MERGES_LARGE))
+        for w in ["stream", "internationalization", "x" * 40, "a", ""]:
+            assert "".join(enc(w)) == w
+        # freshness on a reduced prefix (full 1024-merge retrain is ~60 s;
+        # the trainer is deterministic, so a 64-merge prefix pin over the
+        # same fixture catches a drifted trainer or fixture)
+        import numpy as np
+
+        from cloud_data_quality_spark.sources.pages import generate_rows
+        texts = generate_rows(np.arange(4000), seed=42)["text"].tolist()
+        assert train_bpe(texts, 64) == BPE_MERGES_LARGE[:64]
+
     def test_pack_bpe_arrow_column_matches_python(self, spark):
         from cloud_data_quality_spark.functions.bpe_artifact import (
             bpe_token_count_column, doc_token_count)
