@@ -314,13 +314,33 @@ def _curate(args) -> int:
         cols = d.columns
         return annotate_quality_arrow(d).where("keep").select(*cols)
 
+    # the host stage needs a real URL column. Defaulting it to --id-col is
+    # only safe when ids ARE urls (the documented default); with a non-URL
+    # id every row's host parses to '' — one mega-"host" that a per-host
+    # cap would silently truncate to max_per_host rows. So: separate
+    # --url-col, and rows whose host doesn't parse pass through untouched
+    # instead of pooling under ''.
+    host_url_col = args.url_col or args.id_col
+    if (blocklist or args.max_per_host > 0) \
+            and host_url_col not in df.columns:
+        raise SystemExit(
+            f"curate: no column {host_url_col!r} in input for the host "
+            f"stage (pass --url-col)")
+
     def hosts(d):
+        from pyspark.sql import functions as F
+
+        from cloud_data_quality_spark.functions.hosts import url_host
+        host = url_host(F.col(host_url_col))
+        parseable = d.where(host != "")
+        unparseable = d.where(host == "")
         if blocklist:
-            d = drop_blocklisted(d, blocklist, url_col=args.id_col)
+            parseable = drop_blocklisted(parseable, blocklist,
+                                         url_col=host_url_col)
         if args.max_per_host > 0:
-            d = cap_per_host(d, args.max_per_host,
-                             url_col=args.id_col).drop("host")
-        return d
+            parseable = cap_per_host(parseable, args.max_per_host,
+                                     url_col=host_url_col).drop("host")
+        return parseable.unionByName(unparseable)
 
     def dedup(d):
         # dedup_exact, not a hand-rolled fingerprint window: it keeps the
@@ -607,6 +627,11 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--run-id", required=True)
     cu.add_argument("--buckets", type=int, default=64)
     cu.add_argument("--id-col", default="url")
+    cu.add_argument("--url-col", default=None,
+                    help="URL column for the host blocklist/cap stage "
+                         "(default: --id-col, for corpora whose id IS the "
+                         "url); rows whose host doesn't parse pass through "
+                         "the host stage untouched")
     cu.add_argument("--text-col", default="text")
     cu.add_argument("--blocklist", default="",
                     help="comma-separated blocked domains (suffix match)")

@@ -927,7 +927,12 @@ def c4_line_filter(
     page outright), n_lines_kept the per-doc survivor count.
     annotate=True: ALL original columns + the three new ones (the
     pipeline-stage shape — see c4_clean_stage)."""
-    lines = F.split(F.col(text_col), "\n")
+    # normalize CRLF / lone CR to LF before splitting: a line left with a
+    # trailing '\r' diverges cross-engine (Java regex '$' matches BEFORE a
+    # final line terminator, RE2/DuckDB '$' only at end-of-string) and
+    # would leak '\r' bytes into clean_text
+    normalized = F.regexp_replace(F.col(text_col), "\r\n?", "\n")
+    lines = F.split(normalized, "\n")
     kept = F.filter(lines, _c4_line_ok)
     n_kept = F.coalesce(F.size(kept), F.lit(0)).cast("bigint")  # NULL text → 0
     lowered = F.lower(F.col(text_col))

@@ -40,8 +40,9 @@ from pyspark.sql import functions as F
 #: identical pattern; see sql_url_host below.
 URL_HOST_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
 
-#: hosts are at most this many labels deep for suffix blocking purposes;
-#: deeper subdomains still match via their trailing suffixes.
+#: default probe depth when the blocklist's own label depth can't be
+#: derived; drop_blocklisted normally probes exactly as deep as the
+#: DEEPEST blocklist entry, so entries of any depth match.
 MAX_SUFFIX_DEPTH = 6
 
 
@@ -73,26 +74,39 @@ def drop_blocklisted(
     url_col: str = "url",
     *,
     suffix_match: bool = True,
-    max_suffix_depth: int = MAX_SUFFIX_DEPTH,
+    max_suffix_depth: int | None = None,
 ) -> DataFrame:
     """Drop rows whose URL host is on (or under, with suffix_match) a
     blocklisted domain. Accepts a Python list (driver-side, small) or a
     single-column DataFrame (first column = domain) for blocklists already
     living in a table.
 
-    Plan shape: one broadcast hash ANTI join per suffix depth (≤6) — each
+    Plan shape: one broadcast hash ANTI join per suffix depth — each
     probe is narrow, the corpus is never shuffled, duplicate rows survive
     intact, and there is no corpus-derived broadcast (joining hit-urls back
     would broadcast data proportional to the BLOCKED corpus — unbounded).
     A LIKE-based OR join would degrade to BroadcastNestedLoop (rows × |bl|
-    comparisons); the per-depth equality chain keeps every join hashed."""
+    comparisons); the per-depth equality chain keeps every join hashed.
+
+    The probe depth is derived from the DEEPEST blocklist entry (a fixed
+    cap would silently never-match deeper entries); for a DataFrame
+    blocklist that derivation is one tiny agg over the (broadcast-sized by
+    contract) blocklist. Pass max_suffix_depth to override."""
     spark = df.sparkSession
     if isinstance(blocklist, DataFrame):
         bl = blocklist.select(
             F.lower(F.col(blocklist.columns[0])).alias("__bl_domain"))
+        if suffix_match and max_suffix_depth is None:
+            row = bl.agg(F.max(F.size(F.split(
+                "__bl_domain", r"\."))).alias("d")).collect()[0]
+            max_suffix_depth = int(row["d"] or 0) or MAX_SUFFIX_DEPTH
     else:
         bl = spark.createDataFrame(
             [(d.lower(),) for d in blocklist], "__bl_domain string")
+        if suffix_match and max_suffix_depth is None:
+            max_suffix_depth = max(
+                (len(d.split(".")) for d in blocklist), default=0) \
+                or MAX_SUFFIX_DEPTH
     out = df.withColumn("__bl_host", url_host(F.col(url_col)))
     depths = range(1, max_suffix_depth + 1) if suffix_match else (None,)
     for depth in depths:
@@ -148,9 +162,14 @@ def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
 # ------------------------------------------------------ URL canonicalization
 
 #: query parameters that never change page identity (tracking/session) —
-#: dropped during canonicalization. Shared with the DuckDB oracle.
-TRACKING_PARAM_PREFIXES = ("utm_", "gclid", "fbclid", "mc_eid", "ref",
-                           "sessionid", "phpsessid")
+#: dropped during canonicalization. Shared with the DuckDB oracle. Bare
+#: names match EXACTLY: prefix-matching 'ref' would also strip refresh=,
+#: refund_id=, referrer=, refinement= — distinct pages silently collapsing
+#: to one canonical URL and getting wrongly deduped/capped downstream.
+#: Prefixes are reserved for real families (utm_source, utm_medium, ...).
+TRACKING_PARAMS_EXACT = ("gclid", "fbclid", "mc_eid", "ref",
+                         "sessionid", "phpsessid")
+TRACKING_PARAM_PREFIXES = ("utm_",)
 URL_SPLIT_PATTERN = (
     r"^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]+)([^?#]*)"
     r"(?:\?([^#]*))?")
@@ -158,7 +177,7 @@ URL_SPLIT_PATTERN = (
 
 def _is_tracking_param(kv: Column) -> Column:
     key = F.lower(F.split(kv, "=", 2)[0])
-    cond = F.lit(False)
+    cond = key.isin(*TRACKING_PARAMS_EXACT)
     for p in TRACKING_PARAM_PREFIXES:
         cond = cond | key.startswith(p)
     return cond

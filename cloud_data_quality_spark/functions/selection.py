@@ -22,10 +22,12 @@ This module implements the distributed prefix-sum instead:
 4. a second `mapInPandas` pass: within-partition int64 cumsum + the
    partition's offset, keep rows with cum ≤ budget.
 
-The sorted frame is persisted between the two passes so both read the SAME
-physical partitioning (pass 1's ids must mean the same thing in pass 2);
-at cluster scale you'd reliable-checkpoint instead — same mechanics as
-functions/dedup.duplicate_clusters' auto-selection.
+The sorted frame is pinned between the two passes so both read the SAME
+physical partitioning (pass 1's ids must mean the same thing in pass 2):
+reliable `checkpoint(eager=True)` when a checkpoint dir is configured
+(the cluster posture — survives executor loss, where a recomputed persist
+partition would re-sample range boundaries), spill-safe persist otherwise
+— same auto-selection as functions/dedup.duplicate_clusters.
 
 Token counts are integers, the cumsum is exact int64, and ties in the
 score order are broken by the unique id — so the kept set is deterministic
@@ -86,9 +88,23 @@ def select_token_budget(df: DataFrame, budget_tokens: int,
         raise ValueError(
             f"need columns {score_col!r}, {token_col!r}, {id_col!r}; "
             f"frame has {cols}")
+    # Both mapInPandas passes must observe the IDENTICAL physical
+    # partitioning: pass-2's per-partition offsets are keyed by pass-1's
+    # partition ids. persist() alone doesn't guarantee that — a lost cached
+    # partition recomputes through repartitionByRange, which re-SAMPLES its
+    # range boundaries, silently shifting rows between partitions. When a
+    # reliable checkpoint dir is configured (the cluster posture — same
+    # selection logic as dedup.duplicate_clusters), checkpoint(eager=True)
+    # freezes the partitioning against executor loss; single-box/test runs
+    # fall back to spill-safe persist.
     ranked = _ranked(df.where(F.col(token_col).isNotNull()),
-                     score_col, id_col, n_partitions) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+                     score_col, id_col, n_partitions)
+    spark = df.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+    if reliable:
+        ranked = ranked.checkpoint(eager=True)
+    else:
+        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         schema_totals = "pid int, total bigint"
 
@@ -145,7 +161,8 @@ def select_token_budget(df: DataFrame, budget_tokens: int,
         out = ranked.mapInPandas(keep_within, schema=out_schema)
         out = out.localCheckpoint(eager=True)
     finally:
-        ranked.unpersist()
+        if not reliable:
+            ranked.unpersist()
     return out
 
 

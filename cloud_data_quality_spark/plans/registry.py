@@ -1207,6 +1207,12 @@ _C4_SYNTH_SQL = (
     "' row ', '?' || chr(10) || 'row ') || '.'"
     " || case when doc_id % 13 = 0 then ' {' else '' end"
     " || case when doc_id % 17 = 0 then ' Lorem Ipsum' else '' end")
+# every 7th doc uses CRLF line endings — pins the CR-normalization contract
+# (Java '$' matches before a final '\r', RE2/DuckDB '$' does not)
+_C4_SYNTH_SQL = (
+    f"case when doc_id % 7 = 0 then "
+    f"replace({_C4_SYNTH_SQL}, chr(10), chr(13) || chr(10)) "
+    f"else {_C4_SYNTH_SQL} end")
 
 
 def q_c4_line_filter(spark, sf_dir):
@@ -1238,7 +1244,8 @@ def _oracle_c4_line_filter() -> str:
     return f"""
 with s as (select doc_id, {_C4_SYNTH_SQL} as text from documents),
 l as (select doc_id, text,
-             list_filter(string_split(text, chr(10)),
+             list_filter(string_split(
+                 regexp_replace(text, '\\r\\n?', chr(10), 'g'), chr(10)),
                          x -> {line_ok}) as kept
       from s),
 v as (select doc_id, kept,
@@ -1258,6 +1265,10 @@ _CANON_URL_SQL = (
     "'HTTPS://' || upper(source) || '.Example.COM:443/path/' || doc_id"
     " || case when doc_id % 3 = 0 then '?utm_source=x&id=' || doc_id ||"
     " '&fbclid=z' else '?id=' || doc_id || '&page=2' end"
+    # ref must drop (exact tracking name) while refund_id must SURVIVE —
+    # pins the exact-vs-prefix matching contract cross-engine
+    " || case when doc_id % 5 = 0 then '&ref=tw&refund_id=' || doc_id"
+    " else '' end"
     " || case when doc_id % 4 = 0 then '#frag' else '' end")
 
 
@@ -1275,11 +1286,14 @@ def q_canonical_urls(spark, sf_dir):
 def _oracle_canonical_urls() -> str:
     from cloud_data_quality_spark.functions.hosts import (
         TRACKING_PARAM_PREFIXES,
+        TRACKING_PARAMS_EXACT,
         URL_SPLIT_PATTERN,
     )
+    exact = ", ".join(f"'{p}'" for p in TRACKING_PARAMS_EXACT)
     tracking = " or ".join(
-        f"starts_with(lower(string_split(kv, '=')[1]), '{p}')"
-        for p in TRACKING_PARAM_PREFIXES)
+        [f"lower(string_split(kv, '=')[1]) in ({exact})"]
+        + [f"starts_with(lower(string_split(kv, '=')[1]), '{p}')"
+           for p in TRACKING_PARAM_PREFIXES])
     return f"""
 with u as (select doc_id, {_CANON_URL_SQL} as url from documents),
 p as (select doc_id, url,

@@ -165,6 +165,31 @@ class TestTokenBudgetSelection:
         got = [r["doc_id"] for r in select_token_budget(df, 100).collect()]
         assert got == [1]
 
+    def test_reliable_checkpoint_when_dir_configured(self, spark, tmp_path):
+        """With a checkpoint dir set (the cluster posture) the ranked frame
+        is reliably checkpointed between the two mapInPandas passes — a
+        persist partition lost to executor failure would recompute through
+        repartitionByRange, re-SAMPLE its range boundaries, and silently
+        shift rows between pass-1's offsets and pass-2's ids. Same
+        auto-selection as dedup.duplicate_clusters; results must be
+        identical to the persist path."""
+        rows = [(i, (i * 37) % 101, (i * 13) % 50 + 1) for i in range(300)]
+        df = self._frame(spark, rows)
+        want = {(r["doc_id"], r["cum_tokens"])
+                for r in select_token_budget(df, 2_000,
+                                             n_partitions=8).collect()}
+        sc = spark.sparkContext
+        try:
+            sc.setCheckpointDir(str(tmp_path / "ckpt"))
+            got = {(r["doc_id"], r["cum_tokens"])
+                   for r in select_token_budget(df, 2_000,
+                                                n_partitions=8).collect()}
+            assert got == want and got
+            ckpt_files = list((tmp_path / "ckpt").rglob("*"))
+            assert ckpt_files, "checkpoint dir empty — reliable path unused"
+        finally:
+            sc._jsc.sc().setCheckpointDir(None)  # restore for other tests
+
 
 class TestReviewRegressions:
     def test_batch_scorer_tolerates_float_nan(self):

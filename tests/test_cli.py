@@ -596,6 +596,48 @@ class TestCurateArgValidation:
         # nothing was staged: validation beat the pipeline
         assert not (tmp_path / "w2" / "x").exists()
 
+    def test_curate_url_col_separate_from_id(self, spark, tmp_path, capsys):
+        """A non-URL --id-col with --max-per-host used to parse every row's
+        host to '' — one mega-host the cap silently truncated the corpus
+        to. Now the host stage takes --url-col, and rows whose host doesn't
+        parse pass through untouched instead of pooling under ''."""
+        import json as _json
+        inp = str(tmp_path / "idurl.parquet")
+        rows = [(i,
+                 f"https://h{i % 3}.example.com/p/{i}" if i < 30 else "n/a",
+                 f"The quick brown fox numbered {i} jumped over the lazy "
+                 f"dog and then ran away into the deep woods after that.")
+                for i in range(40)]
+        spark.createDataFrame(
+            rows, "doc_id long, url string, text string").write.parquet(inp)
+        rc = main(["curate", "--input", inp,
+                   "--work-dir", str(tmp_path / "wurl"), "--run-id", "u1",
+                   "--id-col", "doc_id", "--url-col", "url",
+                   "--max-per-host", "5"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        final = spark.read.parquet(out["stages"][-1]["output"])
+        kept = [r["doc_id"] for r in final.collect()]
+        # 3 parseable hosts capped at 5 each + all 10 unparseable rows
+        assert len([d for d in kept if d < 30]) == 15
+        assert len([d for d in kept if d >= 30]) == 10
+        # the old failure shape — a non-URL id as the host column — now
+        # passes every row through the cap (hosts parse to '' → untouched)
+        # instead of truncating the corpus to max_per_host rows
+        rc2 = main(["curate", "--input", inp,
+                    "--work-dir", str(tmp_path / "wurl2"), "--run-id", "u2",
+                    "--id-col", "doc_id", "--max-per-host", "5"])
+        assert rc2 == 0
+        out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert spark.read.parquet(
+            out2["stages"][-1]["output"]).count() == 40
+        # an absent URL column fails fast instead of silently mass-dropping
+        with pytest.raises(SystemExit, match="url-col"):
+            main(["curate", "--input", inp,
+                  "--work-dir", str(tmp_path / "wurl3"), "--run-id", "u3",
+                  "--id-col", "doc_id", "--url-col", "nope",
+                  "--max-per-host", "5"])
+
     def test_curate_refuses_dup_ids(self, spark, tmp_path):
         dup = str(tmp_path / "cdup.parquet")
         spark.createDataFrame(

@@ -769,6 +769,26 @@ class TestC4LineFilter:
             .executedPlan().toString()
         assert "EvalPython" not in plan
 
+    def test_crlf_normalized_before_line_split(self, spark):
+        """CRLF / lone-CR text must behave exactly like LF text. Without
+        normalization a kept line carries a trailing '\\r' (Java regex '$'
+        matches BEFORE a final line terminator, so the terminal-punct rule
+        still passes) and the stray byte leaks into clean_text — and the
+        RE2/DuckDB oracle, whose '$' matches only at end-of-string, drops
+        the line instead."""
+        from cloud_data_quality_spark.functions.corpus import c4_line_filter
+        lf = ("A good long sentence with many words here.\n"
+              "Another solid line of reasonable length too!\n"
+              "And a third one that also ends properly?")
+        out = {r["doc_id"]: r for r in c4_line_filter(spark.createDataFrame(
+            [(1, lf), (2, lf.replace("\n", "\r\n")),
+             (3, lf.replace("\n", "\r"))],
+            "doc_id int, text string")).collect()}
+        assert out[1]["keep"] and out[2]["keep"] and out[3]["keep"]
+        assert out[2]["clean_text"] == out[1]["clean_text"]
+        assert out[3]["clean_text"] == out[1]["clean_text"]
+        assert "\r" not in out[2]["clean_text"]
+
 
 class TestStoreSchemaBackCompat:
     def test_append_into_pre_wave_id_store(self, spark, tmp_path):

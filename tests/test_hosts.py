@@ -86,6 +86,20 @@ class TestBlocklist:
         kept = drop_blocklisted(df, ["bad.com"])
         assert kept.count() == 3  # duplicates preserved, not distinct-ed
 
+    def test_deep_blocklist_entry_matches(self, spark):
+        # 7 labels — deeper than the old fixed probe depth of 6, which
+        # could never match this entry; the depth now derives from the
+        # deepest blocklist entry
+        deep = "a.b.c.d.e.f.com"
+        df = spark.createDataFrame(
+            [(f"https://{deep}/x",), (f"https://sub.{deep}/y",),
+             ("https://ok.net/z",)], "url string")
+        kept = [r["url"] for r in drop_blocklisted(df, [deep]).collect()]
+        assert kept == ["https://ok.net/z"]
+        # DataFrame blocklists derive the same depth (one tiny agg)
+        bl = spark.createDataFrame([(deep,)], "domain string")
+        assert drop_blocklisted(df, bl).count() == 1
+
     def test_plan_broadcast_anti_no_corpus_shuffle(self, spark, pages):
         plan = drop_blocklisted(pages, ["example.com"])._jdf \
             .queryExecution().executedPlan().toString()
@@ -139,6 +153,11 @@ class TestCanonicalizeUrl:
         ("ftp://site.org:80/x", "ftp://site.org:80/x"),
         ("https://a.net/p?UTM_CAMPAIGN=1&q=term&ref=tw", "https://a.net/p?q=term"),
         ("https://a.net/p?utm_x=1", "https://a.net/p"),
+        # bare tracking names match EXACTLY: refund_id/referrer are real
+        # params and must survive while ref= drops (prefix-matching 'ref'
+        # would collapse distinct pages into one canonical URL)
+        ("https://a.net/p?refund_id=7&referrer=x&ref=y",
+         "https://a.net/p?refund_id=7&referrer=x"),
         ("not a url", "not a url"),            # unparseable passes through
     ]
 

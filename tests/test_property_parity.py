@@ -164,6 +164,7 @@ def test_canonicalize_url_vs_duckdb_fuzzed_corpus(spark):
 
     from cloud_data_quality_spark.functions.hosts import (
         TRACKING_PARAM_PREFIXES,
+        TRACKING_PARAMS_EXACT,
         URL_SPLIT_PATTERN,
         canonicalize_url,
     )
@@ -172,7 +173,7 @@ def test_canonicalize_url_vs_duckdb_fuzzed_corpus(spark):
     hosts = ["A.org", "x.Y.net:443", "b.io:80", "c.d:8080", "user@e.f"]
     paths = ["", "/", "/P/q", "/a b"]
     queries = ["", "?utm_source=1", "?id=2&UTM_x=3&k=4", "?REF=z&q=t",
-               "?a=1&a=2", "?gclid=9"]
+               "?a=1&a=2", "?gclid=9", "?refund_id=5&ref=y&referrer=x"]
     frags = ["", "#f", "#x?y"]
     urls = []
     for i in range(400):
@@ -187,9 +188,11 @@ def test_canonicalize_url_vs_duckdb_fuzzed_corpus(spark):
     got = {r["i"]: r["c"] for r in
            df.select("i", canonicalize_url(F.col("url")).alias("c"))
            .collect()}
+    exact = ", ".join(f"'{p}'" for p in TRACKING_PARAMS_EXACT)
     tracking = " or ".join(
-        f"starts_with(lower(string_split(kv, '=')[1]), '{p}')"
-        for p in TRACKING_PARAM_PREFIXES)
+        [f"lower(string_split(kv, '=')[1]) in ({exact})"]
+        + [f"starts_with(lower(string_split(kv, '=')[1]), '{p}')"
+           for p in TRACKING_PARAM_PREFIXES])
     con = duckdb.connect()
     con.execute("create table u(i int, url varchar)")
     con.executemany("insert into u values (?, ?)", list(enumerate(urls)))
