@@ -1326,6 +1326,82 @@ from q
 """
 
 
+def _img_blob_hex_sql(hexfn: str) -> str:
+    """Hex string of a synthesized image blob per doc_id — evaluated by
+    BOTH engines (`hexfn` = 'hex' on Spark, 'to_hex' on DuckDB; unhex is
+    case-insensitive so their case difference is immaterial). The layouts
+    are byte-identical to multimodal.make_png/make_gif/make_jpeg, so the
+    parser runs against real header bytes: PNG sig+IHDR (u32-BE dims at
+    16/20, color type 6=RGBA), GIF89a logical screen (u16-LE dims at 6/8),
+    JPEG SOI + JFIF APP0 (skipped by its declared length) + SOF0 (u16-BE
+    height/width, 3 components). Every 11th doc is garbage bytes — the
+    strict-mode INVALID row, not an exception."""
+    w = "((doc_id % 613) + 16)"
+    h = "(((doc_id * 7) % 509) + 16)"
+    wbe = f"lpad({hexfn}({w}), 4, '0')"
+    hbe = f"lpad({hexfn}({h}), 4, '0')"
+    wbe32 = f"lpad({hexfn}({w}), 8, '0')"
+    hbe32 = f"lpad({hexfn}({h}), 8, '0')"
+    wle = f"(substr({wbe}, 3, 2) || substr({wbe}, 1, 2))"
+    hle = f"(substr({hbe}, 3, 2) || substr({hbe}, 1, 2))"
+    png = (f"('89504e470d0a1a0a' || '0000000d' || '49484452' || {wbe32} "
+           f"|| {hbe32} || '0806000000' || '00000000')")
+    gif = f"('474946383961' || {wle} || {hle} || 'f70000')"
+    jpeg = (f"('ffd8' || 'ffe000104a46494600010100000100010000' || "
+            f"'ffc00011' || '08' || {hbe} || {wbe} || "
+            f"'03012200021101031101' || 'ffd9')")
+    return (f"case when doc_id % 11 = 0 then 'deadbeef' "
+            f"when doc_id % 3 = 0 then {png} "
+            f"when doc_id % 3 = 1 then {gif} "
+            f"else {jpeg} end")
+
+
+def q_image_metadata(spark, sf_dir):
+    """Real image-header decode (multimodal.parse_image_header): blobs are
+    synthesized JVM-side via unhex() from the shared hex fragment, then
+    width/height/channels/format are parsed from the actual bytes in the
+    strict-mode mapInPandas stage (no deterministic fake, no codec
+    library). The oracle knows the dims it encoded, so any parser drift —
+    endianness, offset, marker walk — value-mismatches."""
+    from cloud_data_quality_spark.functions.multimodal import image_metadata
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"unhex({_img_blob_hex_sql('hex')})").alias("blob"))
+    out = image_metadata(docs, blob_col="blob", deterministic_fake=False)
+    # this DuckDB build hashes VARCHAR only, so byte-equality of the blob
+    # is pinned via sha256 over its lowercase hex (the Python-side
+    # content_sha256 over raw bytes is pytest-pinned instead)
+    return out.select(
+        "doc_id", F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        "format",
+        F.sha2(F.lower(F.hex(F.col("blob"))), 256).alias("blob_hex_sha256"))
+
+
+def _oracle_image_metadata() -> str:
+    """Dims/channels/format come straight from the synthesis arithmetic
+    (the encoder's inputs); blob_hex_sha256 hashes the identical lowercase
+    hex both sides — proving the two engines built (and the parser read)
+    the same bytes. (sha256 over raw BLOB isn't available in this DuckDB
+    build, hence hex-string hashing.)"""
+    blob = _img_blob_hex_sql("to_hex")
+    return f"""
+select doc_id,
+       (case when doc_id % 11 = 0 then null
+             else (doc_id % 613) + 16 end)::INT as width,
+       (case when doc_id % 11 = 0 then null
+             else ((doc_id * 7) % 509) + 16 end)::INT as height,
+       (case when doc_id % 11 = 0 then null
+             when doc_id % 3 = 0 then 4 else 3 end)::INT as channels,
+       case when doc_id % 11 = 0 then 'INVALID'
+            when doc_id % 3 = 0 then 'PNG'
+            when doc_id % 3 = 1 then 'GIF'
+            else 'JPEG' end as format,
+       sha256(lower({blob})) as blob_hex_sha256
+from documents
+"""
+
+
 #: blank-line paragraph structure synthesized deterministically: paragraph
 #: breaks before common words, and doc_id % 5 == 0 docs get the SAME
 #: 40-char paragraph twice (an exact duplicate pair for the dup fractions).
@@ -2478,6 +2554,7 @@ QUERIES = {
     "curation_pipeline_docs": q_curation_pipeline_docs,
     "c4_line_filter": q_c4_line_filter,
     "canonical_urls": q_canonical_urls,
+    "image_metadata": q_image_metadata,
     "bpe_tokens": q_bpe_tokens,
     "paragraph_stats_docs": q_paragraph_stats,
     "top_quality_docs": q_top_quality_docs,
@@ -2545,6 +2622,7 @@ ORACLES = {
     "curation_pipeline_docs": _oracle_curation_pipeline(),
     "c4_line_filter": _oracle_c4_line_filter(),
     "canonical_urls": _oracle_canonical_urls(),
+    "image_metadata": _oracle_image_metadata(),
     "bpe_tokens": _oracle_bpe_tokens(),
     "paragraph_stats_docs": _oracle_paragraph_stats(),
     "top_quality_docs": ORACLE_TOP_QUALITY,

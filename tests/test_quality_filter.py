@@ -234,7 +234,60 @@ class TestMultimodal:
         out = image_metadata(df, blob_col="html").collect()
         assert len(out) == 50
         assert all(r["content_sha256"] is not None for r in out)
-        assert all(r["format"] == "FAKE" for r in out)  # no codec in container
+        # html blobs aren't images → deterministic fake, clearly flagged
+        assert all(r["format"] == "FAKE" for r in out)
+
+    def test_parse_image_header_roundtrip(self):
+        """The header parser reads real bytes at the formats' documented
+        offsets — round-trip through the fixture encoders, plus the edge
+        shapes (16-bit extremes, every PNG color type, JPEG marker walk
+        landing on SOF2, truncation, garbage)."""
+        from cloud_data_quality_spark.functions.multimodal import (
+            make_gif, make_jpeg, make_png, parse_image_header)
+        assert parse_image_header(make_png(640, 480)) == (640, 480, 4, "PNG")
+        for ct, ch in [(0, 1), (2, 3), (3, 1), (4, 2), (6, 4)]:
+            assert parse_image_header(
+                make_png(7, 9, color_type=ct)) == (7, 9, ch, "PNG")
+        assert parse_image_header(make_gif(1, 65535)) == (1, 65535, 3, "GIF")
+        assert parse_image_header(make_jpeg(65535, 1)) == (65535, 1, 3, "JPEG")
+        # progressive JPEG: SOF2 instead of SOF0 must still parse
+        prog = make_jpeg(320, 240).replace(b"\xff\xc0", b"\xff\xc2")
+        assert parse_image_header(prog) == (320, 240, 3, "JPEG")
+        # a DHT (C4) segment before the SOF must be walked over, not
+        # mistaken for a frame header
+        dht = b"\xff\xc4\x00\x04\x00\x00"
+        j = make_jpeg(10, 20)
+        assert parse_image_header(j[:2] + dht + j[2:]) == (10, 20, 3, "JPEG")
+        assert parse_image_header(b"") is None
+        assert parse_image_header(b"\xde\xad\xbe\xef") is None
+        assert parse_image_header(b"\xff\xd8\xff\xd9") is None  # SOI+EOI only
+        assert parse_image_header(make_png(640, 480)[:20]) is None  # truncated
+        assert parse_image_header(b"GIF89a\x00\x00\x00\x00") is None  # 0-dim
+
+    def test_image_metadata_strict_mode(self, spark):
+        """Strict mode decodes real PNG/GIF/JPEG headers with no codec
+        library; unparseable blobs become format='INVALID' NULL-dim rows
+        (data to filter, not an exception), and content_sha256 is the
+        genuine digest of the bytes."""
+        import hashlib
+
+        from cloud_data_quality_spark.functions.multimodal import (
+            image_metadata, make_gif, make_jpeg, make_png)
+        blobs = [(1, make_png(101, 55)), (2, make_gif(320, 200)),
+                 (3, make_jpeg(64, 48)), (4, b"\x00not an image"), (5, None)]
+        df = spark.createDataFrame(blobs, "id int, blob binary")
+        out = {r["id"]: r for r in image_metadata(
+            df, blob_col="blob", deterministic_fake=False).collect()}
+        assert (out[1]["width"], out[1]["height"], out[1]["channels"],
+                out[1]["format"]) == (101, 55, 4, "PNG")
+        assert (out[2]["width"], out[2]["height"],
+                out[2]["format"]) == (320, 200, "GIF")
+        assert (out[3]["width"], out[3]["height"], out[3]["channels"],
+                out[3]["format"]) == (64, 48, 3, "JPEG")
+        assert out[4]["format"] == "INVALID" and out[4]["width"] is None
+        assert out[5]["format"] is None and out[5]["content_sha256"] is None
+        assert out[1]["content_sha256"] == hashlib.sha256(
+            make_png(101, 55)).hexdigest()
 
     def test_frame_sample_stub(self, spark, pages_parquet):
         from cloud_data_quality_spark.functions.multimodal import frame_sample_stub
