@@ -505,6 +505,7 @@ def _curate(args) -> int:
         "run_id": res.run_id,
         "stages": [{"name": s.name, "kind": s.kind, "resumed": s.resumed,
                     "rows_in": s.rows_in, "rows_out": s.rows_out,
+                    "seconds": s.seconds,
                     "output": s.output_path} for s in res.stages],
         "rows_out": res.rows_out,
     }))

@@ -78,6 +78,7 @@ class StageResult:
     rows_in: int
     rows_out: int
     resumed: bool  # True if the whole stage was already committed
+    seconds: float = 0.0  # wall time of this stage in THIS run (~0 if resumed)
 
 
 @dataclass
@@ -248,6 +249,7 @@ class ResumableCurationPipeline:
         current = df
         for idx, stage in enumerate(stages):
             crash_here = fail_at is not None and fail_at[0] == stage.name
+            t0 = time.perf_counter()
             if stage.kind == "partition":
                 res = self._run_partition_stage(
                     current, stage, idx, run_id,
@@ -259,6 +261,7 @@ class ResumableCurationPipeline:
                 res = self._run_global_stage(current, stage, idx, run_id)
             else:
                 raise ValueError(f"unknown stage kind {stage.kind!r}")
+            res.seconds = round(time.perf_counter() - t0, 3)
             result.stages.append(res)
             current = self._stage_output_frame(stage, current, res.output_path)
         return result
