@@ -1,0 +1,1270 @@
+"""Corpus / text-pipeline queries/oracles (driver-contract surface).
+
+Text extraction and stats, language id, scrubbing, quality verdicts, n-gram
+LM scoring, packing/BPE, host curation, URL canonicalization, C4 line
+filtering, image metadata, classifier scoring, selection (top-fraction,
+token-budget, perplexity buckets), sampling/splits, and the composed curation
+pipeline. Paired DuckDB oracles follow each query; see plans/registry.py for
+the assembly and conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloud_data_quality_spark.functions import text as TX
+from cloud_data_quality_spark.functions.scrub import scrub_text
+from cloud_data_quality_spark.operators.quality_filter import annotate_quality
+from cloud_data_quality_spark.plans import oracle_fragments as OF
+from cloud_data_quality_spark.plans.base import _t
+
+# --------------------------------------------------------------------------
+# Web-text analysis queries (documents table)
+# --------------------------------------------------------------------------
+
+# html wrapper used by the extraction round-trip query — one constant, both
+# engines (the pages GENERATOR uses a richer wrapper; this one exercises the
+# same strip classes: head block, body script, comment, tags)
+_HTML_PREFIX = ("<html><head><title>t</title><script>var x=1;</script>"
+                "<style>p{margin:0}</style></head><body><!-- c --><p>")
+_HTML_SUFFIX = "</p><script>track()</script></body></html>"
+
+
+def q_extract_text_roundtrip(spark, sf_dir):
+    """North-rule invariant: byte-identical extracted text per row. Builds
+    html BYTES from documents.text (entity-escape + wrap + utf-8 encode),
+    runs the real extraction operator (functions/html_extract.extract_text,
+    a pure JVM Column expression), and returns the extracted text plus the
+    identity flag. The oracle replays escape→wrap→extract with DuckDB's
+    RE2 engine from the same generated constants — two independent regex
+    engines agreeing on every byte."""
+    from cloud_data_quality_spark.functions.html_extract import (
+        escape_text,
+        extract_text,
+    )
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    html = F.encode(F.concat(F.lit(_HTML_PREFIX), escape_text(F.col("text")),
+                             F.lit(_HTML_SUFFIX)), "UTF-8")
+    return (d.withColumn("extracted", extract_text(html))
+            .select("doc_id", "extracted",
+                    (F.col("extracted") == F.col("text"))
+                    .alias("matches_roundtrip")))
+
+
+def _oracle_extract_text_roundtrip() -> str:
+    pre = _HTML_PREFIX.replace("'", "''")
+    suf = _HTML_SUFFIX.replace("'", "''")
+    h = f"'{pre}' || {OF.sql_escape_text('text')} || '{suf}'"
+    return f"""
+with d as (select doc_id, text, {OF.sql_extract_text(h)} as extracted
+           from documents where text is not null)
+select doc_id, extracted, (extracted = text) as matches_roundtrip from d
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.word_count(t).alias("n_words"),
+        TX.char_count(t).alias("n_chars"),
+        F.round(TX.mean_word_length(t), 6).alias("mean_word_len"),
+        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(TX.alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(TX.duplicate_token_fraction(t), 6).alias("dup_token_frac"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+select doc_id,
+       {OF.sql_word_count('text')} as n_words,
+       {OF.sql_char_count('text')} as n_chars,
+       round({OF.sql_mean_word_len('text')}, 6) as mean_word_len,
+       round({OF.sql_stopword_ratio('text')}, 6) as stopword_ratio,
+       round({OF.sql_alpha_ratio('text')}, 6) as alpha_ratio,
+       round({OF.sql_dup_token_frac('text')}, 6) as dup_token_frac
+from documents
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.langid(F.col("text")).alias("lang_pred"))
+
+
+ORACLE_TEXT_LANGID = f"""
+select doc_id, {OF.sql_langid('text')} as lang_pred from documents
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+select doc_id, {OF.sql_fingerprint('text')} as fp from documents
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", scrub_text(F.col("text")).alias("scrubbed_text"))
+
+
+ORACLE_PII_SCRUB = f"""
+select doc_id, {OF.sql_scrub('text')} as scrubbed_text from documents
+"""
+
+
+def q_quality_verdict(spark, sf_dir):
+    ann = annotate_quality(_t(spark, sf_dir, "documents"), text_col="text",
+                           with_perplexity=False, with_scrub=False)
+    return ann.select("doc_id", "lang_pred", "keep", "drop_reason")
+
+
+def _oracle_quality_verdict() -> str:
+    from cloud_data_quality_spark.operators.quality_filter import QualityThresholds
+    t = QualityThresholds()
+    feat = f"""
+select doc_id,
+  {OF.sql_langid('text')} as lang_pred,
+  {OF.sql_char_count('text')} as n_chars,
+  {OF.sql_word_count('text')} as n_words,
+  {OF.sql_mean_word_len('text')} as mean_word_len,
+  {OF.sql_alpha_ratio('text')} as alpha_ratio,
+  {OF.sql_cjk_ratio('text')} as cjk_ratio,
+  {OF.sql_dup_token_frac('text')} as dup_token_frac,
+  {OF.sql_dup_line_frac('text')} as dup_line_frac,
+  coalesce(regexp_matches(text, '\\b(badword1|badword2|slur1)\\b'), false)
+    as has_toxicity
+from documents"""
+    gates = {
+        "words": (f"case when lang_pred = 'zh' "
+                  f"then n_chars between {t.min_words * 2} and {t.max_words * 8} "
+                  f"else n_words between {t.min_words} and {t.max_words} end"),
+        "word_len": (f"(lang_pred = 'zh' or mean_word_len between "
+                     f"{t.min_mean_word_len} and {t.max_mean_word_len})"),
+        "alpha": (f"case when lang_pred = 'zh' then cjk_ratio >= {t.min_cjk_ratio} "
+                  f"else alpha_ratio >= {t.min_alpha_ratio} end"),
+        "repetition": (f"(dup_line_frac <= {t.max_dup_line_frac} and "
+                       f"dup_token_frac <= {t.max_dup_token_frac})"),
+        "lang": "lang_pred != 'und'",
+        "toxicity": "not has_toxicity",
+    }
+    coalesced = {k: f"coalesce({v}, false)" for k, v in gates.items()}
+    keep = " and ".join(coalesced.values())
+    reason = "case " + " ".join(
+        f"when not {coalesced[k]} then '{k}'" for k in coalesced
+    ) + " else NULL end"
+    return (f"with f as ({feat}) "
+            f"select doc_id, lang_pred, ({keep}) as keep, {reason} as drop_reason "
+            f"from f")
+
+
+def q_quality_rollup(spark, sf_dir):
+    ann = annotate_quality(_t(spark, sf_dir, "documents"), text_col="text",
+                           with_perplexity=False, with_scrub=False)
+    return (ann.groupBy("lang_pred", "keep", "drop_reason")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def _oracle_quality_rollup() -> str:
+    return (f"with v as ({_oracle_quality_verdict()}) "
+            f"select lang_pred, keep, drop_reason, count(*)::BIGINT as n_docs "
+            f"from v group by 1, 2, 3")
+
+
+def q_token_count_by_source(spark, sf_dir):
+    t = F.col("text")
+    return (_t(spark, sf_dir, "documents")
+            .groupBy("source")
+            .agg(F.sum(TX.word_count(t)).alias("total_words"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+ORACLE_TOKEN_COUNT_BY_SOURCE = f"""
+select source, sum({OF.sql_word_count('text')})::BIGINT as total_words,
+       count(*)::BIGINT as n_docs
+from documents group by source
+"""
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram negative mean log-prob per doc (KenLM-style scoring
+    with the corpus itself as the model — two passes, both distributed).
+
+    Scale posture: the token TOTAL comes from summing the freq table (one
+    tiny agg over the vocab) rather than a third full tokenize+count pass,
+    attached as a broadcast scalar cross-join. The freq table itself is NOT
+    hint-broadcast — at web scale distinct tokens are 10^8+ and a forced
+    broadcast OOMs; AQE picks broadcast when it actually fits. For bounded
+    executor memory use q_unigram_logprob_topk."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id",
+                       F.explode(TX.tokens(F.col("text"))).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("__total"))
+    scored = (toks.join(freq, "w")
+              .crossJoin(F.broadcast(total))
+              .groupBy("doc_id")
+              .agg(F.round(F.avg(-F.log(F.col("c") / F.col("__total"))), 4)
+                   .alias("nll")))
+    return scored
+
+
+ORACLE_UNIGRAM_LOGPROB = f"""
+with toks as (
+  select doc_id, unnest({OF.sql_tokens('text')}) as w from documents),
+freq as (select w, count(*) c from toks group by w),
+total as (select count(*) n from toks)
+select doc_id, round(avg(-ln(c::DOUBLE / (select n from total))), 4) as nll
+from toks join freq using (w)
+group by doc_id
+"""
+
+_UNIGRAM_TOPK = 500
+
+
+def q_unigram_logprob_topk(spark, sf_dir):
+    """Bounded-memory variant: model = top-K vocabulary (deterministic
+    tie-break on the token) + OOV floor count of 1. The K-row model is the
+    ONLY thing broadcast — executor memory stays O(K) no matter how large
+    the corpus vocabulary grows; orderBy().limit(K) is a per-partition
+    top-K then single small reduce, not a global sort."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id",
+                       F.explode(TX.tokens(F.col("text"))).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("__total"))
+    topk = freq.orderBy(F.col("c").desc(), F.col("w")).limit(_UNIGRAM_TOPK)
+    scored = (toks.join(F.broadcast(topk), "w", "left")
+              .crossJoin(F.broadcast(total))
+              .groupBy("doc_id")
+              .agg(F.round(F.avg(-F.log(F.coalesce(F.col("c"), F.lit(1))
+                                        / F.col("__total"))), 4)
+                   .alias("nll")))
+    return scored
+
+
+ORACLE_UNIGRAM_LOGPROB_TOPK = f"""
+with toks as (
+  select doc_id, unnest({OF.sql_tokens('text')}) as w from documents),
+freq as (select w, count(*) c from toks group by w),
+total as (select count(*) n from toks),
+topk as (select w, c from freq order by c desc, w limit {_UNIGRAM_TOPK})
+select doc_id,
+       round(avg(-ln(coalesce(t.c, 1)::DOUBLE / (select n from total))), 4)
+         as nll
+from toks left join topk t using (w)
+group by doc_id
+"""
+
+
+_TRI_VOCAB = 500
+_TRI_ALPHA = 0.4
+_TRI_PRUNE = 2
+
+
+def q_trigram_logprob(spark, sf_dir):
+    """Stupid-backoff word-trigram NLL per document (CCNet-faithful n-gram
+    LM scoring — functions/ngram_lm.trigram_backoff_logprob): top-V vocab
+    with <unk> mapping, singleton-pruned trigram/bigram tables, backoff
+    penalty alpha per level. The model is trained on the corpus inside the
+    same job; every count and division replays exactly in DuckDB."""
+    from cloud_data_quality_spark.functions.ngram_lm import (
+        trigram_backoff_logprob)
+    return trigram_backoff_logprob(
+        _t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id",
+        vocab_size=_TRI_VOCAB, alpha=_TRI_ALPHA, prune_below=_TRI_PRUNE)
+
+
+ORACLE_TRIGRAM_LOGPROB = f"""
+with s0 as (select doc_id, {OF.sql_tokens('text')} as words from documents),
+toks as (select doc_id, g.i - 1 as pos, words[g.i] as w_raw
+         from s0 cross join unnest(generate_series(1, len(words))) as g(i)),
+freq as (select w_raw, count(*) c from toks group by w_raw),
+vocab as (select w_raw from freq order by c desc, w_raw limit {_TRI_VOCAB}),
+mapped as (select doc_id, pos,
+                  case when w_raw in (select w_raw from vocab) then w_raw
+                       else '<unk>' end as w
+           from toks),
+adj as (select doc_id, pos, w as w1,
+               lead(w, 1) over (partition by doc_id order by pos) as w2,
+               lead(w, 2) over (partition by doc_id order by pos) as w3
+        from mapped),
+tri as (select * from adj where w3 is not null),
+bi as (select w1 as b1, w2 as b2, count(*) cb
+       from adj where w2 is not null group by 1, 2),
+uni as (select w as u, count(*) cu from mapped group by 1),
+ctri as (select w1 t1, w2 t2, w3 t3, count(*) ct from tri group by 1, 2, 3),
+ntot as (select count(*)::DOUBLE n from mapped),
+scored as (
+  select tri.doc_id,
+         case when ct.ct is not null
+              then ct.ct::DOUBLE / cb_ctx.cb
+              when bp.cb is not null
+              then {_TRI_ALPHA} * (bp.cb::DOUBLE / u2.cu)
+              else {_TRI_ALPHA} * {_TRI_ALPHA}
+                   * (u3.cu::DOUBLE / (select n from ntot))
+         end as s
+  from tri
+  left join (select * from ctri where ct >= {_TRI_PRUNE}) ct
+    on tri.w1 = ct.t1 and tri.w2 = ct.t2 and tri.w3 = ct.t3
+  left join bi cb_ctx on tri.w1 = cb_ctx.b1 and tri.w2 = cb_ctx.b2
+  left join (select * from bi where cb >= {_TRI_PRUNE}) bp
+    on tri.w2 = bp.b1 and tri.w3 = bp.b2
+  left join uni u2 on tri.w2 = u2.u
+  left join uni u3 on tri.w3 = u3.u)
+select doc_id, round(avg(-ln(s)), 4) as nll, count(*)::BIGINT as n_trigrams
+from scored group by doc_id
+"""
+
+_PACK_BUDGET, _PACK_BUCKETS = 256, 8
+
+
+def q_pack_documents(spark, sf_dir, tokenizer: str = "words"):
+    """Sequence packing (greedy token-budget packing within md5 hash
+    buckets) — the training-data operator downstream of dedup + quality
+    filter. Deterministic: bucket and in-bucket order are pure functions of
+    the data, so the DuckDB oracle replays the greedy fold exactly with a
+    recursive CTE."""
+    from cloud_data_quality_spark.functions.packing import pack_documents
+    return pack_documents(_t(spark, sf_dir, "documents"),
+                          budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS,
+                          tokenizer=tokenizer) \
+        .select("doc_id", "pack_id",
+                F.col("pack_seq").cast("int").alias("pack_seq"),
+                F.col("pack_pos").cast("int").alias("pack_pos"),
+                F.col("n_tokens").cast("bigint").alias("n_tokens"))
+
+
+def q_pack_documents_bpe(spark, sf_dir):
+    """Sequence packing measured in SUBWORD (BPE) tokens — what a real
+    training pipeline budgets by. The merge-table artifact is embedded in
+    functions/bpe_artifact.py and replayed verbatim by the DuckDB oracle
+    (a chain of replace() calls over a sentinel encoding)."""
+    return q_pack_documents(spark, sf_dir, tokenizer="bpe")
+
+
+def _oracle_pack(tok_expr: str) -> str:
+    """The recursive-CTE greedy-pack replay, parameterized over the
+    token-count expression (whitespace words or BPE subwords)."""
+    return f"""
+with recursive d as (
+  select doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+          % {_PACK_BUCKETS})::INT as bucket,
+         {tok_expr} as tok
+  from documents where text is not null),
+ordered as (
+  select doc_id, bucket, tok,
+         row_number() over (partition by bucket order by doc_id) as rn
+  from d),
+packed as (
+  select bucket, rn, doc_id, tok, tok as acc, 0 as pack_seq, 0 as pack_pos
+  from ordered where rn = 1
+  union all
+  select o.bucket, o.rn, o.doc_id, o.tok,
+         case when p.acc + o.tok > {_PACK_BUDGET} then o.tok
+              else p.acc + o.tok end,
+         case when p.acc + o.tok > {_PACK_BUDGET} then p.pack_seq + 1
+              else p.pack_seq end,
+         case when p.acc + o.tok > {_PACK_BUDGET} then 0
+              else p.pack_pos + 1 end
+  from packed p join ordered o on o.bucket = p.bucket and o.rn = p.rn + 1)
+select doc_id, bucket::VARCHAR || '-' || pack_seq::VARCHAR as pack_id,
+       pack_seq::INT as pack_seq, pack_pos::INT as pack_pos,
+       tok::BIGINT as n_tokens
+from packed
+"""
+
+
+ORACLE_PACK_DOCUMENTS = _oracle_pack(OF.sql_word_count("text"))
+ORACLE_PACK_DOCUMENTS_BPE = _oracle_pack(OF.sql_bpe_token_count("text"))
+
+
+def q_pack_documents_bpe_1k(spark, sf_dir):
+    """Sequence packing budgeted by the PRODUCTION-SIZE tokenizer: the
+    1024-merge artifact (functions/bpe_large_artifact). Spark side runs the
+    Arrow memoized encoder (a 1024-deep nested replace chain would blow up
+    whole-stage codegen); the oracle replays the same table as a flat
+    step-joined recursive CTE (no nesting — DuckDB's expression-depth limit
+    never engages)."""
+    return q_pack_documents(spark, sf_dir, tokenizer="bpe_large")
+
+
+def _oracle_pack_bpe_large() -> str:
+    """Greedy-pack oracle with token counts from the 1024-merge table:
+    distinct words are sentinel-encoded once, the merge chain applies as a
+    recursive CTE joined to a 1024-row merge TABLE by step index, and
+    per-doc counts come back through a join on the stripped word."""
+    from cloud_data_quality_spark.functions.bpe_large_artifact import (
+        BPE_MERGES_LARGE,
+        N_MERGES_LARGE,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    rows = ",\n".join(
+        f"({i + 1}, chr(2)||'{q(a)}'||chr(3)||chr(2)||'{q(b)}'||chr(3), "
+        f"chr(2)||'{q(a + b)}'||chr(3))"
+        for i, (a, b) in enumerate(BPE_MERGES_LARGE))
+    return f"""
+with recursive
+dw_raw as (select doc_id, unnest({OF.sql_tokens('text')}) as w
+           from documents where text is not null),
+dw as (select doc_id,
+              replace(replace(w, chr(2), ''), chr(3), '') as w from dw_raw),
+words as (select distinct w from dw),
+merges(step, pat, rep) as (select * from (values
+{rows}
+) t(step, pat, rep)),
+enc as (
+  select w, 0 as step,
+         array_to_string(list_transform(range(1, length(w) + 1),
+           i -> chr(2) || substr(w, i, 1) || chr(3)), '') as s
+  from words
+  union all
+  select e.w, e.step + 1, replace(e.s, m.pat, m.rep)
+  from enc e join merges m on m.step = e.step + 1),
+wtok as (select w, (length(s) - length(replace(s, chr(2), '')))::BIGINT as n
+         from enc where step = {N_MERGES_LARGE}),
+dt as (select dw.doc_id, sum(wtok.n)::BIGINT as tok
+       from dw join wtok using (w) group by dw.doc_id),
+d as (select documents.doc_id,
+         (('0x' || substr(md5(documents.doc_id::VARCHAR), 1, 15))::BIGINT
+          % {_PACK_BUCKETS})::INT as bucket,
+         coalesce(dt.tok, 0) as tok
+      from documents left join dt using (doc_id) where text is not null),
+ordered as (
+  select doc_id, bucket, tok,
+         row_number() over (partition by bucket order by doc_id) as rn
+  from d),
+packed as (
+  select bucket, rn, doc_id, tok, tok as acc, 0 as pack_seq, 0 as pack_pos
+  from ordered where rn = 1
+  union all
+  select o.bucket, o.rn, o.doc_id, o.tok,
+         case when p.acc + o.tok > {_PACK_BUDGET} then o.tok
+              else p.acc + o.tok end,
+         case when p.acc + o.tok > {_PACK_BUDGET} then p.pack_seq + 1
+              else p.pack_seq end,
+         case when p.acc + o.tok > {_PACK_BUDGET} then 0
+              else p.pack_pos + 1 end
+  from packed p join ordered o on o.bucket = p.bucket and o.rn = p.rn + 1)
+select doc_id, bucket::VARCHAR || '-' || pack_seq::VARCHAR as pack_id,
+       pack_seq::INT as pack_seq, pack_pos::INT as pack_pos,
+       tok::BIGINT as n_tokens
+from packed
+"""
+
+
+ORACLE_PACK_DOCUMENTS_BPE_1K = _oracle_pack_bpe_large()
+
+
+# ------------------------------------------------------- host curation ops
+
+_HOST_BLOCKLIST = ["src1.example.com", "ads.src2.example.com"]
+_HOST_CAP = 25
+#: deterministic URL synthesized from documents columns — doc_id % 7 == 0
+#: rows get an `ads.` subdomain so the SUFFIX semantics of the blocklist
+#: (src1.example.com must also block ads.src1.example.com) are exercised.
+_HOST_URL_SQL = ("'https://' || case when doc_id % 7 = 0 then 'ads.' "
+                 "else '' end || source || '.example.com/d/' || doc_id")
+
+
+def q_host_capped_sample(spark, sf_dir):
+    """Host blocklist (suffix semantics, broadcast anti-joins) + per-host
+    document cap (bounded-key rank) over deterministic URLs synthesized
+    from the documents table — the C4 §2.1 / RefinedWeb §3.1 curation step."""
+    from cloud_data_quality_spark.functions.hosts import (
+        cap_per_host,
+        drop_blocklisted,
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_HOST_URL_SQL).alias("url"))
+    kept = drop_blocklisted(docs, _HOST_BLOCKLIST, suffix_match=True)
+    capped = cap_per_host(kept, _HOST_CAP, order_col="doc_id")
+    return capped.select("doc_id", "host")
+
+
+def _oracle_host_capped_sample() -> str:
+    from cloud_data_quality_spark.functions.hosts import URL_HOST_PATTERN
+    block = " or ".join(
+        f"host = '{d}' or host like '%.{d}'" for d in _HOST_BLOCKLIST)
+    return f"""
+with u as (select doc_id, {_HOST_URL_SQL} as url from documents),
+h as (select doc_id,
+             lower(coalesce(regexp_extract(url, '{URL_HOST_PATTERN}', 1), ''))
+               as host
+      from u),
+keep as (select * from h where not ({block})),
+ranked as (select doc_id, host,
+                  row_number() over (partition by host order by doc_id) as rn
+           from keep)
+select doc_id, host from ranked where rn <= {_HOST_CAP}
+"""
+
+
+_PIPE_MIN_WORDS = 20
+_PIPE_HOST_CAP = 30
+
+
+def q_curation_pipeline_docs(spark, sf_dir):
+    """The COMPOSED resumable pipeline (engine/pipeline.py) end-to-end on
+    the documents table: partition-stage word-count gate → global per-source
+    cap → global exact dedup (canonical min doc_id per fingerprint). Every
+    stage materializes + journals lineage; this query replays the full
+    staged run and returns the survivor set the DuckDB oracle re-derives in
+    one SQL chain — so the staging machinery itself is value-checked, not
+    just the individual operators."""
+    import shutil
+    import uuid
+
+    from cloud_data_quality_spark.engine.pipeline import (
+        PipelineStage,
+        ResumableCurationPipeline,
+    )
+    from cloud_data_quality_spark.functions.text import fingerprint, word_count
+    from pyspark.sql.window import Window
+
+    def gate(df):
+        return df.where(word_count(F.col("text")) >= _PIPE_MIN_WORDS)
+
+    def cap(df):
+        w = Window.partitionBy("source").orderBy("doc_id")
+        return (df.withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") <= _PIPE_HOST_CAP).drop("__r"))
+
+    def dedup(df):
+        w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+        return (df.withColumn("__r", F.row_number().over(w))
+                .where("__r = 1").drop("__r"))
+
+    work = f"/tmp/cdq_pipeline_{uuid.uuid4().hex}"
+    pipe = ResumableCurationPipeline(spark, work, n_buckets=8,
+                                     id_col="doc_id")
+    res = pipe.run(
+        _t(spark, sf_dir, "documents"),
+        [PipelineStage("gate", gate, kind="partition"),
+         PipelineStage("cap", cap, kind="global"),
+         PipelineStage("dedup", dedup, kind="global")],
+        run_id="oracle")
+    out = (spark.read.parquet(res.stages[-1].output_path)
+           .select("doc_id", "source").localCheckpoint())
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def _oracle_curation_pipeline() -> str:
+    return f"""
+with gate as (select doc_id, source, text from documents
+              where {OF.sql_word_count('text')} >= {_PIPE_MIN_WORDS}),
+cap as (select doc_id, source, text from (
+          select *, row_number() over (partition by source
+                                       order by doc_id) as rn from gate)
+        where rn <= {_PIPE_HOST_CAP}),
+dedup as (select doc_id, source from (
+            select doc_id, source,
+                   row_number() over (partition by {OF.sql_fingerprint('text')}
+                                      order by doc_id) as rn from cap)
+          where rn = 1)
+select doc_id, source from dedup
+"""
+
+
+# deterministic multiline+punctuation synthesis over the word-soup docs so
+# the C4 line heuristics have real structure to act on: '.'/'?' line breaks
+# before common words, terminal '.', and doc-level '{'/'Lorem Ipsum'
+# injections on id residues. chr(10) because a '\n' literal is an escape in
+# Spark SQL but two characters in DuckDB.
+_C4_SYNTH_SQL = (
+    "replace(replace(text, ' table ', '.' || chr(10) || 'table '), "
+    "' row ', '?' || chr(10) || 'row ') || '.'"
+    " || case when doc_id % 13 = 0 then ' {' else '' end"
+    " || case when doc_id % 17 = 0 then ' Lorem Ipsum' else '' end")
+# every 7th doc uses CRLF line endings — pins the CR-normalization contract
+# (Java '$' matches before a final '\r', RE2/DuckDB '$' does not)
+_C4_SYNTH_SQL = (
+    f"case when doc_id % 7 = 0 then "
+    f"replace({_C4_SYNTH_SQL}, chr(10), chr(13) || chr(10)) "
+    f"else {_C4_SYNTH_SQL} end")
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4 §2.2 line-level cleaning (terminal punctuation, ≥5-word lines, no
+    javascript; ≥3 surviving lines, no '{'/'lorem ipsum') as a pure Column
+    plan over deterministically line-structured document text."""
+    from cloud_data_quality_spark.functions.corpus import c4_line_filter
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_C4_SYNTH_SQL).alias("text"))
+    return c4_line_filter(docs)
+
+
+def _oracle_c4_line_filter() -> str:
+    from cloud_data_quality_spark.functions.corpus import (
+        C4_DOC_BLOCK_SUBSTRINGS,
+        C4_LINE_BLOCK_SUBSTRING,
+        C4_MIN_LINE_WORDS,
+        C4_MIN_LINES_KEPT,
+        C4_TERMINAL_PUNCT_RE,
+    )
+    line_ok = (
+        f"regexp_matches(trim(x, ' '), '{C4_TERMINAL_PUNCT_RE}') "
+        f"and len(list_filter(regexp_split_to_array(trim(x, ' '), "
+        f"'[\\t\\x0b\\f\\r ]+'), w -> w != '')) >= {C4_MIN_LINE_WORDS} "
+        f"and not contains(lower(trim(x, ' ')), '{C4_LINE_BLOCK_SUBSTRING}')")
+    doc_block = " ".join(
+        f"and not contains(lower(text), '{s}')"
+        for s in C4_DOC_BLOCK_SUBSTRINGS)
+    return f"""
+with s as (select doc_id, {_C4_SYNTH_SQL} as text from documents),
+l as (select doc_id, text,
+             list_filter(string_split(
+                 regexp_replace(text, '\\r\\n?', chr(10), 'g'), chr(10)),
+                         x -> {line_ok}) as kept
+      from s),
+v as (select doc_id, kept,
+             (len(kept) >= {C4_MIN_LINES_KEPT} {doc_block}) as keep
+      from l)
+select doc_id,
+       case when keep then array_to_string(kept, chr(10)) end as clean_text,
+       coalesce(len(kept), 0)::BIGINT as n_lines_kept,
+       keep
+from v
+"""
+
+
+#: mixed-case scheme/host, default port, tracking params, fragments — every
+#: canonicalization rule exercised on deterministic synthesized URLs.
+_CANON_URL_SQL = (
+    "'HTTPS://' || upper(source) || '.Example.COM:443/path/' || doc_id"
+    " || case when doc_id % 3 = 0 then '?utm_source=x&id=' || doc_id ||"
+    " '&fbclid=z' else '?id=' || doc_id || '&page=2' end"
+    # ref must drop (exact tracking name) while refund_id must SURVIVE —
+    # pins the exact-vs-prefix matching contract cross-engine
+    " || case when doc_id % 5 = 0 then '&ref=tw&refund_id=' || doc_id"
+    " else '' end"
+    " || case when doc_id % 4 = 0 then '#frag' else '' end")
+
+
+def q_canonical_urls(spark, sf_dir):
+    """URL canonicalization (lowercase scheme/host, strip default port,
+    drop tracking params + fragment) — the identity-normalization step
+    before exact URL dedup and per-host caps."""
+    from cloud_data_quality_spark.functions.hosts import canonicalize_url
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_CANON_URL_SQL).alias("url"))
+    return docs.select("doc_id",
+                       canonicalize_url(F.col("url")).alias("canon_url"))
+
+
+def _oracle_canonical_urls() -> str:
+    from cloud_data_quality_spark.functions.hosts import (
+        TRACKING_PARAM_PREFIXES,
+        TRACKING_PARAMS_EXACT,
+        URL_SPLIT_PATTERN,
+    )
+    exact = ", ".join(f"'{p}'" for p in TRACKING_PARAMS_EXACT)
+    tracking = " or ".join(
+        [f"lower(string_split(kv, '=')[1]) in ({exact})"]
+        + [f"starts_with(lower(string_split(kv, '=')[1]), '{p}')"
+           for p in TRACKING_PARAM_PREFIXES])
+    return f"""
+with u as (select doc_id, {_CANON_URL_SQL} as url from documents),
+p as (select doc_id, url,
+             lower(coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 1), ''))
+               as scheme,
+             lower(coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 2), ''))
+               as rawhost,
+             coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 3), '') as path,
+             coalesce(regexp_extract(url, '{URL_SPLIT_PATTERN}', 4), '') as query
+      from u),
+h as (select *, case when scheme = 'http'
+                     then regexp_replace(rawhost, ':80$', '')
+                     when scheme = 'https'
+                     then regexp_replace(rawhost, ':443$', '')
+                     else rawhost end as host
+      from p),
+q as (select doc_id, url, scheme, host,
+             case when length(path) = 0 then '/' else path end as path,
+             array_to_string(
+               list_filter(string_split(query, '&'),
+                           kv -> length(kv) > 0 and not ({tracking})),
+               '&') as qs
+      from h)
+select doc_id,
+       case when length(scheme) > 0
+            then scheme || '://' || host || path ||
+                 case when length(qs) > 0 then '?' || qs else '' end
+            else url end as canon_url
+from q
+"""
+
+
+def _img_blob_hex_sql(hexfn: str) -> str:
+    """Hex string of a synthesized image blob per doc_id — evaluated by
+    BOTH engines (`hexfn` = 'hex' on Spark, 'to_hex' on DuckDB; unhex is
+    case-insensitive so their case difference is immaterial). The layouts
+    are byte-identical to multimodal.make_png/make_gif/make_jpeg, so the
+    parser runs against real header bytes: PNG sig+IHDR (u32-BE dims at
+    16/20, color type 6=RGBA), GIF89a logical screen (u16-LE dims at 6/8),
+    JPEG SOI + JFIF APP0 (skipped by its declared length) + SOF0 (u16-BE
+    height/width, 3 components). Every 11th doc is garbage bytes — the
+    strict-mode INVALID row, not an exception."""
+    w = "((doc_id % 613) + 16)"
+    h = "(((doc_id * 7) % 509) + 16)"
+    wbe = f"lpad({hexfn}({w}), 4, '0')"
+    hbe = f"lpad({hexfn}({h}), 4, '0')"
+    wbe32 = f"lpad({hexfn}({w}), 8, '0')"
+    hbe32 = f"lpad({hexfn}({h}), 8, '0')"
+    wle = f"(substr({wbe}, 3, 2) || substr({wbe}, 1, 2))"
+    hle = f"(substr({hbe}, 3, 2) || substr({hbe}, 1, 2))"
+    png = (f"('89504e470d0a1a0a' || '0000000d' || '49484452' || {wbe32} "
+           f"|| {hbe32} || '0806000000' || '00000000')")
+    gif = f"('474946383961' || {wle} || {hle} || 'f70000')"
+    jpeg = (f"('ffd8' || 'ffe000104a46494600010100000100010000' || "
+            f"'ffc00011' || '08' || {hbe} || {wbe} || "
+            f"'03012200021101031101' || 'ffd9')")
+    return (f"case when doc_id % 11 = 0 then 'deadbeef' "
+            f"when doc_id % 3 = 0 then {png} "
+            f"when doc_id % 3 = 1 then {gif} "
+            f"else {jpeg} end")
+
+
+def q_image_metadata(spark, sf_dir):
+    """Real image-header decode (multimodal.parse_image_header): blobs are
+    synthesized JVM-side via unhex() from the shared hex fragment, then
+    width/height/channels/format are parsed from the actual bytes in the
+    strict-mode mapInPandas stage (no deterministic fake, no codec
+    library). The oracle knows the dims it encoded, so any parser drift —
+    endianness, offset, marker walk — value-mismatches."""
+    from cloud_data_quality_spark.functions.multimodal import image_metadata
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"unhex({_img_blob_hex_sql('hex')})").alias("blob"))
+    out = image_metadata(docs, blob_col="blob", deterministic_fake=False)
+    # this DuckDB build hashes VARCHAR only, so byte-equality of the blob
+    # is pinned via sha256 over its lowercase hex (the Python-side
+    # content_sha256 over raw bytes is pytest-pinned instead)
+    return out.select(
+        "doc_id", F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        "format",
+        F.sha2(F.lower(F.hex(F.col("blob"))), 256).alias("blob_hex_sha256"))
+
+
+def _oracle_image_metadata() -> str:
+    """Dims/channels/format come straight from the synthesis arithmetic
+    (the encoder's inputs); blob_hex_sha256 hashes the identical lowercase
+    hex both sides — proving the two engines built (and the parser read)
+    the same bytes. (sha256 over raw BLOB isn't available in this DuckDB
+    build, hence hex-string hashing.)"""
+    blob = _img_blob_hex_sql("to_hex")
+    return f"""
+select doc_id,
+       (case when doc_id % 11 = 0 then null
+             else (doc_id % 613) + 16 end)::INT as width,
+       (case when doc_id % 11 = 0 then null
+             else ((doc_id * 7) % 509) + 16 end)::INT as height,
+       (case when doc_id % 11 = 0 then null
+             when doc_id % 3 = 0 then 4 else 3 end)::INT as channels,
+       case when doc_id % 11 = 0 then 'INVALID'
+            when doc_id % 3 = 0 then 'PNG'
+            when doc_id % 3 = 1 then 'GIF'
+            else 'JPEG' end as format,
+       sha256(lower({blob})) as blob_hex_sha256
+from documents
+"""
+
+
+#: blank-line paragraph structure synthesized deterministically: paragraph
+#: breaks before common words, and doc_id % 5 == 0 docs get the SAME
+#: 40-char paragraph twice (an exact duplicate pair for the dup fractions).
+_PARA_SYNTH_SQL = (
+    "replace(text, ' value ', chr(10) || chr(10) || 'value ')"
+    " || case when doc_id % 5 = 0 then"
+    " chr(10) || chr(10) || substr(text, 1, 40)"
+    " || chr(10) || chr(10) || substr(text, 1, 40) else '' end")
+
+
+def q_paragraph_stats(spark, sf_dir):
+    """Gopher paragraph-duplication fractions (pure Column, O(P²) in-doc
+    occurrence counting, zero shuffle) over deterministically
+    paragraph-structured document text."""
+    from cloud_data_quality_spark.functions.corpus import paragraph_stats
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PARA_SYNTH_SQL).alias("text"))
+    return paragraph_stats(docs)
+
+
+def _oracle_paragraph_stats() -> str:
+    from cloud_data_quality_spark.functions.corpus import _PARA_CONTENT_RE
+    occ = "len(list_filter(paras, x -> x = p))"
+    return f"""
+with s as (select doc_id, {_PARA_SYNTH_SQL} as text from documents),
+p as (select doc_id, text,
+             list_filter(regexp_split_to_array(text, '\\n{{2,}}'),
+                         p -> regexp_matches(p, '{_PARA_CONTENT_RE}'))
+               as paras
+      from s),
+m as (select doc_id,
+             len(paras) as n,
+             length(text) as chars,
+             len(list_distinct(paras)) as nd,
+             list_sum(list_transform(list_distinct(paras),
+                 p -> ({occ} - 1) * length(p))) as dup_chars,
+             list_max(list_transform(list_distinct(paras),
+                 p -> {occ} * length(p))) as top
+      from p)
+select doc_id,
+       coalesce(n, 0)::BIGINT as n_paras,
+       round(case when n > 0 then 1.0 - nd / n::DOUBLE end, 6)
+         as dup_para_frac,
+       round(case when n > 0 then dup_chars::DOUBLE / nullif(chars, 0) end, 6)
+         as dup_para_char_frac,
+       round(case when n > 0 then top::DOUBLE / nullif(chars, 0) end, 6)
+         as top_para_char_frac
+from m
+"""
+
+_TOP_FRACTION = 0.2
+
+
+def q_top_quality_docs(spark, sf_dir):
+    """Final corpus selection: keep the top 20% of documents by word count
+    with a deterministic md5 tie-break (exact mode → TakeOrderedAndProject,
+    never a full global sort — plan-pinned in test_corpus)."""
+    from cloud_data_quality_spark.functions.corpus import (
+        top_fraction_by_score)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.word_count(F.col("text")).alias("score"))
+    return top_fraction_by_score(docs, _TOP_FRACTION, "score",
+                                 exact=True)
+
+
+ORACLE_TOP_QUALITY = f"""
+select doc_id, {OF.sql_word_count('text')} as score
+from documents
+order by score desc, md5(doc_id::VARCHAR) asc
+limit (select floor(count(*) * {_TOP_FRACTION})::BIGINT from documents)
+"""
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """Per-document SUBWORD tokens as a pure JVM Column plan (the
+    training-ready tokenized output; zero Python in the plan — plan test
+    in test_packing). DuckDB replays the identical merge chain."""
+    from cloud_data_quality_spark.functions.bpe_artifact import (
+        bpe_tokens_column)
+    toks = bpe_tokens_column("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("tokens"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("bigint").alias("n_tokens"))
+
+
+ORACLE_BPE_TOKENS = f"""
+select doc_id, {{toks}} as tokens,
+       coalesce(len({{toks}}), 0)::BIGINT as n_tokens
+from documents
+"""
+
+
+def _oracle_bpe_tokens() -> str:
+    toks = OF.sql_bpe_tokens("text")
+    return ORACLE_BPE_TOKENS.format(toks=toks)
+
+
+
+def q_rollup_quality(spark, sf_dir):
+    """ROLLUP aggregation over the verdict dimensions (subtotals + grand
+    total) — multi-level summary reporting in one pass."""
+    ann = annotate_quality(_t(spark, sf_dir, "documents"), text_col="text",
+                           with_perplexity=False, with_scrub=False)
+    return (ann.rollup("lang_pred", "keep")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select("lang_pred", "keep", "n_docs"))
+
+
+def _oracle_rollup_quality() -> str:
+    return (f"with v as ({_oracle_quality_verdict()}) "
+            f"select lang_pred, keep, count(*)::BIGINT as n_docs "
+            f"from v group by rollup(lang_pred, keep)")
+
+
+def q_topk_docs_per_lang(spark, sf_dir):
+    """Top-3 docs per language by size — rank window partitioned by a
+    bounded key (deterministic tie-break on doc_id)."""
+    from pyspark.sql.window import Window
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(),
+                                           F.col("doc_id").asc())
+    return (docs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("lang", "doc_id", "n_chars", F.col("rank").cast("int")))
+
+
+ORACLE_TOPK_DOCS_PER_LANG = """
+select lang, doc_id, n_chars,
+       row_number() over (partition by lang
+                          order by n_chars desc, doc_id asc)::INT as rank
+from documents
+qualify rank <= 3
+"""
+
+
+
+def q_decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination (functions/corpus.contamination): the
+    'benchmark' is the deterministic doc_id%50==0 slice standing in for an
+    eval set; every remaining doc reports its 4-word-shingle overlap."""
+    from cloud_data_quality_spark.functions.corpus import contamination
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return contamination(corpus, bench, text_col="text", id_col="doc_id",
+                         shingle_words=4)
+
+
+ORACLE_DECONTAMINATE_DOCS = f"""
+with d as (select doc_id, {OF.sql_word_shingles('text', 4)} as sh
+           from documents),
+bench as (select distinct md5(lower(trim(u.s, ' '))) as h
+          from d cross join unnest(sh) as u(s) where doc_id % 50 = 0),
+corpus_sh as (select doc_id, md5(lower(trim(u.s, ' '))) as h
+              from d cross join unnest(sh) as u(s) where doc_id % 50 != 0),
+hits as (select doc_id, count(*)::BIGINT as n_contaminated
+         from corpus_sh where h in (select h from bench) group by doc_id)
+select d.doc_id, len(sh)::BIGINT as n_shingles,
+       coalesce(n_contaminated, 0)::BIGINT as n_contaminated,
+       round(coalesce(n_contaminated, 0)::DOUBLE / nullif(len(sh), 0), 6)
+         as contaminated_frac,
+       coalesce(n_contaminated, 0) > 0 as is_contaminated
+from d left join hits using (doc_id)
+where d.doc_id % 50 != 0
+"""
+
+
+def _oracle_stratified_sample() -> str:
+    """Generated from the SAME fraction dict + sample_threshold constants as
+    the Spark query — thresholds are exact integers, so the two engines make
+    bit-identical keep decisions (md5-prefix trick)."""
+    from cloud_data_quality_spark.functions.corpus import sample_threshold
+    cases = " ".join(
+        f"when '{k}' then {sample_threshold(v)}"
+        for k, v in sorted(STRATIFIED_FRACTIONS.items()))
+    return f"""
+select doc_id, lang from documents
+where ('0x' || substr(md5(doc_id::VARCHAR || '|r3'), 1, 15))::BIGINT <
+      case lang {cases} else {sample_threshold(0.0)} end
+"""
+
+
+STRATIFIED_FRACTIONS = {"en": 0.5, "de": 0.2}
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic hash-threshold stratified sampling
+    (functions/corpus.stratified_sample): keep 50% of en, 20% of de, 0%
+    elsewhere — decisions replayable bit-identically by the oracle, unlike
+    rand()-based df.sample()."""
+    from cloud_data_quality_spark.functions.corpus import stratified_sample
+    return stratified_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        STRATIFIED_FRACTIONS, stratum_col="lang", id_col="doc_id",
+        salt="r3")
+
+
+
+RESAMPLE_TARGET = {"en": 0.4, "es": 0.2, "de": 0.2, "fr": 0.2}  # zh dropped
+
+
+def q_importance_resample_docs(spark, sf_dir):
+    """Data-mixing rebalance (functions/corpus.importance_resample): thin
+    the English-heavy corpus to a target language mix; the scarcest-vs-
+    target stratum is kept in full, everything else downsampled
+    proportionally via the deterministic md5-threshold."""
+    from cloud_data_quality_spark.functions.corpus import importance_resample
+    return importance_resample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        RESAMPLE_TARGET, stratum_col="lang", id_col="doc_id", salt="mix")
+
+
+def _oracle_importance_resample() -> str:
+    """Generated from the SAME target dict; the threshold expression keeps
+    the exact double-op order of the Spark plan (C·t/n·2^60) so both
+    engines floor identical IEEE values."""
+    cases = " ".join(f"when '{k}' then {v}"
+                     for k, v in sorted(RESAMPLE_TARGET.items()))
+    two60 = float(1 << 60)
+    return f"""
+with counts as (
+  select lang, count(*)::DOUBLE as n,
+         (case lang {cases} end)::DOUBLE as t
+  from documents group by lang),
+valid as (select * from counts where t is not null and t > 0),
+c as (select min(n / t) as c from valid),
+rates as (select lang, floor(c.c * t / n * {two60!r})::BIGINT as thr
+          from valid cross join c)
+select d.doc_id, d.lang from documents d join rates using (lang)
+where ('0x' || substr(md5(d.doc_id::VARCHAR || '|mix'), 1, 15))::BIGINT < thr
+"""
+
+
+def q_repetition_stats_docs(spark, sf_dir):
+    """Gopher n-gram repetition signals (functions/corpus.repetition_stats):
+    per-doc duplicate-2-gram and top-2-gram character fractions."""
+    from cloud_data_quality_spark.functions.corpus import repetition_stats
+    return repetition_stats(_t(spark, sf_dir, "documents"),
+                            text_col="text", id_col="doc_id", n=2)
+
+
+ORACLE_REPETITION_STATS_DOCS = f"""
+with t as (select doc_id, length(text) as chars,
+                  {OF.sql_tokens('text')} as toks from documents),
+grams as (
+  select doc_id, chars,
+         array_to_string(toks[g.i:g.i+1], ' ') as g
+  from t cross join unnest(generate_series(1, len(toks) - 1)) as g(i)
+  where len(toks) >= 2),
+per_gram as (select doc_id, g, count(*) as cnt,
+                    any_value(chars) as chars from grams group by 1, 2),
+stats as (
+  select doc_id, sum(cnt)::BIGINT as n_grams,
+         round(max(cnt * length(g))::DOUBLE / any_value(chars), 6)
+           as top_gram_char_frac,
+         round(coalesce(sum(case when cnt > 1 then cnt * length(g) end), 0)
+               ::DOUBLE / any_value(chars), 6) as dup_gram_char_frac
+  from per_gram group by doc_id)
+select d.doc_id, coalesce(n_grams, 0)::BIGINT as n_grams,
+       top_gram_char_frac, dup_gram_char_frac
+from documents d left join stats using (doc_id)
+"""
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (functions/corpus.chunk_documents): 64-token
+    windows, 8-token overlap — the long-doc sibling of pack_documents."""
+    from cloud_data_quality_spark.functions.corpus import chunk_documents
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           budget_tokens=64, overlap_tokens=8,
+                           text_col="text", id_col="doc_id")
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+with t as (select doc_id, {OF.sql_tokens('text')} as toks from documents),
+n as (select doc_id, toks,
+             greatest(ceil((len(toks) - 8) / 56.0)::INT,
+                      case when len(toks) > 0 then 1 else 0 end) as n_chunks
+      from t),
+chunks as (
+  select doc_id, (g.i - 1)::INT as chunk_id,
+         toks[(g.i-1)*56+1:(g.i-1)*56+64] as ctoks
+  from n cross join unnest(generate_series(1, n_chunks)) as g(i))
+select doc_id, chunk_id, array_to_string(ctoks, ' ') as chunk_text,
+       len(ctoks)::BIGINT as n_tokens
+from chunks
+"""
+
+
+
+# ---------------------------------------- learned quality classifier ops
+
+def q_classifier_score_docs(spark, sf_dir):
+    """Model-based quality filter: the offline-trained hashed-n-gram linear
+    classifier (functions/qc_artifact) applied as a pure-JVM plan —
+    broadcast weight join + exact int64 aggregation, so every score and
+    keep/drop decision replays bit-for-bit in the oracle."""
+    from cloud_data_quality_spark.functions.classifier import (
+        classifier_scores)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return classifier_scores(docs)
+
+
+def _classifier_score_ctes() -> str:
+    """Shared WITH-block replaying the classifier scoring plan in DuckDB
+    (weight list literal, tokenize, unigram+bigram features, md5 bucket
+    join, per-doc int64 sum) — ONE spelling, consumed by both classifier
+    oracles so the feature/hash lockstep can't drift between them."""
+    from cloud_data_quality_spark.functions.qc_artifact import (
+        QC_BUCKETS, QC_WEIGHTS_MICRO)
+    weights = ",".join(str(int(v)) for v in QC_WEIGHTS_MICRO)
+    toks = OF.sql_tokens("text")
+    return f"""
+wl as (select [{weights}]::BIGINT[] as l),
+w as (select i as bucket, l[i::INT + 1] as wm from wl cross join range({QC_BUCKETS}) t(i)),
+toks as (select doc_id, {toks} as t from documents),
+feats as (
+  select doc_id, unnest(list_concat(t,
+    case when len(t) >= 2
+         then list_transform(list_slice(t, 2, len(t)), (x, i) -> t[i] || ' ' || x)
+         else []::VARCHAR[] end)) as f
+  from toks),
+summed as (
+  select doc_id, sum(wm)::BIGINT as ws
+  from feats join w
+    on (('0x' || substr(md5(f), 1, 15))::BIGINT % {QC_BUCKETS}) = w.bucket
+  group by doc_id)"""
+
+
+def _oracle_classifier_score() -> str:
+    from cloud_data_quality_spark.functions.qc_artifact import QC_BIAS_MICRO
+    return f"""
+with {_classifier_score_ctes()}
+select d.doc_id,
+       (coalesce(s.ws, 0) + {QC_BIAS_MICRO})::BIGINT as score_micro,
+       (coalesce(s.ws, 0) + {QC_BIAS_MICRO}) >= 0 as ml_keep
+from documents d left join summed s using (doc_id)
+"""
+
+
+_TOKEN_BUDGET = 15_000
+
+
+def q_token_budget_select(spark, sf_dir):
+    """Budgeted corpus selection: rank every document by the learned
+    classifier score (int64-exact) and keep documents until the corpus
+    token budget is met — the distributed prefix-sum of
+    functions/selection.select_token_budget (range partition +
+    per-partition totals + driver offset merge; never a single-partition
+    global window)."""
+    from cloud_data_quality_spark.functions.classifier import (
+        classifier_scores)
+    from cloud_data_quality_spark.functions.selection import (
+        select_token_budget)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = (classifier_scores(docs)
+              .join(docs.select(
+                  "doc_id",
+                  TX.word_count(F.col("text")).alias("n_tokens")),
+                  "doc_id")
+              .select("doc_id", F.col("score_micro").alias("score"),
+                      "n_tokens"))
+    sel = select_token_budget(scored, _TOKEN_BUDGET, score_col="score",
+                              token_col="n_tokens", id_col="doc_id")
+    return sel.select("doc_id", "n_tokens", "cum_tokens")
+
+
+def _oracle_token_budget_select() -> str:
+    from cloud_data_quality_spark.functions.qc_artifact import QC_BIAS_MICRO
+    wc = OF.sql_word_count("text")
+    return f"""
+with {_classifier_score_ctes()},
+scored as (
+  select d.doc_id, (coalesce(s.ws, 0) + {QC_BIAS_MICRO})::BIGINT as score,
+         {wc} as n_tokens
+  from documents d left join summed s using (doc_id)),
+c as (
+  select doc_id, n_tokens,
+         sum(n_tokens) over (order by score desc, doc_id asc
+                             rows between unbounded preceding
+                                      and current row) as cum
+  from scored)
+select doc_id, n_tokens::BIGINT as n_tokens, cum::BIGINT as cum_tokens
+from c where cum <= {_TOKEN_BUDGET}
+"""
+
+
+_PPL_CUTS = [(1, 3), (2, 3)]
+_PPL_LABELS = ["head", "middle", "tail"]
+
+
+def q_perplexity_buckets_docs(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): label
+    every doc by which exact corpus-perplexity tercile it falls in
+    (functions/selection.quantile_buckets over the corpus-unigram NLL).
+    Rank targets are integer-exact (ceil(n·k/3) via integer arithmetic),
+    so both engines derive identical boundary scores — no approximate
+    percentile anywhere."""
+    from cloud_data_quality_spark.functions.selection import quantile_buckets
+    scored = q_unigram_logprob(spark, sf_dir)
+    return quantile_buckets(scored, "nll", cuts=_PPL_CUTS,
+                            labels=_PPL_LABELS)
+
+
+def _oracle_perplexity_buckets() -> str:
+    # boundaries replayed with the SAME integer rank targets over the same
+    # 4dp-rounded nll the unigram oracle produces
+    cuts_sql = []
+    for k, (num, den) in enumerate(_PPL_CUTS):
+        cuts_sql.append(
+            f"b{k} as (select min(nll) as b from cum "
+            f"where c >= (n * {num} + {den - 1}) // {den})")
+    whens = " ".join(
+        f"when s.nll <= (select b from b{k}) then '{label}'"
+        for k, label in enumerate(_PPL_LABELS[:-1]))
+    return f"""
+with scored as ({ORACLE_UNIGRAM_LOGPROB}),
+f as (select nll, count(*) cnt from scored group by nll),
+cum as (select nll, sum(cnt) over (order by nll) as c,
+               (select count(*) from scored) as n from f),
+{", ".join(cuts_sql)}
+select s.doc_id, s.nll,
+       case {whens} else '{_PPL_LABELS[-1]}' end as bucket
+from scored s
+"""
+
+
+_DUP_NGRAM_N = 8
+
+
+def q_dup_ngram_stats_docs(spark, sf_dir):
+    """Cross-document duplicated n-gram coverage
+    (functions/corpus.duplicated_ngram_stats): per-doc fraction of distinct
+    8-word shingles that occur in other documents — the RefinedWeb-style
+    boilerplate signal; exact integer ratios end to end."""
+    from cloud_data_quality_spark.functions.corpus import (
+        duplicated_ngram_stats)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_ngram_stats(docs, n=_DUP_NGRAM_N)
+
+
+def _oracle_dup_ngram_stats() -> str:
+    sh = OF.sql_word_shingles("text", _DUP_NGRAM_N)
+    return f"""
+with s as (select doc_id, {sh} as sh from documents where text is not null),
+e as (select doc_id, md5(unnest(sh)) as fp from s),
+c as (select fp, count(*) as docs from e group by fp),
+d as (select e.doc_id, count(*) as n_sh,
+             sum(case when c.docs > 1 then 1 else 0 end) as n_dup
+      from e join c using (fp) group by e.doc_id)
+select s.doc_id,
+       coalesce(d.n_sh, 0)::BIGINT as n_shingles,
+       coalesce(d.n_dup, 0)::BIGINT as n_dup_shingles,
+       round(coalesce(d.n_dup, 0) /
+             nullif(coalesce(d.n_sh, 0), 0)::DOUBLE, 6) as dup_ngram_frac
+from s left join d using (doc_id)
+"""
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SALT = "split1"
+
+
+def q_dataset_split_docs(spark, sf_dir):
+    """Deterministic exclusive train/val/test assignment
+    (functions/corpus.dataset_split): 60-bit id-hash vs cumulative integer
+    thresholds — exhaustive, exclusive, reproducible across engines and
+    partitionings (re-runs MUST NOT leak eval docs into training)."""
+    from cloud_data_quality_spark.functions.corpus import dataset_split
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return dataset_split(docs, _SPLIT_WEIGHTS, id_col="doc_id",
+                         salt=_SPLIT_SALT)
+
+
+def _oracle_dataset_split() -> str:
+    """Generated from the SAME weights/salt via split_boundaries — the two
+    engines compare the same integers against the same md5 prefix."""
+    from cloud_data_quality_spark.functions.corpus import split_boundaries
+    bounds = split_boundaries(_SPLIT_WEIGHTS)
+    h = (f"('0x' || substr(md5(doc_id::VARCHAR || '|{_SPLIT_SALT}'), "
+         f"1, 15))::BIGINT")
+    whens = " ".join(f"when {h} < {bound} then '{name}'"
+                     for name, bound in bounds[:-1])
+    return f"""
+select doc_id, case {whens} else '{bounds[-1][0]}' end as split
+from documents
+"""
