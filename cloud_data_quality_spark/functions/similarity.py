@@ -409,3 +409,60 @@ def ivf_topk_np(
             .where(F.col("rank") <= k)
             .select("probe_id", "neighbor_id", "rank",
                     F.round("cos", 6).alias("cosine")))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.92,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by coarse k-means clustering + intra-cluster cosine.
+    A document is dropped iff some SAME-CELL document with a smaller id
+    scores cosine >= threshold against it — pairwise dominance by id, the
+    paper's "keep one representative per duplicate group" with min-id as
+    the deterministic representative (the paper picks low-centroid-
+    similarity/random; min-id is order-free and oracle-replayable).
+
+    Returns (id_col, cell int, keep boolean) for EVERY input row.
+
+    Scale shape (the reason SemDeDup beats all-pairs cosine at corpus
+    scale): centroid assignment is a narrow pass — the centroid literals
+    travel in the plan, no shuffle; the ONLY shuffle is the cell-keyed
+    self-join, and pair work is cell-local, O(sum c_i^2) instead of
+    O(n^2). Cells are balanced by the quantizer by construction; at 10^9+
+    docs you raise n_centroids ~ sqrt(N) (training stays an offline
+    bounded-sample artifact — functions/ivf_artifact) so expected cell
+    population stays ~sqrt(N) and intra-cell pairwork stays bounded.
+    Cosine is rounded to 6 dp BEFORE the threshold compare, same contract
+    as dedup.embedding_cosine_pairs, so the keep decision is replayable
+    bit-for-bit from the centroid artifact."""
+    # per-vector double cast + norm once (not per pair — see
+    # embedding_cosine_pairs for the measured 3x)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cells = corpus.select(
+        F.col(id_col).alias("id"),
+        ivf_assign(F.col(vec_col), centroids).alias("cell"),
+        vd.alias("v"),
+        F.sqrt(F.aggregate(F.transform(vd, lambda x: x * x), F.lit(0.0),
+                           lambda acc, x: acc + x)).alias("nrm"))
+    a = cells.select(F.col("id").alias("a_id"), "cell",
+                     F.col("v").alias("av"), F.col("nrm").alias("anrm"))
+    b = cells.select(F.col("id").alias("b_id"), "cell",
+                     F.col("v").alias("bv"), F.col("nrm").alias("bnrm"))
+    dot = F.aggregate(F.zip_with(F.col("av"), F.col("bv"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    dropped = (a.join(b, "cell")
+               .where(F.col("b_id") < F.col("a_id"))
+               .select("a_id",
+                       F.round(dot / F.nullif(F.col("anrm") * F.col("bnrm"),
+                                              F.lit(0.0)), 6).alias("cos"))
+               .where(F.col("cos") >= F.lit(threshold))
+               .select("a_id").distinct()
+               .withColumn("_dup", F.lit(True)))
+    return (cells.join(dropped, cells["id"] == dropped["a_id"], "left")
+            .select(F.col("id").alias(id_col), "cell",
+                    F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")))

@@ -551,3 +551,67 @@ select probe_id, neighbor_id, rank::INT as rank, round(c, 6) as cosine
 from ranked where rank <= {k}
 """
 
+
+_SEMDEDUP_THRESHOLD = 0.92
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (similarity.semantic_dedup): k-means cells from the offline
+    IVF centroid artifact, intra-cell cosine >= threshold drops every doc
+    dominated by a smaller same-cell id. The corpus is embeddings plus an
+    IDENTICAL copy of every vec_id % 7 == 0 vector in the negative-id
+    namespace — each copy (smaller id) must evict its original, while the
+    natural corpus (max pairwise cosine ~0.48) survives untouched."""
+    from cloud_data_quality_spark.functions.ivf_artifact import (
+        IVF_CENTROIDS_64,
+    )
+    from cloud_data_quality_spark.functions.similarity import semantic_dedup
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = (emb.where(F.col("vec_id") % 7 == 0)
+              .select((-F.col("vec_id") - 1).alias("vec_id"), "embedding"))
+    return semantic_dedup(emb.unionAll(copies), IVF_CENTROIDS_64,
+                          threshold=_SEMDEDUP_THRESHOLD)
+
+
+def _oracle_semantic_dedup() -> str:
+    """DuckDB replay from the SAME centroid artifact as _oracle_ivf_ann
+    (identical |c|^2 - 2*v*c cell scores, ties by centroid index) plus the
+    same round-6-then-compare cosine contract as semantic_dedup."""
+    import numpy as np
+
+    from cloud_data_quality_spark.functions.ivf_artifact import (
+        IVF_CENTROIDS_64,
+    )
+    cells = []
+    for i, c in enumerate(IVF_CENTROIDS_64):
+        lits = ", ".join(repr(float(x)) for x in c)
+        c2 = repr(float(np.dot(c, c)))
+        cells.append(f"({i}, {c2} - 2 * list_dot_product(v, [{lits}]))")
+    cell_rows = ",\n      ".join(cells)
+    return f"""
+with corpus as (
+  select vec_id, embedding::DOUBLE[] as v from embeddings
+  union all
+  select -vec_id - 1 as vec_id, embedding::DOUBLE[] as v
+  from embeddings where vec_id % 7 = 0),
+scores as (
+  select vec_id, v, s.i as cell, s.d
+  from corpus cross join lateral (
+    select * from (values
+      {cell_rows}
+    ) as t(i, d)) s),
+assigned as (
+  select vec_id, v, cell from (
+    select *, row_number() over (partition by vec_id order by d, cell) as rn
+    from scores) where rn = 1),
+drops as (
+  select distinct a.vec_id
+  from assigned a join assigned b using (cell)
+  where b.vec_id < a.vec_id
+    and round(list_dot_product(a.v, b.v) /
+              nullif(sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v)), 0),
+              6) >= {_SEMDEDUP_THRESHOLD})
+select c.vec_id, c.cell::INT as cell, (d.vec_id is null) as keep
+from assigned c left join drops d using (vec_id)
+"""

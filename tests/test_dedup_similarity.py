@@ -519,3 +519,47 @@ class TestContainmentPairs:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             containment_pairs(df, containment_threshold=0.0)
+
+
+class TestSemanticDedup:
+    def test_copy_evicts_original_natural_corpus_survives(self, spark):
+        from cloud_data_quality_spark.functions.ivf_artifact import (
+            IVF_CENTROIDS_64)
+        from cloud_data_quality_spark.functions.similarity import (
+            semantic_dedup)
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet") \
+            .select("vec_id", "embedding")
+        copies = (emb.where(F.col("vec_id") % 7 == 0)
+                  .select((-F.col("vec_id") - 1).alias("vec_id"),
+                          "embedding"))
+        out = semantic_dedup(emb.unionAll(copies), IVF_CENTROIDS_64,
+                             threshold=0.92).collect()
+        by_id = {r["vec_id"]: r for r in out}
+        n_copies = len([i for i in by_id if i < 0])
+        assert n_copies > 0
+        # every copy (smaller id) survives; its identical original dropped
+        for i in by_id:
+            if i < 0:
+                orig = -i - 1
+                assert by_id[i]["keep"], i
+                assert not by_id[orig]["keep"], orig
+                assert by_id[i]["cell"] == by_id[orig]["cell"]
+        # the natural corpus (max pairwise cosine ~0.48 << 0.92) is intact
+        dropped = [i for i, r in by_id.items() if not r["keep"]]
+        assert sorted(dropped) == sorted(-i - 1 for i in by_id if i < 0)
+        # exactly one row per input id
+        assert len(out) == len(by_id)
+
+    def test_join_is_cell_keyed_not_cartesian(self, spark):
+        from cloud_data_quality_spark.functions.ivf_artifact import (
+            IVF_CENTROIDS_64)
+        from cloud_data_quality_spark.functions.similarity import (
+            semantic_dedup)
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet") \
+            .select("vec_id", "embedding")
+        plan = semantic_dedup(emb, IVF_CENTROIDS_64) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
