@@ -213,3 +213,122 @@ def frame_sample_stub(df: DataFrame, blob_col: str = "html",
                 columns=list(pdf.columns) + ["frame_no", "frame_sha256"])
 
     return df.mapInPandas(stage, schema=out_schema)
+
+
+AUDIO_META_SCHEMA = ("sample_rate int, audio_channels int, "
+                     "bits_per_sample int, n_frames bigint, "
+                     "duration_ms bigint, audio_format string, "
+                     "audio_sha256 string")
+
+
+def parse_audio_header(b: bytes) -> tuple[int, int, int, int, int] | None:
+    """(sample_rate, channels, bits_per_sample, n_frames, duration_ms)
+    from real RIFF/WAVE header bytes, or None if the blob isn't a
+    recognized WAV. Pure byte-slicing, no codec dependency:
+
+    * 12-byte RIFF header: 'RIFF' + LE u32 chunk size + 'WAVE';
+    * then a generic chunk walk (4-byte id, LE u32 size, even-padded
+      payload): the 'fmt ' chunk carries channels (LE u16 at +2),
+      sample_rate (LE u32 at +4), block_align (LE u16 at +12) and
+      bits_per_sample (LE u16 at +14); the 'data' chunk's DECLARED size
+      gives n_frames = data_size // block_align — the payload itself is
+      never required, so truncated/headers-only blobs (the realistic
+      header-scan case at corpus scale) still parse.
+    * duration_ms = n_frames * 1000 // sample_rate — integer arithmetic,
+      bit-replayable by the SQL oracle.
+    """
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data_size = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        if cid == b"fmt " and size >= 16 and pos + 8 + 16 <= len(b):
+            audio_format, channels, sample_rate = struct.unpack(
+                "<HHI", b[pos + 8:pos + 16])
+            block_align, bits = struct.unpack(
+                "<HH", b[pos + 20:pos + 24])
+            if channels and sample_rate and block_align:
+                fmt = (channels, sample_rate, block_align, bits)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)   # chunks are even-padded
+    if fmt is None or data_size is None:
+        return None
+    channels, sample_rate, block_align, bits = fmt
+    n_frames = data_size // block_align
+    duration_ms = n_frames * 1000 // sample_rate
+    return sample_rate, channels, bits, n_frames, duration_ms
+
+
+def make_wav(sample_rate: int, channels: int, bits: int,
+             n_frames: int) -> bytes:
+    """Canonical 44-byte PCM WAV header with a declared (absent) data
+    payload — byte-identical to the SQL hex fragment the registry oracle
+    builds via unhex(), same contract as make_png/make_gif/make_jpeg."""
+    block_align = channels * bits // 8
+    data_size = n_frames * block_align
+    return (b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels,
+                                    sample_rate, sample_rate * block_align,
+                                    block_align, bits)
+            + b"data" + struct.pack("<I", data_size))
+
+
+def audio_metadata(df: DataFrame, blob_col: str = "html",
+                   deterministic_fake: bool = True) -> DataFrame:
+    """Per-blob audio metadata via mapInPandas — the audio twin of
+    image_metadata. WAV headers are decoded for real
+    (`parse_audio_header`); full sample decode (MP3/FLAC/OGG) needs a
+    codec this container doesn't ship, so non-WAV blobs get either a
+    digest-derived deterministic fake (plumbing-test mode,
+    audio_format='FAKE') or an audio_format='INVALID' row with NULL
+    fields (strict mode — invalid media is data to filter, not an
+    exception to crash 10^12 rows on)."""
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [AUDIO_META_SCHEMA]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = {"sample_rate": [], "audio_channels": [],
+                     "bits_per_sample": [], "n_frames": [],
+                     "duration_ms": [], "audio_format": [],
+                     "audio_sha256": []}
+            for blob in pdf[blob_col]:
+                if blob is None:
+                    for k in metas:
+                        metas[k].append(None)
+                    continue
+                b = bytes(blob)
+                digest = hashlib.sha256(b).hexdigest()
+                metas["audio_sha256"].append(digest)
+                parsed = parse_audio_header(b)
+                if parsed is not None:
+                    sr, ch, bits, nf, dur = parsed
+                    metas["sample_rate"].append(sr)
+                    metas["audio_channels"].append(ch)
+                    metas["bits_per_sample"].append(bits)
+                    metas["n_frames"].append(nf)
+                    metas["duration_ms"].append(dur)
+                    metas["audio_format"].append("WAV")
+                elif deterministic_fake:
+                    sr = 8000 + int(digest[:4], 16) % 40000
+                    nf = int(digest[4:10], 16) % 100_000
+                    metas["sample_rate"].append(sr)
+                    metas["audio_channels"].append(1 + int(digest[10], 16) % 2)
+                    metas["bits_per_sample"].append(16)
+                    metas["n_frames"].append(nf)
+                    metas["duration_ms"].append(nf * 1000 // sr)
+                    metas["audio_format"].append("FAKE")
+                else:
+                    for k in ("sample_rate", "audio_channels",
+                              "bits_per_sample", "n_frames", "duration_ms"):
+                        metas[k].append(None)
+                    metas["audio_format"].append("INVALID")
+            yield pdf.assign(**metas)
+
+    return df.mapInPandas(stage, schema=out_schema)

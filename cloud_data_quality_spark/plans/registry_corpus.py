@@ -1268,3 +1268,79 @@ def _oracle_dataset_split() -> str:
 select doc_id, case {whens} else '{bounds[-1][0]}' end as split
 from documents
 """
+
+
+def _wav_blob_hex_sql(hexfn: str) -> str:
+    """Hex string of a synthesized 44-byte PCM WAV header per doc_id —
+    evaluated by BOTH engines, byte-identical to multimodal.make_wav:
+    RIFF size + 'WAVE', canonical 'fmt ' (LE u16/u32 fields), 'data' with
+    a declared-but-absent payload (the header-scan posture). Every 11th
+    doc is garbage bytes — the strict-mode INVALID row."""
+    c = "(1 + (doc_id % 2))"
+    bits = "(8 * (1 + (doc_id % 3)))"
+    ba = f"({c} * (1 + (doc_id % 3)))"
+    sr = "(8000 + (doc_id % 9) * 4000)"
+    nf = "((doc_id % 1000) + 1)"
+    ds = f"({nf} * {ba})"
+
+    def le16(x):
+        h = f"lpad({hexfn}({x}), 4, '0')"
+        return f"(substr({h}, 3, 2) || substr({h}, 1, 2))"
+
+    def le32(x):
+        h = f"lpad({hexfn}({x}), 8, '0')"
+        return (f"(substr({h}, 7, 2) || substr({h}, 5, 2) || "
+                f"substr({h}, 3, 2) || substr({h}, 1, 2))")
+
+    wav = (f"('52494646' || {le32(f'(36 + {ds})')} || '57415645' || "
+           f"'666d7420' || '10000000' || '0100' || {le16(c)} || "
+           f"{le32(sr)} || {le32(f'({sr} * {ba})')} || {le16(ba)} || "
+           f"{le16(bits)} || '64617461' || {le32(ds)})")
+    return f"case when doc_id % 11 = 0 then 'deadbeef' else {wav} end"
+
+
+def q_audio_metadata(spark, sf_dir):
+    """Real WAV/RIFF header decode (multimodal.parse_audio_header): blobs
+    synthesized JVM-side via unhex() from the shared hex fragment, then
+    sample_rate/channels/bits/n_frames/duration parsed from the actual
+    bytes in the strict-mode mapInPandas stage. The oracle knows the
+    parameters it encoded, so any parser drift — endianness, chunk-walk
+    offsets, integer-division duration — value-mismatches."""
+    from cloud_data_quality_spark.functions.multimodal import audio_metadata
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"unhex({_wav_blob_hex_sql('hex')})").alias("blob"))
+    out = audio_metadata(docs, blob_col="blob", deterministic_fake=False)
+    return out.select(
+        "doc_id",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("audio_channels").cast("int").alias("audio_channels"),
+        F.col("bits_per_sample").cast("int").alias("bits_per_sample"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        "audio_format",
+        F.sha2(F.lower(F.hex(F.col("blob"))), 256).alias("blob_hex_sha256"))
+
+
+def _oracle_audio_metadata() -> str:
+    """Fields come straight from the synthesis arithmetic (the encoder's
+    inputs); blob_hex_sha256 pins byte-equality of the blob both engines
+    built, same contract as _oracle_image_metadata."""
+    blob = _wav_blob_hex_sql("to_hex")
+    return f"""
+select doc_id,
+       (case when doc_id % 11 = 0 then null
+             else 8000 + (doc_id % 9) * 4000 end)::INT as sample_rate,
+       (case when doc_id % 11 = 0 then null
+             else 1 + (doc_id % 2) end)::INT as audio_channels,
+       (case when doc_id % 11 = 0 then null
+             else 8 * (1 + (doc_id % 3)) end)::INT as bits_per_sample,
+       (case when doc_id % 11 = 0 then null
+             else (doc_id % 1000) + 1 end)::BIGINT as n_frames,
+       (case when doc_id % 11 = 0 then null
+             else (((doc_id % 1000) + 1) * 1000)
+                  // (8000 + (doc_id % 9) * 4000) end)::BIGINT as duration_ms,
+       case when doc_id % 11 = 0 then 'INVALID' else 'WAV' end
+         as audio_format,
+       sha256(lower({blob})) as blob_hex_sha256
+from documents
+"""

@@ -296,3 +296,46 @@ class TestMultimodal:
         rows = out.collect()
         assert len(rows) >= 10  # ≥1 frame per non-null blob
         assert {"frame_no", "frame_sha256"} <= set(out.columns)
+
+
+class TestAudioMetadata:
+    def test_parse_audio_header_roundtrip(self):
+        """WAV parser reads real RIFF bytes: fixture round-trip (verified
+        against the stdlib wave reader), chunk-walk past extra chunks,
+        odd-size padding, integer-ms duration, truncation, garbage."""
+        import io
+        import struct
+        import wave
+
+        from cloud_data_quality_spark.functions.multimodal import (
+            make_wav, parse_audio_header)
+        b = make_wav(16000, 2, 16, 1234)
+        assert parse_audio_header(b) == (16000, 2, 16, 1234, 77)
+        # stdlib wave agrees with the fixture encoder
+        w = wave.open(io.BytesIO(b + b"\x00" * (1234 * 4)))
+        assert (w.getframerate(), w.getnchannels(), w.getsampwidth() * 8,
+                w.getnframes()) == (16000, 2, 16, 1234)
+        # sub-ms clip floors to 0; 24-bit mono
+        assert parse_audio_header(make_wav(8000, 1, 8, 7)) == (8000, 1, 8, 7, 0)
+        assert parse_audio_header(make_wav(44100, 1, 24, 44100))[4] == 1000
+        # chunk walk skips a LIST chunk (odd size → even-padded) before fmt
+        extra = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+                 + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+                 + make_wav(44100, 2, 24, 999)[12:])
+        assert parse_audio_header(extra) == (44100, 2, 24, 999,
+                                             999 * 1000 // 44100)
+        assert parse_audio_header(b"garbage") is None
+        assert parse_audio_header(b"RIFF\x00\x00\x00\x00WAVE") is None
+        assert parse_audio_header(make_wav(16000, 2, 16, 10)[:20]) is None
+
+    def test_audio_metadata_strict_and_fake_modes(self, spark, pages_parquet):
+        from cloud_data_quality_spark.functions.multimodal import (
+            audio_metadata)
+        df = spark.read.parquet(pages_parquet).limit(20)
+        fake = audio_metadata(df, blob_col="html").collect()
+        assert all(r["audio_format"] == "FAKE" for r in fake)
+        assert all(r["audio_sha256"] is not None for r in fake)
+        strict = audio_metadata(df, blob_col="html",
+                                deterministic_fake=False).collect()
+        assert all(r["audio_format"] == "INVALID" for r in strict)
+        assert all(r["sample_rate"] is None for r in strict)
