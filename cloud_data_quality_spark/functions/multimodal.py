@@ -332,3 +332,167 @@ def audio_metadata(df: DataFrame, blob_col: str = "html",
             yield pdf.assign(**metas)
 
     return df.mapInPandas(stage, schema=out_schema)
+
+
+VIDEO_META_SCHEMA = ("v_timescale int, v_duration bigint, "
+                     "v_duration_ms bigint, v_width int, v_height int, "
+                     "video_format string, video_sha256 string")
+
+
+def parse_video_header(b: bytes) -> tuple[int, int, int, int, int] | None:
+    """(timescale, duration, duration_ms, width, height) from real
+    MP4/ISO-BMFF header bytes, or None if the blob isn't recognized.
+    Pure byte-slicing over the box grammar (u32-BE size + fourcc; size 1
+    = 64-bit extended size; size 0 = to-EOF):
+
+    * top level must contain `ftyp` (brand check) and `moov`;
+    * `moov/mvhd` carries timescale + duration (v0: u32s at +12/+16;
+      v1: u32 timescale at +20, u64 duration at +24);
+    * the first `moov/trak/tkhd` carries width/height as 16.16 fixed-point
+      u32s in the box's last 8 bytes (v0 offset +76, v1 +88) — the
+      integer part is taken, fractional pixels are a spec curiosity;
+    * duration_ms = duration * 1000 // timescale (integer arithmetic,
+      bit-replayable by the SQL oracle).
+
+    Like parse_audio_header, only box headers are required — a
+    headers-only prefix of a 10 GB video parses fine, the posture for
+    header scans at corpus scale."""
+
+    def walk(buf, start, end):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos:pos + 4])
+            kind = buf[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr:
+                return
+            yield kind, pos + hdr, min(pos + size, end)
+            pos += size
+
+    if len(b) < 12:
+        return None
+    have_ftyp = False
+    mvhd = tkhd = None
+    for kind, s, e in walk(b, 0, len(b)):
+        if kind == b"ftyp":
+            have_ftyp = True
+        elif kind == b"moov":
+            for k2, s2, e2 in walk(b, s, e):
+                if k2 == b"mvhd" and mvhd is None:
+                    mvhd = (s2, e2)
+                elif k2 == b"trak" and tkhd is None:
+                    for k3, s3, e3 in walk(b, s2, e2):
+                        if k3 == b"tkhd":
+                            tkhd = (s3, e3)
+                            break
+    if not have_ftyp or mvhd is None:
+        return None
+    s, e = mvhd
+    if e - s < 20:
+        return None
+    version = b[s]
+    if version == 1:
+        if e - s < 32:
+            return None
+        (timescale,) = struct.unpack(">I", b[s + 20:s + 24])
+        (duration,) = struct.unpack(">Q", b[s + 24:s + 32])
+    else:
+        timescale, duration = struct.unpack(">II", b[s + 12:s + 20])
+    if not timescale:
+        return None
+    width = height = 0
+    if tkhd is not None:
+        s, e = tkhd
+        off = s + (88 if b[s] == 1 else 76)
+        if off + 8 <= e:
+            w_fx, h_fx = struct.unpack(">II", b[off:off + 8])
+            width, height = w_fx >> 16, h_fx >> 16
+    return timescale, duration, duration * 1000 // timescale, width, height
+
+
+def make_mp4(timescale: int, duration: int, width: int,
+             height: int) -> bytes:
+    """Minimal ISO-BMFF header: ftyp + moov(mvhd v0 + trak(tkhd v0)) with
+    16.16 fixed-point dims — byte-identical to the SQL hex fragment the
+    registry oracle builds via unhex(), same contract as make_wav."""
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    mvhd = (struct.pack(">I", 108) + b"mvhd" + bytes(4)        # v0+flags
+            + bytes(8)                                         # c/m time
+            + struct.pack(">II", timescale, duration)
+            + struct.pack(">I", 0x00010000)[:4]                # rate 1.0
+            + struct.pack(">H", 0x0100) + bytes(10)            # volume+rsvd
+            + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                          0, 0, 0x40000000)                    # unity matrix
+            + bytes(24) + struct.pack(">I", 2))                # next track
+    tkhd = (struct.pack(">I", 92) + b"tkhd" + bytes(4)
+            + bytes(8) + struct.pack(">I", 1) + bytes(4)       # track id
+            + struct.pack(">I", duration) + bytes(8)
+            + bytes(8)                                         # layer..rsvd
+            + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                          0, 0, 0x40000000)
+            + struct.pack(">II", width << 16, height << 16))
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" \
+        + mvhd + trak
+    return ftyp + moov
+
+
+def video_metadata(df: DataFrame, blob_col: str = "html",
+                   deterministic_fake: bool = True) -> DataFrame:
+    """Per-blob video metadata via mapInPandas — completes the
+    image/audio/video header-decode trio. MP4/ISO-BMFF headers are decoded
+    for real (`parse_video_header`); frame/sample decode needs a codec
+    (av/ffmpeg) this container doesn't ship — frame_sample_stub keeps that
+    stage's plumbing shape. Strict mode emits video_format='INVALID' with
+    NULL fields for unrecognized blobs."""
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [VIDEO_META_SCHEMA]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = {"v_timescale": [], "v_duration": [],
+                     "v_duration_ms": [], "v_width": [], "v_height": [],
+                     "video_format": [], "video_sha256": []}
+            for blob in pdf[blob_col]:
+                if blob is None:
+                    for k in metas:
+                        metas[k].append(None)
+                    continue
+                b = bytes(blob)
+                digest = hashlib.sha256(b).hexdigest()
+                metas["video_sha256"].append(digest)
+                parsed = parse_video_header(b)
+                if parsed is not None:
+                    ts, dur, ms, w, h = parsed
+                    metas["v_timescale"].append(ts)
+                    metas["v_duration"].append(dur)
+                    metas["v_duration_ms"].append(ms)
+                    metas["v_width"].append(w)
+                    metas["v_height"].append(h)
+                    metas["video_format"].append("MP4")
+                elif deterministic_fake:
+                    ts = 600
+                    dur = int(digest[:6], 16) % 10_000_000
+                    metas["v_timescale"].append(ts)
+                    metas["v_duration"].append(dur)
+                    metas["v_duration_ms"].append(dur * 1000 // ts)
+                    metas["v_width"].append(16 * (1 + int(digest[6], 16)))
+                    metas["v_height"].append(16 * (1 + int(digest[7], 16)))
+                    metas["video_format"].append("FAKE")
+                else:
+                    for k in ("v_timescale", "v_duration", "v_duration_ms",
+                              "v_width", "v_height"):
+                        metas[k].append(None)
+                    metas["video_format"].append("INVALID")
+            yield pdf.assign(**metas)
+
+    return df.mapInPandas(stage, schema=out_schema)

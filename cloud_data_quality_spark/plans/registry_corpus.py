@@ -1344,3 +1344,83 @@ select doc_id,
        sha256(lower({blob})) as blob_hex_sha256
 from documents
 """
+
+
+#: unity transform matrix shared by mvhd/tkhd (9 BE u32s)
+_MP4_MATRIX_HEX = ("00010000" + "00000000" * 3 + "00010000"
+                   + "00000000" * 3 + "40000000")
+
+
+def _mp4_blob_hex_sql(hexfn: str) -> str:
+    """Hex of a synthesized ISO-BMFF header per doc_id — byte-identical to
+    multimodal.make_mp4 (ftyp + moov(mvhd v0 + trak(tkhd v0))). All
+    variable fields are BE u32s, so lpad(hex(x), 8, '0') splices them with
+    no byte swapping. Every 11th doc is garbage — strict-mode INVALID."""
+    ts = "(600 + (doc_id % 5) * 300)"
+    dur = "((doc_id % 100000) * 97 + 1)"
+    w = "(160 + (doc_id % 120) * 16)"
+    h = "(90 + (doc_id % 95) * 16)"
+
+    def be32(x):
+        return f"lpad({hexfn}({x}), 8, '0')"
+
+    def fx1616(x):
+        return f"(lpad({hexfn}({x}), 4, '0') || '0000')"
+
+    mp4 = ("('000000106674797069736f6d00000000'"           # ftyp isom
+           " || '000000d86d6f6f76'"                        # moov(216)
+           " || '0000006c6d76686400000000' || '0000000000000000'"
+           f" || {be32(ts)} || {be32(dur)}"
+           " || '000100000100' || '00000000000000000000'"  # rate+vol+rsvd
+           f" || '{_MP4_MATRIX_HEX}' || '{'00' * 24}' || '00000002'"
+           " || '000000647472616b'"                        # trak(100)
+           " || '0000005c746b686400000000' || '0000000000000000'"
+           " || '00000001' || '00000000'"                  # track id+rsvd
+           f" || {be32(dur)} || '{'00' * 16}'"             # dur + rsvd/layer
+           f" || '{_MP4_MATRIX_HEX}'"
+           f" || {fx1616(w)} || {fx1616(h)})")
+    return f"case when doc_id % 11 = 0 then 'deadbeef' else {mp4} end"
+
+
+def q_video_metadata(spark, sf_dir):
+    """Real MP4/ISO-BMFF header decode (multimodal.parse_video_header):
+    box-grammar walk to moov/mvhd (timescale, duration) and
+    moov/trak/tkhd (16.16 fixed-point dims) over blobs synthesized
+    JVM-side from the shared hex fragment. The oracle knows the encoded
+    parameters, so any drift in the box walk, version offsets, fixed-point
+    shift, or integer-ms division value-mismatches."""
+    from cloud_data_quality_spark.functions.multimodal import video_metadata
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"unhex({_mp4_blob_hex_sql('hex')})").alias("blob"))
+    out = video_metadata(docs, blob_col="blob", deterministic_fake=False)
+    return out.select(
+        "doc_id",
+        F.col("v_timescale").cast("int").alias("v_timescale"),
+        F.col("v_duration").cast("bigint").alias("v_duration"),
+        F.col("v_duration_ms").cast("bigint").alias("v_duration_ms"),
+        F.col("v_width").cast("int").alias("v_width"),
+        F.col("v_height").cast("int").alias("v_height"),
+        "video_format",
+        F.sha2(F.lower(F.hex(F.col("blob"))), 256).alias("blob_hex_sha256"))
+
+
+def _oracle_video_metadata() -> str:
+    blob = _mp4_blob_hex_sql("to_hex")
+    return f"""
+select doc_id,
+       (case when doc_id % 11 = 0 then null
+             else 600 + (doc_id % 5) * 300 end)::INT as v_timescale,
+       (case when doc_id % 11 = 0 then null
+             else (doc_id % 100000) * 97 + 1 end)::BIGINT as v_duration,
+       (case when doc_id % 11 = 0 then null
+             else (((doc_id % 100000) * 97 + 1) * 1000)
+                  // (600 + (doc_id % 5) * 300) end)::BIGINT as v_duration_ms,
+       (case when doc_id % 11 = 0 then null
+             else 160 + (doc_id % 120) * 16 end)::INT as v_width,
+       (case when doc_id % 11 = 0 then null
+             else 90 + (doc_id % 95) * 16 end)::INT as v_height,
+       case when doc_id % 11 = 0 then 'INVALID' else 'MP4' end
+         as video_format,
+       sha256(lower({blob})) as blob_hex_sha256
+from documents
+"""

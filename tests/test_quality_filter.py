@@ -339,3 +339,50 @@ class TestAudioMetadata:
                                 deterministic_fake=False).collect()
         assert all(r["audio_format"] == "INVALID" for r in strict)
         assert all(r["sample_rate"] is None for r in strict)
+
+
+class TestVideoMetadata:
+    def test_parse_video_header_roundtrip(self):
+        """MP4 parser reads real ISO-BMFF bytes: fixture round-trip,
+        64-bit extended box size, mvhd v1, headers-only prefix of a
+        'large' file, fixed-point dims, truncation, garbage."""
+        import struct
+
+        from cloud_data_quality_spark.functions.multimodal import (
+            make_mp4, parse_video_header)
+        b = make_mp4(600, 97001, 1920, 1080)
+        assert parse_video_header(b) == (600, 97001, 97001 * 1000 // 600,
+                                         1920, 1080)
+        # headers-only prefix of a huge file: trailing size-0 mdat to EOF
+        big = b + struct.pack(">I", 0) + b"mdat" + b"\x00" * 32
+        assert parse_video_header(big) == parse_video_header(b)
+        # 64-bit extended size on the ftyp box parses identically
+        ext = (struct.pack(">I", 1) + b"ftyp" + struct.pack(">Q", 24)
+               + b"isom" + struct.pack(">I", 0) + b[16:])
+        assert parse_video_header(ext) == parse_video_header(b)
+        # mvhd v1: u32 timescale at +20, u64 duration at +24
+        mvhd1 = (struct.pack(">I", 120) + b"mvhd" + b"\x01" + bytes(3)
+                 + bytes(16) + struct.pack(">I", 1000)
+                 + struct.pack(">Q", 2**33) + bytes(80))
+        moov1 = struct.pack(">I", 8 + 120) + b"moov" + mvhd1
+        v1 = b[:16] + moov1
+        assert parse_video_header(v1) == (1000, 2**33, 2**33 * 1000 // 1000,
+                                          0, 0)
+        assert parse_video_header(b"garbage") is None
+        assert parse_video_header(b[:20]) is None       # moov truncated away
+        assert parse_video_header(b[16:]) is None       # no ftyp
+        assert parse_video_header(b"") is None
+
+    def test_video_metadata_strict_and_fake_modes(self, spark, pages_parquet):
+        from cloud_data_quality_spark.functions.multimodal import (
+            video_metadata)
+        df = spark.read.parquet(pages_parquet).limit(20)
+        fake = video_metadata(df, blob_col="html").collect()
+        assert all(r["video_format"] == "FAKE" for r in fake)
+        assert all(r["video_sha256"] is not None for r in fake)
+        assert all(r["v_duration_ms"] ==
+                   r["v_duration"] * 1000 // r["v_timescale"] for r in fake)
+        strict = video_metadata(df, blob_col="html",
+                                deterministic_fake=False).collect()
+        assert all(r["video_format"] == "INVALID" for r in strict)
+        assert all(r["v_width"] is None for r in strict)
