@@ -1191,3 +1191,55 @@ def top_fraction_by_score(
     thr = df.agg(F.percentile_approx(
         score_col, 1.0 - fraction, 10_000).alias("t")).collect()[0]["t"]
     return df.where(F.col(score_col) >= thr)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 1,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (sklearn's convention: idf = ln((1+N)/(1+df)) + 1, score = tf*idf) —
+    the standard keyword signal for corpus topic audits, domain tagging
+    and mixture diagnostics.
+
+    Output: (id, term, tf, score, rank) with rank 1..k ordered by
+    (score desc, term asc) — the term tiebreak makes the cut deterministic
+    cross-engine. Scores are rounded to 4 decimals BEFORE ranking so both
+    engines rank the very values they emit.
+
+    Scale shape: explode → two hash aggregations ((doc,term) then term),
+    both with map-side combine, so ubiquitous terms never concentrate
+    rows. N (total docs) rides along as a broadcast scalar from a 1-row
+    count aggregate — no driver .count() round trip inside the plan. The
+    tf↔idf join shuffles on term; the idf side is vocabulary-sized
+    (≪ corpus — at web scale still maybe 10^8 rows, which is why it is
+    NOT force-broadcast; AQE demotes/promotes per run). The final top-k
+    window partitions by doc id — bounded keys (≤ distinct terms of one
+    doc), never a global sort."""
+    from pyspark.sql.window import Window
+
+    from cloud_data_quality_spark.functions.text import tokens
+    terms = df.select(F.col(id_col),
+                      F.explode(tokens(F.col(text_col))).alias("term"))
+    if stopwords:
+        terms = terms.where(~F.col("term").isin(stopwords))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    docfreq = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+               .where(F.col("df") >= F.lit(min_df))
+               .crossJoin(F.broadcast(n_docs))
+               .select("term",
+                       (F.log((F.lit(1) + F.col("__n"))
+                              / (F.lit(1) + F.col("df"))) + F.lit(1)
+                        ).alias("idf")))
+    scored = (tf.join(docfreq, "term")
+              .select(id_col, "term", "tf",
+                      F.round(F.col("tf") * F.col("idf"), 4).alias("score")))
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                           F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

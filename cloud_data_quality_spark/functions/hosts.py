@@ -208,3 +208,41 @@ def canonicalize_url(url: Column) -> Column:
         scheme, F.lit("://"), host, path,
         F.when(F.length(qs) > 0, F.concat(F.lit("?"), qs)).otherwise(F.lit("")))
     return F.when(F.length(scheme) > 0, canon).otherwise(url)
+
+
+def latest_revision(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+    canonicalize: bool = True,
+) -> DataFrame:
+    """Keep the newest crawl revision per (canonical) URL — WARC revisit
+    semantics: Common Crawl re-fetches pages across snapshots, and a
+    training corpus wants exactly one revision per page, the freshest.
+
+    Returns one row per canonical URL: the kept row's id, the latest
+    timestamp, and how many revisions collapsed into it. The winner is
+    max-by (timestamp, -id): freshest capture, smallest id on an exact
+    timestamp tie — deterministic under any partitioning.
+
+    Scale shape: ONE hash shuffle on the canonical URL with full map-side
+    partial aggregation (max / max_by / count all combine) — a hot URL
+    with millions of revisions still reduces to one row per map task, so
+    no salting is needed, unlike collect-the-group designs. No window, no
+    join-back: callers that need the full surviving row semi-join on
+    `id_col` against the source, which AQE plans against the (corpus-sized
+    but much thinner) winner set."""
+    curl = (canonicalize_url(F.col(url_col)) if canonicalize
+            else F.col(url_col))
+    return (
+        df.withColumn("canon_url", curl)
+        .groupBy("canon_url")
+        .agg(
+            F.max_by(id_col,
+                     F.struct(F.col(ts_col), (-F.col(id_col)).alias("nid"))
+                     ).alias(id_col),
+            F.max(ts_col).alias(ts_col),
+            F.count(F.lit(1)).alias("n_revisions"),
+        )
+    )

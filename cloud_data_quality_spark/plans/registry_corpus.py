@@ -1424,3 +1424,146 @@ select doc_id,
        sha256(lower({blob})) as blob_hex_sha256
 from documents
 """
+
+
+#: revision synthesis: the ONLY per-doc variation is inside a tracking
+#: param + URL case/port noise, so canonicalization itself is what
+#: collapses revisions — the dedup key is exercised, not assumed.
+_REVISION_URL_SQL = ("'HTTPS://' || upper(source) || '.Example.COM:443/p/'"
+                     " || (doc_id % 157) || '?utm_content=' || doc_id")
+_REVISION_TS_SQL = "cast(1600000000 + (doc_id * 7919) % 1000000 as bigint)"
+
+
+def q_url_revision_dedup(spark, sf_dir):
+    """WARC revisit dedup (hosts.latest_revision): newest capture per
+    canonical URL, tie-broken by smallest doc_id; n_revisions counts the
+    collapsed captures. One partial-aggregated shuffle, no window."""
+    from cloud_data_quality_spark.functions.hosts import latest_revision
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_REVISION_URL_SQL).alias("url"),
+        F.expr(_REVISION_TS_SQL).alias("warc_ts"))
+    return latest_revision(docs)
+
+
+def _oracle_url_revision_dedup() -> str:
+    return f"""
+with u as (select doc_id,
+                  'https://' || source || '.example.com/p/' || (doc_id % 157)
+                    as canon_url,
+                  {_REVISION_TS_SQL} as warc_ts
+           from documents),
+r as (select *,
+             row_number() over (partition by canon_url
+                                order by warc_ts desc, doc_id asc) as rn,
+             count(*) over (partition by canon_url) as n_revisions,
+             max(warc_ts) over (partition by canon_url) as max_ts
+      from u)
+select canon_url, doc_id, max_ts as warc_ts,
+       n_revisions::BIGINT as n_revisions
+from r where rn = 1
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (corpus.tfidf_top_terms) — scores
+    rounded to 4dp before ranking so both engines rank the exact values
+    they emit; ties broken by term."""
+    from cloud_data_quality_spark.functions.corpus import tfidf_top_terms
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, k=3)
+
+
+def _oracle_tfidf_top_terms() -> str:
+    toks = OF.sql_tokens("text")
+    return f"""
+with toks as (select doc_id, unnest({toks}) as term from documents),
+tf as (select doc_id, term, count(*)::BIGINT as tf from toks group by 1, 2),
+n as (select count(*)::BIGINT as n from documents),
+dfq as (select term,
+               ln((1 + (select n from n)) / (1.0 + count(*))) + 1 as idf
+        from tf group by term),
+scored as (select tf.doc_id, tf.term, tf.tf,
+                  round(tf.tf * dfq.idf, 4) as score
+           from tf join dfq using (term)),
+r as (select *, row_number() over (partition by doc_id
+                                   order by score desc, term asc) as rank
+      from scored)
+select doc_id, term, tf, score, rank::INT as rank from r where rank <= 3
+"""
+
+
+#: link-graph synthesis: 23 hosts, two outlinks per doc derived from
+#: doc_id arithmetic; the html also plants a relative href (no host → must
+#: drop), a duplicate href (distinct must collapse), and mixed-case
+#: HREF = with attribute whitespace (pattern must match). The oracle
+#: rebuilds edges from the ARITHMETIC, so extraction + host-parse are
+#: checked end-to-end against ground truth, not replayed.
+_LINK_HTML_SQL = (
+    "'<p><a href=\"https://h' || ((doc_id * 3 + 1) % 23) || '.test/x\">a</a>"
+    "<a HREF = \"https://h' || ((doc_id * 7 + 2) % 23) || '.test/y\">b</a>"
+    "<a href=\"https://h' || ((doc_id * 3 + 1) % 23) || '.test/x\">dup</a>"
+    "<a href=\"/local\">rel</a></p>'")
+_LINK_SRC_URL_SQL = "'https://h' || (doc_id % 23) || '.test/p/' || doc_id"
+_PAGERANK_ITERS = 3
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Link graph end-to-end (functions/linkgraph): href extraction →
+    host edges (absolute-only, self-loops dropped, distinct) → degrees +
+    integer-exact PageRank. rank_micro is bigint micro-units with
+    truncating division throughout, so the value hash is exact on any
+    partitioning — no FP summation order anywhere."""
+    from cloud_data_quality_spark.functions.linkgraph import (
+        extract_links,
+        host_degrees,
+        host_edges,
+        host_pagerank,
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_LINK_SRC_URL_SQL).alias("url"),
+        F.expr(_LINK_HTML_SQL).alias("html"))
+    links = extract_links(docs, keep_cols=("url",))
+    edges = host_edges(links)
+    pr = host_pagerank(edges, iterations=_PAGERANK_ITERS)
+    return pr.join(host_degrees(edges), "host").select(
+        "host", "rank_micro", "out_deg", "in_deg")
+
+
+def _oracle_host_pagerank() -> str:
+    parts = [f"""
+with e0 as (
+  select distinct 'h' || (doc_id % 23) || '.test' as src,
+                  'h' || ((doc_id * 3 + 1) % 23) || '.test' as dst
+  from documents where (doc_id % 23) != ((doc_id * 3 + 1) % 23)
+  union
+  select distinct 'h' || (doc_id % 23) || '.test',
+                  'h' || ((doc_id * 7 + 2) % 23) || '.test'
+  from documents where (doc_id % 23) != ((doc_id * 7 + 2) % 23)
+),
+nodes as (select src as host from e0 union select dst from e0),
+deg as (select src, count(*)::BIGINT as out_deg from e0 group by src),
+indeg as (select dst, count(*)::BIGINT as in_deg from e0 group by dst),
+r0 as (select host, 1000000::BIGINT as rank_micro from nodes)"""]
+    for i in range(1, _PAGERANK_ITERS + 1):
+        parts.append(f""",
+c{i} as (select e.dst as host,
+               sum(r.rank_micro // d.out_deg)::BIGINT as sc
+        from e0 e
+        join r{i - 1} r on e.src = r.host
+        join deg d on e.src = d.src
+        group by e.dst),
+r{i} as (select n.host,
+               (150000 + (85 * coalesce(c.sc, 0)) // 100)::BIGINT
+                 as rank_micro
+        from nodes n left join c{i} c using (host))""")
+    parts.append(f"""
+select r.host, r.rank_micro,
+       coalesce(d.out_deg, 0) as out_deg,
+       coalesce(i.in_deg, 0) as in_deg
+from r{_PAGERANK_ITERS} r
+left join deg d on r.host = d.src
+left join indeg i on r.host = i.dst
+""")
+    return "".join(parts)

@@ -1123,3 +1123,45 @@ class TestIdContractRegressions:
         assert [r["doc_id"] for r in got] == [1]
         # the NULL-id row is gone entirely, so no cross-doc dup is seen
         assert got[0]["n_dup_shingles"] == 0
+
+
+class TestTfidfTopTerms:
+    def test_scores_and_ranking(self, spark):
+        from cloud_data_quality_spark.functions.corpus import tfidf_top_terms
+        import math
+        rows = [(1, "apple apple banana"),
+                (2, "banana cherry"),
+                (3, "cherry cherry cherry dates")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = tfidf_top_terms(df, k=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # every doc emits <= k rows, ranked 1..k
+        assert all([r["rank"] for r in v] == list(range(1, len(v) + 1))
+                   for v in by_doc.values())
+        # doc 1: apple (tf=2, df=1) dominates banana (tf=1, df=2)
+        top1 = by_doc[1][0]
+        idf_apple = math.log((1 + 3) / (1 + 1)) + 1
+        assert top1["term"] == "apple"
+        assert top1["score"] == round(2 * idf_apple, 4)
+        # dates (df=1) outranks cherry's idf but not cherry's tf=3 in doc 3
+        assert by_doc[3][0]["term"] == "cherry"
+
+    def test_stopwords_and_min_df(self, spark):
+        from cloud_data_quality_spark.functions.corpus import tfidf_top_terms
+        df = spark.createDataFrame(
+            [(1, "the the unique"), (2, "the other")],
+            "doc_id long, text string")
+        out = tfidf_top_terms(df, k=5, stopwords=["the"]).collect()
+        assert "the" not in {r["term"] for r in out}
+        only_shared = tfidf_top_terms(df, k=5, min_df=2).collect()
+        # "the" is the only term present in both docs
+        assert {r["term"] for r in only_shared} == {"the"}
+
+    def test_empty_and_null_text(self, spark):
+        from cloud_data_quality_spark.functions.corpus import tfidf_top_terms
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "word")], "doc_id long, text string")
+        out = tfidf_top_terms(df, k=2).collect()
+        assert {r["doc_id"] for r in out} == {3}

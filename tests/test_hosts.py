@@ -188,3 +188,47 @@ class TestCanonicalizeUrl:
         n = df.select(canonicalize_url(F.col("url")).alias("c")) \
             .distinct().count()
         assert n == 1
+
+
+class TestLatestRevision:
+    def test_keeps_newest_per_canonical_url(self, spark):
+        from cloud_data_quality_spark.functions.hosts import latest_revision
+        rows = [
+            # three revisions of one page (tracking param varies, host case
+            # varies) — newest ts wins
+            ("https://News.example.com/a?utm_source=x", 100, 1),
+            ("https://news.example.com/a?utm_source=y", 300, 2),
+            ("https://news.example.com/a", 200, 3),
+            # exact-ts tie: smallest id wins
+            ("https://other.com/b", 500, 10),
+            ("https://other.com/b", 500, 9),
+            # singleton passes through
+            ("https://solo.com/c", 7, 42),
+        ]
+        df = spark.createDataFrame(rows, "url string, warc_ts long, doc_id long")
+        got = {r["canon_url"]: r for r in latest_revision(df).collect()}
+        assert len(got) == 3
+        a = got["https://news.example.com/a"]
+        assert (a["doc_id"], a["warc_ts"], a["n_revisions"]) == (2, 300, 3)
+        b = got["https://other.com/b"]
+        assert (b["doc_id"], b["warc_ts"], b["n_revisions"]) == (9, 500, 2)
+        c = got["https://solo.com/c"]
+        assert (c["doc_id"], c["warc_ts"], c["n_revisions"]) == (42, 7, 1)
+
+    def test_no_canonicalize_groups_raw(self, spark):
+        from cloud_data_quality_spark.functions.hosts import latest_revision
+        rows = [("https://x.com/a?utm_source=1", 1, 1),
+                ("https://x.com/a?utm_source=2", 2, 2)]
+        df = spark.createDataFrame(rows, "url string, warc_ts long, doc_id long")
+        assert latest_revision(df, canonicalize=False).count() == 2
+        assert latest_revision(df).count() == 1
+
+    def test_single_shuffle_plan(self, spark):
+        """The whole operator is one hash aggregate exchange — no window,
+        no join: hot URLs partial-aggregate map-side."""
+        from cloud_data_quality_spark.functions.hosts import latest_revision
+        df = spark.createDataFrame(
+            [("https://x.com/a", 1, 1)], "url string, warc_ts long, doc_id long")
+        plan = latest_revision(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert "Window" not in plan and "Join" not in plan
