@@ -242,3 +242,43 @@ def quantile_buckets(df: DataFrame, score_col: str,
     cond = (F.lit(labels[-1]) if cond is None
             else cond.otherwise(F.lit(labels[-1])))
     return clean.withColumn(bucket_col, cond)
+
+
+def grouped_percentiles_disc(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    percentiles: tuple[tuple[str, int, int], ...] = (
+        ("p50", 1, 2), ("p90", 9, 10)),
+) -> DataFrame:
+    """Exact DISCRETE percentiles per group — one output row per group with
+    one column per requested (name, num, den) fraction: the smallest value
+    whose ascending cumulative count reaches ceil(n·num/den) (integer
+    arithmetic, same convention as quantile_buckets, so the DuckDB oracle
+    replays it bit-for-bit; no percentile_approx, no float interpolation).
+
+    Fully distributed sibling of quantile_buckets: nothing is collected.
+    The corpus reduces to a (group, value) frequency table (ONE
+    partial-aggregated shuffle); the running sum's window partitions by
+    group and is bounded by the group's distinct VALUE count — pass a
+    rounded/integral value column, never a raw double, or the frequency
+    table degenerates back to corpus size. NULL values are excluded from
+    ranks; groups whose values are all NULL vanish."""
+    if any(not (0 < n <= d) for _, n, d in percentiles):
+        raise ValueError(f"fractions must be in (0, 1], got {percentiles}")
+    from pyspark.sql.window import Window
+    clean = df.where(F.col(value_col).isNotNull())
+    freq = (clean.groupBy(*group_cols, value_col)
+            .agg(F.count(F.lit(1)).alias("__c")))
+    w = (Window.partitionBy(*group_cols).orderBy(value_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = freq.withColumn("__cum", F.sum("__c").over(w))
+    totals = freq.groupBy(*group_cols).agg(F.sum("__c").alias("__n"))
+    joined = cum.join(totals, group_cols)
+    aggs = [
+        F.min(F.when(
+            F.col("__cum") >= F.expr(f"(__n * {num} + {den - 1}) div {den}"),
+            F.col(value_col))).alias(name)
+        for name, num, den in percentiles
+    ]
+    return joined.groupBy(*group_cols).agg(*aggs)

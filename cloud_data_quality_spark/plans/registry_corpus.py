@@ -1567,3 +1567,42 @@ left join deg d on r.host = d.src
 left join indeg i on r.host = i.dst
 """)
     return "".join(parts)
+
+
+def q_corpus_profile(spark, sf_dir):
+    """Per-language corpus profile: doc/char totals + exact discrete
+    median and p90 of document length (selection.grouped_percentiles_disc
+    — integer rank targets over a value-frequency table, nothing
+    collected, no percentile_approx)."""
+    from cloud_data_quality_spark.functions.selection import (
+        grouped_percentiles_disc)
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    prof = grouped_percentiles_disc(
+        docs, "n_chars", ["lang"],
+        (("chars_p50", 1, 2), ("chars_p90", 9, 10)))
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("n_chars").alias("char_sum"))
+    return counts.join(prof, "lang").select(
+        "lang", "doc_count", "char_sum", "chars_p50", "chars_p90")
+
+
+def _oracle_corpus_profile() -> str:
+    return """
+with f as (select lang, n_chars, count(*)::BIGINT as c
+           from documents where n_chars is not null group by 1, 2),
+cumf as (select *, sum(c) over (partition by lang order by n_chars
+                                rows unbounded preceding) as cum from f),
+t as (select lang, sum(c)::BIGINT as n from f group by lang),
+p as (select cumf.lang,
+             min(case when cum >= (n * 1 + 1) // 2 then n_chars end)
+               as chars_p50,
+             min(case when cum >= (n * 9 + 9) // 10 then n_chars end)
+               as chars_p90
+      from cumf join t using (lang) group by cumf.lang),
+c as (select lang, count(*)::BIGINT as doc_count,
+             sum(n_chars)::BIGINT as char_sum
+      from documents group by lang)
+select c.lang, doc_count, char_sum, chars_p50, chars_p90
+from c join p using (lang)
+"""

@@ -286,3 +286,36 @@ class TestQuantileBuckets:
             spark.createDataFrame(rows, "doc_id long, score double")
             .repartition(17), "score").collect()}
         assert a == b
+
+
+class TestGroupedPercentilesDisc:
+    def test_hand_computed(self, spark):
+        from cloud_data_quality_spark.functions.selection import (
+            grouped_percentiles_disc)
+        rows = ([("a", v) for v in [10, 20, 30, 40]]          # even n
+                + [("b", v) for v in [5, 5, 5, 7, 100]]       # ties + skew
+                + [("c", 1)]                                  # singleton
+                + [("d", None)])                              # all-NULL
+        df = spark.createDataFrame(rows, "g string, v int")
+        got = {r["g"]: (r["p50"], r["p90"]) for r in
+               grouped_percentiles_disc(df, "v", ["g"]).collect()}
+        # a: n=4 → p50 target ceil(2)=2 → 20; p90 target ceil(3.6)=4 → 40
+        assert got["a"] == (20, 40)
+        # b: n=5 → p50 target 3 → 5; p90 target ceil(4.5)=5 → 100
+        assert got["b"] == (5, 100)
+        assert got["c"] == (1, 1)
+        assert "d" not in got  # all-NULL group vanishes
+
+    def test_partitioning_invariance_and_validation(self, spark):
+        import pytest as _pytest
+
+        from cloud_data_quality_spark.functions.selection import (
+            grouped_percentiles_disc)
+        rows = [(f"g{i % 3}", (i * 7) % 50) for i in range(200)]
+        df = spark.createDataFrame(rows, "g string, v int")
+        a = sorted(map(tuple, grouped_percentiles_disc(df, "v", ["g"]).collect()))
+        b = sorted(map(tuple, grouped_percentiles_disc(
+            df.repartition(17), "v", ["g"]).collect()))
+        assert a == b
+        with _pytest.raises(ValueError):
+            grouped_percentiles_disc(df, "v", ["g"], (("bad", 3, 2),))
