@@ -246,3 +246,37 @@ def latest_revision(
             F.count(F.lit(1)).alias("n_revisions"),
         )
     )
+
+
+def host_quality_prior(
+    df: DataFrame,
+    host_col: str = "host",
+    flag_col: str = "keep",
+    min_docs: int = 5,
+    min_frac: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """Domain-level quality filtering (the FineWeb/RefinedWeb move): a host
+    where most documents already failed doc-level quality is a bad
+    NEIGHBORHOOD — drop ALL its documents, including the few that passed,
+    because survivorship there is usually template noise. Hosts with fewer
+    than min_docs documents lack evidence and pass through.
+
+    The keep condition is integer cross-multiplied (k·den ≥ n·num) — no
+    float ratio, so the survivor set is exact and oracle-replayable.
+
+    Scale shape: one partial-aggregated shuffle to host granularity (hot
+    hosts combine map-side), then a semi join of the corpus against the
+    good-host set. The good-host frame is host-cardinality (~10^8 at
+    crawl scale) — NOT force-broadcast; AQE promotes it when it fits,
+    and a skewed hot host on the shuffle path is exactly the case
+    spark.sql.adaptive.skewJoin handles."""
+    num, den = min_frac
+    if not (0 < num <= den):
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    stats = df.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col(flag_col), 1).otherwise(0)).alias("__k"))
+    good = stats.where(
+        (F.col("__n") < min_docs)
+        | (F.col("__k") * den >= F.col("__n") * num)).select(host_col)
+    return df.join(good, host_col, "left_semi")

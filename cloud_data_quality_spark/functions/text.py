@@ -194,3 +194,32 @@ def quality_score(col: Column) -> Column:
         + gate(rep <= 0.6)
     )
     return (score.cast("double") / F.lit(4.0)).cast("double")
+
+
+#: normalize_text constants — the DuckDB twin (oracle_fragments.
+#: sql_normalize_text) is generated from THESE, so the two engines cannot
+#: drift. \x{...} escapes are the one spelling Java regex and RE2 share.
+NORM_ZERO_WIDTH_RE = "[\\x{200B}-\\x{200D}\\x{FEFF}]"
+NORM_CTRL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+#: 1:1 char maps (translate): curly quotes -> straight, dashes -> '-',
+#: NBSP -> space
+NORM_TRANSLATE_FROM = "‘’‚“”„–—‒ "
+NORM_TRANSLATE_TO = "'''\"\"\"--- "
+
+
+def normalize_text(col: Column) -> Column:
+    """Mojibake-lite web text normalization: strip zero-width characters,
+    map typographic quotes/dashes/NBSP to ASCII, expand ellipsis, remove
+    control characters (keeping \\t \\n \\r through to the whitespace
+    collapse), collapse space/tab runs, strip line-trailing spaces, trim.
+
+    Running this BEFORE fingerprinting/dedup is what makes two visually
+    identical pages with different invisible bytes actually deduplicate.
+    Pure Column expression — JVM regexp/translate chain, no Python."""
+    s = F.regexp_replace(col, NORM_ZERO_WIDTH_RE, "")
+    s = F.translate(s, NORM_TRANSLATE_FROM, NORM_TRANSLATE_TO)
+    s = F.regexp_replace(s, "…", "...")
+    s = F.regexp_replace(s, NORM_CTRL_RE, "")
+    s = F.regexp_replace(s, "[\\t ]+", " ")
+    s = F.regexp_replace(s, " \\n", "\n")
+    return F.trim(s)

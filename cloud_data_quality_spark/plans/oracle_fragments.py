@@ -214,3 +214,24 @@ def sql_escape_text(col: str) -> str:
         e, c = ent.replace("'", "''"), ch.replace("'", "''")
         out = f"replace({out}, '{c}', '{e}')"
     return out
+
+
+def sql_normalize_text(col: str) -> str:
+    """DuckDB twin of text.normalize_text, generated from the same
+    constants. DuckDB string literals are escape-free, so the \\x{...}
+    regex escapes pass to RE2 verbatim; translate() has identical
+    shorter-replacement-deletes semantics in both engines."""
+    from cloud_data_quality_spark.functions.text import (
+        NORM_CTRL_RE,
+        NORM_TRANSLATE_FROM,
+        NORM_TRANSLATE_TO,
+        NORM_ZERO_WIDTH_RE,
+    )
+    to_escaped = NORM_TRANSLATE_TO.replace("'", "''")
+    s = f"regexp_replace({col}, '{NORM_ZERO_WIDTH_RE}', '', 'g')"
+    s = f"translate({s}, '{NORM_TRANSLATE_FROM}', '{to_escaped}')"
+    s = f"regexp_replace({s}, '…', '...', 'g')"
+    s = f"regexp_replace({s}, '{NORM_CTRL_RE}', '', 'g')"
+    s = f"regexp_replace({s}, '[\\t ]+', ' ', 'g')"
+    s = f"regexp_replace({s}, ' \\n', chr(10), 'g')"
+    return f"trim({s}, ' ')"

@@ -1606,3 +1606,60 @@ c as (select lang, count(*)::BIGINT as doc_count,
 select c.lang, doc_count, char_sum, chars_p50, chars_p90
 from c join p using (lang)
 """
+
+
+def q_host_quality_prior(spark, sf_dir):
+    """Domain-level quality prior (hosts.host_quality_prior): hosts where
+    under 62% of docs pass the (synthesized, deterministic) doc-level
+    verdict are dropped wholesale; sub-min_docs hosts pass on no evidence.
+    Integer cross-multiplied threshold — exact survivor set."""
+    from cloud_data_quality_spark.functions.hosts import host_quality_prior
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("'h' || (doc_id % 31)").alias("host"),
+        F.expr("((doc_id * 13) % 100) < 62").alias("keep_flag"))
+    return host_quality_prior(docs, host_col="host", flag_col="keep_flag",
+                              min_docs=5, min_frac=(3, 5))
+
+
+def _oracle_host_quality_prior() -> str:
+    return """
+with d as (select doc_id, 'h' || (doc_id % 31) as host,
+                  ((doc_id * 13) % 100) < 62 as keep_flag
+           from documents),
+h as (select host, count(*)::BIGINT as n,
+             sum(case when keep_flag then 1 else 0 end)::BIGINT as k
+      from d group by host),
+ok as (select host from h where n < 5 or k * 5 >= n * 3)
+select d.host, d.doc_id, d.keep_flag from d semi join ok using (host)
+"""
+
+
+#: messy-input synthesis for normalize_text — literal Unicode chars shared
+#: by both engines (chr() differs: Spark chr() is mod-256, DuckDB chr() is
+#: code-point — only chr(1) is safe cross-engine, used for the control
+#: byte). Exercises every normalization rule: zero-width, curly quotes,
+#: ellipsis, NBSP, tab runs, control char, dash, trailing spaces.
+_MESSY_TEXT_SQL = ("'\u200b \u2018' || text || '\u2019\t\t"
+                   "\u2026\u00a0x' || chr(1) || '\u2013y  '")
+
+
+def q_normalize_text(spark, sf_dir):
+    """Unicode web-text normalization (text.normalize_text): pure-JVM
+    regexp/translate chain; the DuckDB oracle replays the identical chain
+    generated from the same constants over the same messy synthesis."""
+    from cloud_data_quality_spark.functions.text import normalize_text
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_MESSY_TEXT_SQL).alias("raw"))
+    return docs.select(
+        "doc_id",
+        normalize_text(F.col("raw")).alias("clean_text"),
+        F.length(F.col("raw")).alias("raw_len"))
+
+
+def _oracle_normalize_text() -> str:
+    clean = OF.sql_normalize_text("raw")
+    return f"""
+with d as (select doc_id, {_MESSY_TEXT_SQL} as raw from documents)
+select doc_id, {clean} as clean_text, length(raw)::INT as raw_len from d
+"""

@@ -232,3 +232,36 @@ class TestLatestRevision:
         plan = latest_revision(df)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
         assert "Window" not in plan and "Join" not in plan
+
+
+class TestHostQualityPrior:
+    def test_threshold_and_min_docs(self, spark):
+        from cloud_data_quality_spark.functions.hosts import (
+            host_quality_prior)
+        rows = (
+            # good.test: 3/4 pass (>= 1/2) — all 4 survive incl. the fail
+            [("good.test", i, i != 0) for i in range(4)]
+            # bad.test: 1/4 pass (< 1/2) — all dropped, incl. the pass
+            + [("bad.test", 10 + i, i == 0) for i in range(4)]
+            # tiny.test: 1 doc failing, but under min_docs — passes through
+            + [("tiny.test", 99, False)])
+        df = spark.createDataFrame(rows, "host string, doc_id long, keep boolean")
+        out = host_quality_prior(df, min_docs=4, min_frac=(1, 2)).collect()
+        hosts = {r["host"] for r in out}
+        assert hosts == {"good.test", "tiny.test"}
+        assert sum(1 for r in out if r["host"] == "good.test") == 4
+
+    def test_exact_boundary_integer(self, spark):
+        from cloud_data_quality_spark.functions.hosts import (
+            host_quality_prior)
+        import pytest as _pytest
+        # exactly at the threshold: 3/5 with min_frac 3/5 → kept (>=)
+        rows = [("edge.test", i, i < 3) for i in range(5)]
+        df = spark.createDataFrame(rows, "host string, doc_id long, keep boolean")
+        assert host_quality_prior(df, min_docs=1, min_frac=(3, 5)).count() == 5
+        # one less pass → dropped
+        rows2 = [("edge.test", i, i < 2) for i in range(5)]
+        df2 = spark.createDataFrame(rows2, "host string, doc_id long, keep boolean")
+        assert host_quality_prior(df2, min_docs=1, min_frac=(3, 5)).count() == 0
+        with _pytest.raises(ValueError):
+            host_quality_prior(df, min_frac=(2, 1))

@@ -298,3 +298,22 @@ class TestUnicodeWhitespaceParity:
         assert _words("a\xa0b c") == ["a\xa0b", "c"]
         assert _words("\xa0") == ["\xa0"]
         assert _words(" \t ") == []
+
+
+class TestNormalizeText:
+    def test_every_rule(self, spark):
+        from cloud_data_quality_spark.functions.text import normalize_text
+        from pyspark.sql import functions as F
+        raw = ("​‌ Hello ‘world’ — "
+               "“quoted”…\x01\x07 a\t\tb  \nline2  ")
+        df = spark.createDataFrame([(raw,)], "t string")
+        got = df.select(normalize_text(F.col("t")).alias("c")).collect()[0]["c"]
+        assert got == 'Hello \'world\' - "quoted"... a b\nline2'
+
+    def test_idempotent_and_nulls(self, spark):
+        from cloud_data_quality_spark.functions.text import normalize_text
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame([("plain text",), (None,), ("",)],
+                                   "t string")
+        rows = df.select(normalize_text(F.col("t")).alias("c")).collect()
+        assert [r["c"] for r in rows] == ["plain text", None, ""]
