@@ -252,6 +252,55 @@ def _corpus(args) -> int:
                 f"(pass --url-col)")
         out = df.withColumn(args.url_col,
                             canonicalize_url(F.col(args.url_col)))
+    elif args.op == "normalize":
+        from cloud_data_quality_spark.functions.text import normalize_text
+        out = df.withColumn(args.text_col,
+                            normalize_text(F.col(args.text_col)))
+    elif args.op == "url-dedup":
+        from cloud_data_quality_spark.functions.hosts import latest_revision
+        for col, flag in ((args.url_col, "--url-col"),
+                          (args.ts_col, "--ts-col")):
+            if col not in df.columns:
+                raise SystemExit(
+                    f"url-dedup: no column {col!r} in input (pass {flag})")
+        winners = latest_revision(df, url_col=args.url_col,
+                                  ts_col=args.ts_col, id_col=args.id_col)
+        # full surviving rows, not just the winner tuple
+        out = df.join(winners.select(args.id_col), args.id_col, "left_semi")
+    elif args.op == "tfidf":
+        from cloud_data_quality_spark.functions.corpus import tfidf_top_terms
+        out = tfidf_top_terms(df, text_col=args.text_col,
+                              id_col=args.id_col, k=args.top_k)
+    elif args.op == "pagerank":
+        from cloud_data_quality_spark.functions.linkgraph import (
+            extract_links,
+            host_degrees,
+            host_edges,
+            host_pagerank,
+        )
+        for col, flag in ((args.url_col, "--url-col"),
+                          (args.html_col, "--html-col")):
+            if col not in df.columns:
+                raise SystemExit(
+                    f"pagerank: no column {col!r} in input (pass {flag})")
+        edges = host_edges(
+            extract_links(df, html_col=args.html_col, id_col=args.id_col,
+                          keep_cols=(args.url_col,)),
+            src_url_col=args.url_col)
+        out = (host_pagerank(edges, iterations=args.iterations)
+               .join(host_degrees(edges), "host"))
+    elif args.op == "profile":
+        from cloud_data_quality_spark.functions.selection import (
+            grouped_percentiles_disc)
+        lengths = df.select(F.col(args.group_col),
+                            F.length(F.col(args.text_col)).alias("__len"))
+        prof = grouped_percentiles_disc(
+            lengths, "__len", [args.group_col],
+            (("chars_p50", 1, 2), ("chars_p90", 9, 10)))
+        counts = lengths.groupBy(args.group_col).agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("__len").alias("char_sum"))
+        out = counts.join(prof, args.group_col)
     else:  # incremental-dedup / incremental-minhash-dedup
         if not args.store:
             raise SystemExit(f"{args.op} needs --store")
@@ -560,7 +609,8 @@ def main(argv: list[str] | None = None) -> int:
                             "canonicalize-urls", "repetition-stats",
                             "compact-store", "compact-minhash-store",
                             "containment", "classify", "split",
-                            "dup-ngram-stats"])
+                            "dup-ngram-stats", "normalize", "url-dedup",
+                            "tfidf", "pagerank", "profile"])
     c.add_argument("--input", default=None,
                    help="required for all ops except compact-*")
     c.add_argument("--output", default=None,
@@ -614,6 +664,17 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--store", default=None,
                    help="incremental-dedup: fp-bucketed catalog table name")
     c.add_argument("--buckets", type=int, default=64)
+    c.add_argument("--ts-col", default="warc_ts",
+                   help="url-dedup: capture-timestamp column (newest wins)")
+    c.add_argument("--top-k", type=int, default=5,
+                   help="tfidf: terms to keep per document")
+    c.add_argument("--html-col", default="html",
+                   help="pagerank: column holding raw HTML to extract "
+                        "hrefs from")
+    c.add_argument("--group-col", default="lang",
+                   help="profile: grouping column for per-group stats")
+    c.add_argument("--iterations", type=int, default=5,
+                   help="pagerank: power-iteration rounds")
 
     cu = sub.add_parser(
         "curate", help="composed resumable pipeline: [c4-clean →] quality "

@@ -646,3 +646,83 @@ class TestCurateArgValidation:
         with pytest.raises(SystemExit, match="unique"):
             main(["curate", "--input", dup,
                   "--work-dir", str(tmp_path / "w3"), "--run-id", "x"])
+
+
+class TestRound5Ops:
+    def test_normalize_and_profile(self, spark, tmp_path, capsys):
+        inp = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            [(1, "a​  b’s", "en"), (2, "plain", "en"),
+             (3, "x  y", "de")],
+            schema="doc_id bigint, text string, lang string") \
+            .write.parquet(inp)
+        out = str(tmp_path / "norm")
+        rc = main(["corpus", "--op", "normalize", "--input", inp,
+                   "--output", out])
+        assert rc == 0
+        capsys.readouterr()
+        got = {r["doc_id"]: r["text"]
+               for r in spark.read.parquet(out).collect()}
+        assert got[1] == "a b's" and got[3] == "x y"
+
+        out2 = str(tmp_path / "prof")
+        rc = main(["corpus", "--op", "profile", "--input", inp,
+                   "--output", out2, "--group-col", "lang"])
+        assert rc == 0
+        capsys.readouterr()
+        prof = {r["lang"]: r for r in spark.read.parquet(out2).collect()}
+        assert prof["en"]["doc_count"] == 2
+        assert prof["de"]["chars_p50"] == 4
+
+    def test_url_dedup_keeps_full_rows(self, spark, tmp_path, capsys):
+        inp = str(tmp_path / "caps.parquet")
+        spark.createDataFrame(
+            [(1, "https://a.test/p?utm_source=x", 100, "old"),
+             (2, "https://a.test/p", 200, "new"),
+             (3, "https://b.test/q", 50, "only")],
+            schema="doc_id bigint, url string, warc_ts bigint, text string") \
+            .write.parquet(inp)
+        out = str(tmp_path / "winners")
+        rc = main(["corpus", "--op", "url-dedup", "--input", inp,
+                   "--output", out])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip())
+        assert stats["rows_out"] == 2
+        got = {r["doc_id"]: r["text"]
+               for r in spark.read.parquet(out).collect()}
+        assert got == {2: "new", 3: "only"}
+
+    def test_pagerank_and_tfidf(self, spark, tmp_path, capsys):
+        inp = str(tmp_path / "pages.parquet")
+        spark.createDataFrame(
+            [(1, "https://a.test/p", '<a href="https://b.test/x">l</a>',
+              "apple apple banana"),
+             (2, "https://b.test/q", '<a href="https://a.test/y">m</a>',
+              "banana cherry")],
+            schema="doc_id bigint, url string, html string, text string") \
+            .write.parquet(inp)
+        out = str(tmp_path / "pr")
+        rc = main(["corpus", "--op", "pagerank", "--input", inp,
+                   "--output", out, "--iterations", "2"])
+        assert rc == 0
+        capsys.readouterr()
+        pr = {r["host"]: r for r in spark.read.parquet(out).collect()}
+        assert set(pr) == {"a.test", "b.test"}
+        assert all(r["out_deg"] == 1 and r["in_deg"] == 1
+                   for r in pr.values())
+
+        out2 = str(tmp_path / "tfidf")
+        rc = main(["corpus", "--op", "tfidf", "--input", inp,
+                   "--output", out2, "--top-k", "1"])
+        assert rc == 0
+        capsys.readouterr()
+        rows = spark.read.parquet(out2).collect()
+        assert {r["doc_id"]: r["term"] for r in rows} == {1: "apple",
+                                                          2: "cherry"}
+    def test_unknown_column_errors(self, spark, tmp_path, capsys):
+        inp = str(tmp_path / "noc.parquet")
+        spark.createDataFrame([(1, "t")], "doc_id bigint, text string") \
+            .write.parquet(inp)
+        with pytest.raises(SystemExit):
+            main(["corpus", "--op", "url-dedup", "--input", inp,
+                  "--output", str(tmp_path / "o")])
