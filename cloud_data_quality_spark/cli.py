@@ -370,7 +370,7 @@ def _curate(args) -> int:
     # --url-col, and rows whose host doesn't parse pass through untouched
     # instead of pooling under ''.
     host_url_col = args.url_col or args.id_col
-    if (blocklist or args.max_per_host > 0) \
+    if (blocklist or args.max_per_host > 0 or args.url_hygiene) \
             and host_url_col not in df.columns:
         raise SystemExit(
             f"curate: no column {host_url_col!r} in input for the host "
@@ -386,6 +386,10 @@ def _curate(args) -> int:
         if blocklist:
             parseable = drop_blocklisted(parseable, blocklist,
                                          url_col=host_url_col)
+        if args.url_hygiene:
+            from cloud_data_quality_spark.functions.hosts import (
+                drop_url_patterns)
+            parseable = drop_url_patterns(parseable, url_col=host_url_col)
         if args.max_per_host > 0:
             parseable = cap_per_host(parseable, args.max_per_host,
                                      url_col=host_url_col).drop("host")
@@ -521,7 +525,7 @@ def _curate(args) -> int:
     if args.decontaminate:
         stages.append(PipelineStage("decontaminate", decontaminate,
                                     kind="global"))
-    if blocklist or args.max_per_host > 0:
+    if blocklist or args.max_per_host > 0 or args.url_hygiene:
         stages.append(PipelineStage("hosts", hosts, kind="global"))
     stages.append(PipelineStage("dedup", dedup, kind="global"))
     if args.sample_fractions:
@@ -695,6 +699,9 @@ def main(argv: list[str] | None = None) -> int:
                          "url); rows whose host doesn't parse pass through "
                          "the host stage untouched")
     cu.add_argument("--text-col", default="text")
+    cu.add_argument("--url-hygiene", action="store_true",
+                    help="drop URLs matching the crawl-hygiene path "
+                         "patterns (search/tag/feed/pagination/auth)")
     cu.add_argument("--blocklist", default="",
                     help="comma-separated blocked domains (suffix match)")
     cu.add_argument("--max-per-host", type=int, default=0,

@@ -280,3 +280,41 @@ def host_quality_prior(
         (F.col("__n") < min_docs)
         | (F.col("__k") * den >= F.col("__n") * num)).select(host_col)
     return df.join(good, host_col, "left_semi")
+
+
+#: crawl-hygiene path patterns: search/tag/feed/pagination/auth/comment
+#: endpoints produce boilerplate or infinite URL spaces, not prose. Kept
+#: RE2-compatible (no lookaround, no backrefs) so the DuckDB oracle runs
+#: the IDENTICAL expressions.
+URL_PATTERN_BLOCKLIST = [
+    "/search\\?",
+    "/tag/",
+    "/category/",
+    "/login",
+    "/signup",
+    "/wp-admin",
+    "/feed/?$",
+    "/page/[0-9]+/?$",
+    "\\?replytocom=",
+    "/cgi-bin/",
+]
+
+
+def drop_url_patterns(
+    df: DataFrame,
+    patterns: list[str] | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop rows whose URL matches any blocklisted path pattern — the
+    companion of drop_blocklisted (which keys on host): calendars,
+    search result pages, tag/feed/pagination endpoints and auth pages are
+    crawl traps and template noise regardless of host quality.
+
+    One combined alternation regex, one narrow filter — zero shuffle,
+    pushed into the scan where the source supports it. NULL URLs survive
+    (no evidence is not a match), mirroring drop_blocklisted."""
+    pats = URL_PATTERN_BLOCKLIST if patterns is None else patterns
+    if not pats:
+        return df
+    combined = "(" + "|".join(pats) + ")"
+    return df.where(~F.coalesce(F.col(url_col).rlike(combined), F.lit(False)))

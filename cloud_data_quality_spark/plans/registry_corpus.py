@@ -1663,3 +1663,36 @@ def _oracle_normalize_text() -> str:
 with d as (select doc_id, {_MESSY_TEXT_SQL} as raw from documents)
 select doc_id, {clean} as clean_text, length(raw)::INT as raw_len from d
 """
+
+
+#: URL synthesis exercising every blocklist pattern class + clean survivors
+_HYGIENE_URL_SQL = (
+    "'https://h' || (doc_id % 7) || '.test' || "
+    "case (doc_id % 9) "
+    "when 0 then '/search?q=' || doc_id "
+    "when 1 then '/tag/x' "
+    "when 2 then '/page/' || (doc_id % 40) "
+    "when 3 then '/a/page/3x' "         # not a trailing /page/N — survives
+    "when 4 then '/feed' "
+    "when 5 then '/p?replytocom=' || doc_id "
+    "else '/article/' || doc_id end")
+
+
+def q_url_hygiene_filter(spark, sf_dir):
+    """Crawl-hygiene path filtering (hosts.drop_url_patterns): one combined
+    RE2-safe alternation, one narrow filter — the oracle runs the identical
+    expressions via regexp_matches."""
+    from cloud_data_quality_spark.functions.hosts import drop_url_patterns
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HYGIENE_URL_SQL).alias("url"))
+    return drop_url_patterns(docs)
+
+
+def _oracle_url_hygiene_filter() -> str:
+    from cloud_data_quality_spark.functions.hosts import URL_PATTERN_BLOCKLIST
+    combined = "(" + "|".join(URL_PATTERN_BLOCKLIST) + ")"
+    return f"""
+with d as (select doc_id, {_HYGIENE_URL_SQL} as url from documents)
+select doc_id, url from d
+where not coalesce(regexp_matches(url, '{combined}'), false)
+"""

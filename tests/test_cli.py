@@ -726,3 +726,27 @@ class TestRound5Ops:
         with pytest.raises(SystemExit):
             main(["corpus", "--op", "url-dedup", "--input", inp,
                   "--output", str(tmp_path / "o")])
+
+
+class TestCurateUrlHygiene:
+    def test_hygiene_stage_drops_trap_urls(self, spark, pages_parquet,
+                                           tmp_path, capsys):
+        import json as _json
+
+        from pyspark.sql import functions as F
+        # rewrite 1/3 of page urls into crawl traps
+        inp = str(tmp_path / "trap_pages.parquet")
+        (spark.read.parquet(pages_parquet)
+         .withColumn("url", F.expr(
+             "case when abs(hash(url)) % 3 = 0 "
+             "then url || '/tag/x' else url end"))
+         .write.parquet(inp))
+        work = str(tmp_path / "curate_work")
+        rc = main(["curate", "--input", inp, "--work-dir", work,
+                   "--run-id", "hyg-1", "--buckets", "8", "--url-hygiene"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "hosts" in [s["name"] for s in out["stages"]]
+        final = spark.read.parquet(out["stages"][-1]["output"])
+        assert final.where("url like '%/tag/%'").count() == 0
+        assert final.count() > 0

@@ -265,3 +265,31 @@ class TestHostQualityPrior:
         assert host_quality_prior(df2, min_docs=1, min_frac=(3, 5)).count() == 0
         with _pytest.raises(ValueError):
             host_quality_prior(df, min_frac=(2, 1))
+
+
+class TestDropUrlPatterns:
+    def test_patterns_and_nulls(self, spark):
+        from cloud_data_quality_spark.functions.hosts import (
+            drop_url_patterns)
+        rows = [
+            ("https://x.test/search?q=1", 1),
+            ("https://x.test/tag/news", 2),
+            ("https://x.test/page/7", 3),
+            ("https://x.test/page/7/", 4),
+            ("https://x.test/pages/7", 5),          # survives
+            ("https://x.test/feed", 6),
+            ("https://x.test/feedback", 7),         # survives
+            ("https://x.test/article/1", 8),        # survives
+            (None, 9),                              # survives (no evidence)
+        ]
+        df = spark.createDataFrame(rows, "url string, doc_id int")
+        kept = {r["doc_id"] for r in drop_url_patterns(df).collect()}
+        assert kept == {5, 7, 8, 9}
+
+    def test_custom_and_empty_patterns(self, spark):
+        from cloud_data_quality_spark.functions.hosts import (
+            drop_url_patterns)
+        df = spark.createDataFrame([("https://x.test/a", 1)],
+                                   "url string, doc_id int")
+        assert drop_url_patterns(df, patterns=["/a$"]).count() == 0
+        assert drop_url_patterns(df, patterns=[]).count() == 1
