@@ -191,3 +191,54 @@ def streaming_host_quota(stream_df: DataFrame, max_per_host: int,
                 stateStructType=QUOTA_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+REVISION_STATE_SCHEMA = "best_ts bigint, best_id bigint, n_revisions bigint"
+REVISION_OUT_SCHEMA = ("canon_url string, doc_id bigint, warc_ts bigint, "
+                       "n_revisions bigint")
+
+
+def _revision_fn(ts_col: str, id_col: str):
+    def fn(key: Tuple[str], batches: Iterable[pd.DataFrame],
+           state: GroupState):
+        best_ts, best_id, n = state.get if state.exists else (None, None, 0)
+        parts = [pdf for pdf in batches if len(pdf)]
+        if parts:
+            g = pd.concat(parts) if len(parts) > 1 else parts[0]
+            n += len(g)
+            mx = g[ts_col].max()
+            cand = int(g.loc[g[ts_col] == mx, id_col].min())
+            if (best_ts is None or mx > best_ts
+                    or (mx == best_ts and cand < best_id)):
+                best_ts, best_id = int(mx), cand
+            state.update((best_ts, best_id, n))
+            yield pd.DataFrame({"canon_url": [key[0]], "doc_id": [best_id],
+                                "warc_ts": [best_ts], "n_revisions": [n]})
+    return fn
+
+
+def streaming_latest_revision(stream_df: DataFrame, url_col: str = "url",
+                              ts_col: str = "warc_ts",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Streaming twin of hosts.latest_revision: per canonical URL, the
+    newest capture seen so far (tie: smallest id), re-emitted in UPDATE
+    mode whenever new revisions for the URL arrive. Downstream sinks
+    upsert on canon_url, converging to the batch operator's answer over
+    the same rows — that equivalence is pytest-pinned.
+
+    State per URL: (best_ts, best_id, n_revisions) — three bigints, a
+    POINTER to the winner rather than its payload, so state size is
+    O(urls)·24B no matter how large documents are; consumers join the
+    winner ids back against durable storage. ts must be integral (epoch)
+    in the streaming variant: the state schema is concrete, and integer
+    comparisons sidestep Arrow timestamp-unit coercion in state replay."""
+    from cloud_data_quality_spark.functions.hosts import canonicalize_url
+    keyed = stream_df.withColumn("canon_url",
+                                 canonicalize_url(F.col(url_col)))
+    return (keyed.groupBy("canon_url")
+            .applyInPandasWithState(
+                _revision_fn(ts_col, id_col),
+                outputStructType=REVISION_OUT_SCHEMA,
+                stateStructType=REVISION_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

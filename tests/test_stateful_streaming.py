@@ -251,3 +251,51 @@ class TestStreamingHostQuota:
                        .collect())
         want = sorted(f"https://h0.org/p{i}" for i in range(0, 30, 3))[:4]
         assert links == want
+
+
+class TestStreamingLatestRevision:
+    @pytest.fixture(scope="class")
+    def revision_files(self, spark, tmp_path_factory):
+        """Three files → three micro-batches; revisions of the same
+        canonical URL spread across batches, newest NOT last."""
+        path = str(tmp_path_factory.mktemp("revs") / "caps")
+        rows = []
+        for i in range(60):
+            page = i % 10
+            rows.append((i, f"https://s{i % 3}.test/p/{page}"
+                         f"?utm_source=b{i % 6}",
+                         1_000_000 + ((i * 37) % 500), i % 7))
+        df = spark.createDataFrame(
+            rows, "doc_id long, url string, warc_ts long, part int")
+        for b in range(3):
+            df.where(F.col("part") % 3 == b).drop("part").coalesce(1) \
+                .write.mode("append").parquet(path)
+        return path
+
+    def test_converges_to_batch_answer(self, spark, revision_files):
+        from cloud_data_quality_spark.functions.hosts import latest_revision
+        from cloud_data_quality_spark.streaming.stateful import (
+            streaming_latest_revision)
+        stream = (spark.readStream
+                  .schema("doc_id long, url string, warc_ts long")
+                  .option("maxFilesPerTrigger", 1).parquet(revision_files))
+        q = (streaming_latest_revision(stream).writeStream
+             .outputMode("update").format("memory").queryName("revs")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        emitted = spark.sql("select * from revs")
+        # last emission per canon_url = the one with the highest n_revisions
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("canon_url").orderBy(
+            F.col("n_revisions").desc())
+        final = (emitted.withColumn("rn", F.row_number().over(w))
+                 .where("rn = 1").drop("rn"))
+        batch = latest_revision(
+            spark.read.parquet(revision_files))
+        got = {r["canon_url"]: (r["doc_id"], r["warc_ts"], r["n_revisions"])
+               for r in final.collect()}
+        want = {r["canon_url"]: (r["doc_id"], r["warc_ts"], r["n_revisions"])
+                for r in batch.collect()}
+        assert got == want
+        # state really evolved across batches: more emissions than urls
+        assert emitted.count() > len(want)
