@@ -1696,3 +1696,49 @@ with d as (select doc_id, {_HYGIENE_URL_SQL} as url from documents)
 select doc_id, url from d
 where not coalesce(regexp_matches(url, '{combined}'), false)
 """
+
+
+def _dsir_score_ctes() -> str:
+    """WITH-block replaying dsir_scores in DuckDB — same skeleton as
+    _classifier_score_ctes with the DSIR weight list (shared tokenize /
+    feature / md5-bucket spelling, so the contracts can't drift apart)."""
+    from cloud_data_quality_spark.functions.dsir_artifact import (
+        DSIR_WEIGHTS_MICRO)
+    from cloud_data_quality_spark.functions.qc_artifact import QC_BUCKETS
+    weights = ",".join(str(int(v)) for v in DSIR_WEIGHTS_MICRO)
+    toks = OF.sql_tokens("text")
+    return f"""
+wl as (select [{weights}]::BIGINT[] as l),
+w as (select i as bucket, l[i::INT + 1] as wm
+      from wl cross join range({QC_BUCKETS}) t(i)),
+toks as (select doc_id, {toks} as t from documents),
+feats as (
+  select doc_id, unnest(list_concat(t,
+    case when len(t) >= 2
+         then list_transform(list_slice(t, 2, len(t)),
+                             (x, i) -> t[i] || ' ' || x)
+         else []::VARCHAR[] end)) as f
+  from toks),
+summed as (
+  select doc_id, sum(wm)::BIGINT as ws, count(*)::BIGINT as nf
+  from feats join w
+    on (('0x' || substr(md5(f), 1, 15))::BIGINT % {QC_BUCKETS}) = w.bucket
+  group by doc_id)"""
+
+
+def q_dsir_scores(spark, sf_dir):
+    """DSIR importance scoring (functions/dsir): int64 log-ratio sum per
+    document under the embedded target-vs-raw hashed-ngram models."""
+    from cloud_data_quality_spark.functions.dsir import dsir_scores
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dsir_scores(docs)
+
+
+def _oracle_dsir_scores() -> str:
+    return f"""
+with {_dsir_score_ctes()}
+select d.doc_id,
+       coalesce(s.ws, 0)::BIGINT as dsir_micro,
+       coalesce(s.nf, 0)::BIGINT as n_feats
+from documents d left join summed s using (doc_id)
+"""

@@ -319,3 +319,49 @@ class TestGroupedPercentilesDisc:
         assert a == b
         with _pytest.raises(ValueError):
             grouped_percentiles_disc(df, "v", ["g"], (("bad", 3, 2),))
+
+
+class TestDsir:
+    def test_artifact_fresh(self):
+        """Embedded weights == retrained weights, bit-for-bit (the same
+        freshness contract as the qc/bpe artifacts)."""
+        import numpy as np
+
+        from cloud_data_quality_spark.functions.dsir_artifact import (
+            DSIR_WEIGHTS_MICRO, train)
+        got = train()
+        assert got.dtype == np.int64
+        assert np.array_equal(got, DSIR_WEIGHTS_MICRO)
+
+    def test_spark_matches_reference_and_separates(self, spark):
+        from cloud_data_quality_spark.functions.dsir import dsir_scores
+        from cloud_data_quality_spark.functions.dsir_artifact import (
+            score_micro)
+        from cloud_data_quality_spark.sources.pages import (
+            _row_lang_kind_text)
+        rows, kinds = [], {}
+        i = 9_500_000
+        while len(rows) < 60:
+            lang, kind, text = _row_lang_kind_text(99, i)
+            i += 1
+            if lang == "zh":
+                continue
+            rows.append((len(rows), text))
+            kinds[len(rows) - 1] = kind
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["dsir_micro"], r["n_feats"])
+               for r in dsir_scores(df).collect()}
+        ref = score_micro([t for _, t in rows])
+        assert [got[i][0] for i in range(len(rows))] == ref
+        good = [got[i][0] for i, k in kinds.items() if k == "good"]
+        junk = [got[i][0] for i, k in kinds.items() if k != "good"]
+        assert sum(good) / len(good) > sum(junk) / len(junk)
+
+    def test_empty_and_null_text(self, spark):
+        from cloud_data_quality_spark.functions.dsir import dsir_scores
+        df = spark.createDataFrame([(1, ""), (2, None), (3, "word word")],
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: (r["dsir_micro"], r["n_feats"])
+               for r in dsir_scores(df).collect()}
+        assert got[1] == (0, 0) and got[2] == (0, 0)
+        assert got[3][1] == 3  # 2 unigrams + 1 bigram
