@@ -158,6 +158,30 @@ def build_suite(spark, sf_dir: str, pages_path: str,
         return classifier_scores(pages, text_col="text", id_col="url") \
             .where(F.col("ml_keep")).count()
 
+    def q_dsir_pages():
+        """DSIR importance scoring (Arrow engine) over the pages corpus —
+        same narrow no-shuffle shape as the classifier batch path; counts
+        docs with positive target-vs-raw log ratio."""
+        from cloud_data_quality_spark.functions.dsir import dsir_scores_arrow
+        return dsir_scores_arrow(pages, text_col="text", id_col="url") \
+            .where(F.col("dsir_micro") > 0).count()
+
+    def q_pagerank_pages():
+        """Link graph end-to-end over the pages corpus html: pure-JVM href
+        extraction → host edges → 2 integer PageRank iterations. Host
+        graph is tiny next to the corpus, so this times the extraction
+        scan + the host-keyed iterations."""
+        from cloud_data_quality_spark.functions.linkgraph import (
+            extract_links,
+            host_edges,
+            host_pagerank,
+        )
+        edges = host_edges(
+            extract_links(pages.withColumn(
+                "html_s", F.col("html").cast("string")),
+                html_col="html_s", id_col="url", keep_cols=("url",)))
+        return host_pagerank(edges, iterations=2).count()
+
     def q_resumable_write():
         """The shipped quality-filter CLI path: annotate → keep → single-scan
         partitionBy write with Observation-metric lineage (16 buckets).
@@ -265,6 +289,8 @@ def build_suite(spark, sf_dir: str, pages_path: str,
         "span_dedup_pages": q_span_dedup,
         "host_cap_pages": q_host_cap_pages,
         "classifier_pages": q_classifier_pages,
+        "dsir_pages": q_dsir_pages,
+        "pagerank_pages": q_pagerank_pages,
         "resumable_filter_write": q_resumable_write,
         "curate_pages": q_curate_pages,
     }

@@ -8,6 +8,9 @@ Spark), same tier as the classifier/selection stack it composes with.
 
 from __future__ import annotations
 
+# module-level: pandas_udf resolves 'pd.Series'/'pd.DataFrame' type hints
+# through the enclosing function's GLOBALS (same trap as cli.py:39-42)
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,3 +64,45 @@ def dsir_scores(df: DataFrame, text_col: str = "text",
                 .alias("dsir_micro"),
                 F.coalesce(F.col("_nf"), F.lit(0)).cast("bigint")
                 .alias("n_feats")))
+
+
+def dsir_scores_batch(texts) -> "tuple":
+    """Arrow-batch twin of the JVM plan: (scores int64[], n_feats int64[]).
+    Same vectorization as classifier_scores_batch — one tokenize pass,
+    md5 only on bucket-cache misses (the cache is SHARED with the
+    classifier: identical feature strings hash identically), float64
+    bincount (score magnitudes < 2^53 ⇒ exact), int64 cast."""
+    import numpy as np
+
+    from cloud_data_quality_spark.functions.classifier import _cached_bucket
+    from cloud_data_quality_spark.functions.qc_artifact import iter_features
+    from cloud_data_quality_spark.functions.text import py_tokens
+    tok_lists = [py_tokens(t if isinstance(t, str) else None) for t in texts]
+    doc_idx, weights = [], []
+    n_feats = np.zeros(len(tok_lists), dtype=np.int64)
+    for k, toks in enumerate(tok_lists):
+        for f in iter_features(toks):
+            doc_idx.append(k)
+            weights.append(DSIR_WEIGHTS_MICRO[_cached_bucket(f)])
+            n_feats[k] += 1
+    sums = np.bincount(
+        np.asarray(doc_idx, dtype=np.int64),
+        weights=np.asarray(weights, dtype=np.float64),
+        minlength=len(tok_lists))
+    return sums.astype(np.int64), n_feats
+
+
+def dsir_scores_arrow(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Narrow no-shuffle engine for dsir_scores: one pandas_udf stage,
+    element-wise identical to the JVM plan (pytest-pinned). Prefer this
+    in fused Arrow pipelines; prefer the JVM plan where Catalyst should
+    see/push the score expression."""
+    @F.pandas_udf("dsir_micro bigint, n_feats bigint")
+    def _score(texts: pd.Series) -> pd.DataFrame:
+        s, n = dsir_scores_batch(texts)
+        return pd.DataFrame({"dsir_micro": s, "n_feats": n},
+                            index=texts.index)
+
+    return (df.select(F.col(id_col), _score(F.col(text_col)).alias("_s"))
+            .select(id_col, "_s.dsir_micro", "_s.n_feats"))

@@ -365,3 +365,17 @@ class TestDsir:
                for r in dsir_scores(df).collect()}
         assert got[1] == (0, 0) and got[2] == (0, 0)
         assert got[3][1] == 3  # 2 unigrams + 1 bigram
+
+    def test_arrow_engine_matches_jvm(self, spark):
+        from cloud_data_quality_spark.functions.dsir import (
+            dsir_scores, dsir_scores_arrow)
+        from cloud_data_quality_spark.sources.pages import (
+            _row_lang_kind_text)
+        rows = [(i, _row_lang_kind_text(7, 10_000_000 + i)[2])
+                for i in range(40)] + [(98, ""), (99, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        jvm = {r["doc_id"]: (r["dsir_micro"], r["n_feats"])
+               for r in dsir_scores(df).collect()}
+        arrow = {r["doc_id"]: (r["dsir_micro"], r["n_feats"])
+                 for r in dsir_scores_arrow(df).collect()}
+        assert jvm == arrow
