@@ -118,3 +118,44 @@ class TestSinglePassExecution:
         df = docs.select(TX.word_count(F.col("text")).alias("n")).agg(F.sum("n"))
         df.collect()  # AQE finalizes the physical plan only on execution
         assert "*(" in plan_of(df)  # codegen stage markers
+
+
+class TestRound5PlanShapes:
+    def test_dsir_weights_broadcast_and_jvm_only(self, spark):
+        """The DSIR JVM plan must broadcast the 2048-row weight table and
+        keep the whole scoring path Python-free."""
+        from cloud_data_quality_spark.functions.dsir import dsir_scores
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text")
+        plan = plan_of(dsir_scores(docs))
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_tfidf_window_is_per_doc_with_group_limit(self, spark):
+        """Top-k ranking partitions by doc id (bounded keys) and Spark's
+        WindowGroupLimit prunes to k rows per key BEFORE the shuffle. The
+        only SinglePartition allowed is the 1-row corpus-count scalar that
+        feeds idf via broadcast."""
+        from cloud_data_quality_spark.functions.corpus import tfidf_top_terms
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text")
+        plan = plan_of(tfidf_top_terms(docs, k=3))
+        assert "windowspecdefinition(doc_id" in plan
+        assert "WindowGroupLimit" in plan
+        assert plan.count("Exchange SinglePartition") <= 1
+
+    def test_grouped_percentiles_no_collect_no_single_partition(self, spark):
+        from cloud_data_quality_spark.functions.selection import (
+            grouped_percentiles_disc)
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("lang", "n_chars")
+        plan = plan_of(grouped_percentiles_disc(docs, "n_chars", ["lang"]))
+        assert "SinglePartition" not in plan
+
+    def test_extract_links_stays_jvm(self, spark):
+        from cloud_data_quality_spark.functions.linkgraph import (
+            extract_links)
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", F.col("text").alias("html"))
+        plan = plan_of(extract_links(docs))
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

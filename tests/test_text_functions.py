@@ -317,3 +317,39 @@ class TestNormalizeText:
                                    "t string")
         rows = df.select(normalize_text(F.col("t")).alias("c")).collect()
         assert [r["c"] for r in rows] == ["plain text", None, ""]
+
+
+class TestNormalizeTextCrossEngine:
+    def test_nasty_corpus_parity_vs_duckdb(self, spark):
+        """Spark normalize_text vs the generated DuckDB twin on a corpus of
+        hostile strings — every rule boundary, plus combinations."""
+        import duckdb
+
+        from cloud_data_quality_spark.functions.text import normalize_text
+        from cloud_data_quality_spark.plans.oracle_fragments import (
+            sql_normalize_text)
+        from pyspark.sql import functions as F
+        base = [
+            "", " ", "  ", "​", "​‌‍﻿",
+            "a​b", "‘x’", "“q”", "‚y„",
+            "a–b—c‒d", "e…", "……",
+            "nb sp", "\x01ctrl\x1f", "\x7fdel", "tab\tta\t\tbs",
+            "sp  aces   here", "line \n next", "line  \nnext",
+            "\r keeps cr\r\n", "mixed \t ​…\x02 end ",
+            "plain text stays", "unicode ok: äöü 中文 émoji 🙂",
+            "' already \" ascii - ...", "trail  ", "  lead",
+        ]
+        combos = [a + b for a in base[:8] for b in base[8:16]]
+        corpus = base + combos
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                                   "i int, t string")
+        got = {r["i"]: r["c"] for r in
+               df.select("i", normalize_text(F.col("t")).alias("c"))
+               .collect()}
+        con = duckdb.connect()
+        con.execute("create table c(i int, t varchar)")
+        con.executemany("insert into c values (?, ?)",
+                        [(i, t) for i, t in enumerate(corpus)])
+        want = dict(con.sql(
+            f"select i, {sql_normalize_text('t')} from c").fetchall())
+        assert got == want
