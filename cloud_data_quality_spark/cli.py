@@ -252,6 +252,16 @@ def _corpus(args) -> int:
                 f"(pass --url-col)")
         out = df.withColumn(args.url_col,
                             canonicalize_url(F.col(args.url_col)))
+    elif args.op == "boilerplate":
+        from cloud_data_quality_spark.functions.corpus import (
+            host_boilerplate_removal)
+        if args.url_col not in df.columns:
+            raise SystemExit(
+                f"boilerplate: no column {args.url_col!r} in input "
+                f"(pass --url-col)")
+        out = host_boilerplate_removal(
+            df, url_col=args.url_col, text_col=args.text_col,
+            id_col=args.id_col)
     elif args.op == "normalize":
         from cloud_data_quality_spark.functions.text import normalize_text
         out = df.withColumn(args.text_col,
@@ -613,7 +623,7 @@ def main(argv: list[str] | None = None) -> int:
                             "canonicalize-urls", "repetition-stats",
                             "compact-store", "compact-minhash-store",
                             "containment", "classify", "split",
-                            "dup-ngram-stats", "normalize", "url-dedup",
+                            "dup-ngram-stats", "normalize", "url-dedup", "boilerplate",
                             "tfidf", "pagerank", "profile"])
     c.add_argument("--input", default=None,
                    help="required for all ops except compact-*")

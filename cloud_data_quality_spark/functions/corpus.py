@@ -1243,3 +1243,83 @@ def tfidf_top_terms(
                                            F.col("term").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def host_boilerplate_removal(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    max_frac: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """Site-template stripping (the CCNet/jusText family's per-SITE move):
+    a line appearing in at least max_frac of a host's documents is
+    navigation / footer / cookie-banner boilerplate and is removed from
+    EVERY document of that host. Unlike span_dedup (corpus-wide canonical
+    occurrence) the decision here is host-scoped and frequency-based: the
+    line disappears everywhere, including its first occurrence.
+
+    Exactness: the threshold is integer cross-multiplied
+    (docs_with_line·den ≥ host_docs·num), hosts under min_docs documents
+    are exempt (no evidence), a line must appear in ≥2 documents, and
+    blank lines never qualify (they are structure, not boilerplate) — all
+    replayed by the DuckDB oracle.
+
+    Returns (id_col, clean_text, n_lines, n_removed) for documents with
+    non-NULL text; NULL-text documents keep NULL clean_text.
+
+    Scale shape: posexplode lines (narrow) → one distinct + two
+    partial-aggregated shuffles on (host, line-fp) / host — uniform md5
+    keys — → broadcast-or-shuffle anti join of lines against the (small:
+    only lines that CLEARED the frequency bar) boilerplate set → one
+    groupBy(doc) reassembly, per-key state bounded by a doc's line count.
+    Per-host line frequency is exactly the skewed-host shape
+    cap_per_host documents; counts partial-aggregate so a 10^7-page host
+    costs its mappers, not one reducer."""
+    from cloud_data_quality_spark.functions.hosts import url_host
+    num, den = max_frac
+    if not (0 < num <= den):
+        raise ValueError(f"max_frac must be in (0, 1], got {max_frac}")
+    host = url_host(F.col(url_col))
+    base = df.where(F.col(text_col).isNotNull()) \
+        .select(F.col(id_col), host.alias("__host"), F.col(text_col))
+    lines = (base.select(
+        id_col, "__host",
+        F.posexplode(F.split(F.col(text_col), "\n", -1))
+        .alias("pos", "line"))
+        .withColumn("fp", _span_fp(F.col("line"))))
+    per_host = base.groupBy("__host").agg(F.count(F.lit(1)).alias("__n"))
+    per_line = (lines.where(F.length(F.trim("line")) > 0)
+                .select("__host", "fp", id_col).distinct()
+                .groupBy("__host", "fp")
+                .agg(F.count(F.lit(1)).alias("__d")))
+    bad = (per_line.join(per_host, "__host")
+           .where((F.col("__n") >= min_docs) & (F.col("__d") >= 2)
+                  & (F.col("__d") * den >= F.col("__n") * num))
+           .select("__host", "fp"))
+    kept = lines.join(bad, ["__host", "fp"], "left_anti")
+    re = (kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("pos"), F.col("line")))),
+                lambda s: s.line),
+            "\n").alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("__kept")))
+    n_lines = F.size(F.split(F.col(text_col), "\n", -1)).cast("bigint")
+    return (base
+            .join(re, id_col, "left")
+            .select(
+                F.col(id_col),
+                # a doc whose every line was boilerplate reassembles to ''
+                F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+                n_lines.alias("n_lines"),
+                (n_lines - F.coalesce(F.col("__kept"), F.lit(0)))
+                .cast("bigint").alias("n_removed"))
+            .unionByName(
+                df.where(F.col(text_col).isNull()).select(
+                    F.col(id_col),
+                    F.lit(None).cast("string").alias("clean_text"),
+                    F.lit(None).cast("bigint").alias("n_lines"),
+                    F.lit(None).cast("bigint").alias("n_removed"))))

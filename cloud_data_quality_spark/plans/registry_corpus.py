@@ -1742,3 +1742,56 @@ select d.doc_id,
        coalesce(s.nf, 0)::BIGINT as n_feats
 from documents d left join summed s using (doc_id)
 """
+
+
+#: boilerplate synthesis: every doc of a host shares a nav line and a
+#: footer line (plus a blank structural line that must SURVIVE); two
+#: single-doc 'rare' hosts sit below min_docs and keep their template.
+_BOILER_HOST_SQL = ("case when doc_id % 250 = 124 then 'rare' || doc_id "
+                    "else 'h' || (doc_id % 13) end")
+_BOILER_TEXT_SQL = ("'NAV MENU ' || ({h}) || chr(10) || text || chr(10) "
+                    "|| chr(10) || 'copyright ' || ({h})").format(
+                        h=_BOILER_HOST_SQL)
+
+
+def q_host_boilerplate(spark, sf_dir):
+    """Per-host boilerplate line removal (corpus.host_boilerplate_removal):
+    host-scoped frequency threshold, integer cross-multiplied; blank lines
+    and under-evidence hosts exempt."""
+    from cloud_data_quality_spark.functions.corpus import (
+        host_boilerplate_removal)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"'https://' || ({_BOILER_HOST_SQL}) || '.test/p/' || doc_id"
+               ).alias("url"),
+        F.expr(_BOILER_TEXT_SQL).alias("text"))
+    return host_boilerplate_removal(docs, min_docs=3, max_frac=(1, 2))
+
+
+def _oracle_host_boilerplate() -> str:
+    return f"""
+with d as (select doc_id, {_BOILER_HOST_SQL} as h,
+                  {_BOILER_TEXT_SQL} as t
+           from documents),
+l as (select doc_id, h,
+             generate_subscripts(string_split(t, chr(10)), 1) - 1 as pos,
+             unnest(string_split(t, chr(10))) as ln
+      from d),
+ph as (select h, count(*)::BIGINT as n from d group by h),
+pl as (select h, md5(lower(trim(ln, ' '))) as fp,
+              count(distinct doc_id)::BIGINT as dd
+       from l where length(trim(ln, ' ')) > 0 group by 1, 2),
+bad as (select h, fp from pl join ph using (h)
+        where n >= 3 and dd >= 2 and dd * 2 >= n * 1),
+kept as (select l.* from l
+         anti join bad on l.h = bad.h
+                      and md5(lower(trim(l.ln, ' '))) = bad.fp),
+re as (select doc_id, string_agg(ln, chr(10) order by pos) as ct,
+              count(*)::BIGINT as k
+       from kept group by doc_id)
+select d.doc_id, coalesce(re.ct, '') as clean_text,
+       len(string_split(d.t, chr(10)))::BIGINT as n_lines,
+       (len(string_split(d.t, chr(10))) - coalesce(re.k, 0))::BIGINT
+         as n_removed
+from d left join re using (doc_id)
+"""

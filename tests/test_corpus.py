@@ -1165,3 +1165,49 @@ class TestTfidfTopTerms:
             [(1, ""), (2, None), (3, "word")], "doc_id long, text string")
         out = tfidf_top_terms(df, k=2).collect()
         assert {r["doc_id"] for r in out} == {3}
+
+
+class TestHostBoilerplateRemoval:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, url string, text string")
+
+    def test_template_stripped_structure_kept(self, spark):
+        from cloud_data_quality_spark.functions.corpus import (
+            host_boilerplate_removal)
+        nav, foot = "NAV MENU", "copyright 2026"
+        rows = [(i, f"https://big.test/p/{i}",
+                 f"{nav}\nunique body {i}\n\n{foot}") for i in range(4)]
+        # small host: template must SURVIVE (below min_docs)
+        rows += [(10, "https://tiny.test/x", f"{nav}\nbody\n{foot}")]
+        out = {r["doc_id"]: r for r in host_boilerplate_removal(
+            self._df(spark, rows), min_docs=3).collect()}
+        for i in range(4):
+            assert out[i]["clean_text"] == f"unique body {i}\n"
+            assert (out[i]["n_lines"], out[i]["n_removed"]) == (4, 2)
+        assert out[10]["clean_text"] == f"{nav}\nbody\n{foot}"
+        assert out[10]["n_removed"] == 0
+
+    def test_threshold_and_two_doc_floor(self, spark):
+        from cloud_data_quality_spark.functions.corpus import (
+            host_boilerplate_removal)
+        # line in 2/4 docs: at max_frac (1,2) → removed; 1/4 → kept
+        rows = [(0, "https://h.test/0", "half\na0"),
+                (1, "https://h.test/1", "half\na1"),
+                (2, "https://h.test/2", "lonely\na2"),
+                (3, "https://h.test/3", "a3")]
+        out = {r["doc_id"]: r["clean_text"] for r in
+               host_boilerplate_removal(self._df(spark, rows),
+                                        min_docs=3).collect()}
+        assert out[0] == "a0" and out[1] == "a1"
+        assert out[2] == "lonely\na2"
+
+    def test_all_boilerplate_doc_and_null(self, spark):
+        from cloud_data_quality_spark.functions.corpus import (
+            host_boilerplate_removal)
+        rows = [(i, f"https://h.test/{i}", "same") for i in range(3)]
+        rows += [(9, "https://h.test/9", None)]
+        out = {r["doc_id"]: r for r in host_boilerplate_removal(
+            self._df(spark, rows), min_docs=3).collect()}
+        assert out[0]["clean_text"] == "" and out[0]["n_removed"] == 1
+        assert out[9]["clean_text"] is None and out[9]["n_lines"] is None
