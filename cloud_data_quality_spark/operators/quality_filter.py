@@ -267,3 +267,47 @@ def quality_summary(annotated: DataFrame) -> DataFrame:
              F.sum(F.coalesce(F.col("n_words"), F.lit(0))).alias("n_words_total"))
         .orderBy("lang_pred", "keep", "drop_reason")
     )
+
+
+def rule_attribution(df: DataFrame, text_col: str = "text",
+                     thresholds: QualityThresholds | None = None) -> DataFrame:
+    """Per-gate accountability for the quality filter — the operator a
+    pipeline owner reads before loosening a rule:
+
+    * n_failing      docs failing the gate at all (order-independent);
+    * n_first_fail   docs whose drop_reason IS this gate (the priority-
+                     ordered attribution the summary already reports);
+    * n_unique_fail  docs failing ONLY this gate — removing the rule would
+                     recover exactly these documents (marginal kill set);
+    * n_docs         corpus size, for rates.
+
+    Fully declarative: ONE aggregation pass over the annotated frame
+    computes every per-gate count_if, and `stack` melts the single agg row
+    into one row per gate — no driver-side loop, no second scan. Same
+    tri-valued convention as the engine: NULL features fail gates."""
+    t = thresholds or QualityThresholds()
+    ann = annotate_quality(df, text_col=text_col,
+                           with_perplexity=False, with_scrub=False)
+    feat_cols = {k: F.col(k) for k in
+                 ["lang_pred", "n_chars", "n_words", "mean_word_len",
+                  "alpha_ratio", "cjk_ratio", "dup_token_frac",
+                  "dup_line_frac", "has_toxicity"]}
+    gs = gates(feat_cols, t)
+    fails = None
+    for _, cond in gs:
+        c = (~cond).cast("int")
+        fails = c if fails is None else fails + c
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for name, cond in gs:
+        aggs += [
+            F.count_if(~cond).alias(f"f_{name}"),
+            F.count_if(F.col("drop_reason") == name).alias(f"ff_{name}"),
+            F.count_if((~cond) & (fails == 1)).alias(f"u_{name}"),
+        ]
+    row = ann.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', f_{name}, ff_{name}, u_{name}" for name, _ in gs)
+    return row.selectExpr(
+        f"stack({len(gs)}, {stack_args}) as "
+        f"(rule, n_failing, n_first_fail, n_unique_fail)",
+        "n_docs")

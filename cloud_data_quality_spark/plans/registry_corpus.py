@@ -123,7 +123,9 @@ def q_quality_verdict(spark, sf_dir):
     return ann.select("doc_id", "lang_pred", "keep", "drop_reason")
 
 
-def _oracle_quality_verdict() -> str:
+def _verdict_feat_and_gates() -> tuple[str, dict[str, str], str]:
+    """Shared feature CTE + coalesced gate SQL + drop_reason expression —
+    one spelling consumed by the verdict, rollup and attribution oracles."""
     from cloud_data_quality_spark.operators.quality_filter import QualityThresholds
     t = QualityThresholds()
     feat = f"""
@@ -153,13 +155,48 @@ from documents"""
         "toxicity": "not has_toxicity",
     }
     coalesced = {k: f"coalesce({v}, false)" for k, v in gates.items()}
-    keep = " and ".join(coalesced.values())
     reason = "case " + " ".join(
         f"when not {coalesced[k]} then '{k}'" for k in coalesced
     ) + " else NULL end"
+    return feat, coalesced, reason
+
+
+def _oracle_quality_verdict() -> str:
+    feat, coalesced, reason = _verdict_feat_and_gates()
+    keep = " and ".join(coalesced.values())
     return (f"with f as ({feat}) "
             f"select doc_id, lang_pred, ({keep}) as keep, {reason} as drop_reason "
             f"from f")
+
+
+def q_rule_attribution(spark, sf_dir):
+    """Per-gate marginal analytics (quality_filter.rule_attribution): one
+    agg pass + stack melt — n_failing / n_first_fail (drop_reason) /
+    n_unique_fail (the docs a rule removal would recover) per rule."""
+    from cloud_data_quality_spark.operators.quality_filter import (
+        rule_attribution)
+    return rule_attribution(_t(spark, sf_dir, "documents"),
+                            text_col="text")
+
+
+def _oracle_rule_attribution() -> str:
+    feat, coalesced, reason = _verdict_feat_and_gates()
+    fails = " + ".join(
+        f"(case when not {c} then 1 else 0 end)" for c in coalesced.values())
+    legs = []
+    for name, c in coalesced.items():
+        legs.append(
+            f"select '{name}' as rule, "
+            f"count(*) filter (where not {c})::BIGINT as n_failing, "
+            f"count(*) filter (where drop_reason = '{name}')::BIGINT "
+            f"as n_first_fail, "
+            f"count(*) filter (where not {c} and fails = 1)::BIGINT "
+            f"as n_unique_fail, "
+            f"count(*)::BIGINT as n_docs from g")
+    union = " union all ".join(legs)
+    return (f"with f as ({feat}), "
+            f"g as (select *, {reason} as drop_reason, ({fails}) as fails "
+            f"from f) {union}")
 
 
 def q_quality_rollup(spark, sf_dir):

@@ -386,3 +386,45 @@ class TestVideoMetadata:
                                 deterministic_fake=False).collect()
         assert all(r["video_format"] == "INVALID" for r in strict)
         assert all(r["v_width"] is None for r in strict)
+
+
+class TestRuleAttribution:
+    def test_counts_and_unique_semantics(self, spark):
+        from cloud_data_quality_spark.operators.quality_filter import (
+            rule_attribution)
+        words = "the quick brown fox jumps over a lazy dog and runs home " * 5
+        rows = [
+            (1, words),                        # passes everything
+            # 9 English words, healthy lengths: fails ONLY the words gate
+            (2, "the quick brown fox jumps over that lazy dog"),
+            (3, "#### " * 40),                 # junk: several gates fail
+            (4, None),                         # NULL fails every gate
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["rule"]: r for r in
+               rule_attribution(df, text_col="text").collect()}
+        assert set(out) == {"words", "word_len", "alpha", "repetition",
+                            "lang", "toxicity"}
+        assert all(r["n_docs"] == 4 for r in out.values())
+        w = out["words"]
+        # docs 2 and 4 fail; drop_reason credits both (first gate in order);
+        # only doc 2 fails NOTHING else — the marginal kill set
+        assert (w["n_failing"], w["n_first_fail"], w["n_unique_fail"]) \
+            == (2, 2, 1)
+        # first-fail attribution sums to the number of dropped docs
+        dropped = sum(r["n_first_fail"] for r in out.values())
+        assert dropped == 3
+        # uniqueness never exceeds raw failing
+        assert all(r["n_unique_fail"] <= r["n_failing"]
+                   for r in out.values())
+
+    def test_single_agg_pass_plan(self, spark):
+        from cloud_data_quality_spark.operators.quality_filter import (
+            rule_attribution)
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = (rule_attribution(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        # one scalar aggregate over the corpus, melted by a generator —
+        # no per-rule scans
+        assert plan.count("Scan ExistingRDD") <= 1
+        assert "Generate stack" in plan or "stack" in plan
