@@ -135,3 +135,51 @@ def host_pagerank(edges: DataFrame, iterations: int = 5,
                               f" bigint))) div 100")
                      ).cast("long").alias("rank_micro")))
     return ranks
+
+
+#: full <a ...>text</a> occurrences with a flat (tag-free) anchor body —
+#: the common case; nested-markup anchors are a parser's job, not a
+#: regexp's, and are deliberately skipped rather than mis-sliced
+_ANCHOR_PATTERN = '(?i)<a[^>]*href[\\t\\n\\f\\r ]*=[\\t\\n\\f\\r ]*"[^"]+"[^>]*>[^<]*</a>'
+_ANCHOR_HREF_RE = '(?i)href[\\t\\n\\f\\r ]*=[\\t\\n\\f\\r ]*"([^"]+)"'
+_ANCHOR_TEXT_RE = '>([^<]*)<'
+
+
+def extract_anchor_texts(df: DataFrame, html_col: str = "html",
+                         id_col: str = "doc_id") -> DataFrame:
+    """One row per anchor occurrence: (id_col, link, anchor). Pure-JVM:
+    regexp_extract_all pulls whole <a href="...">text</a> matches, then a
+    transform() re-extracts href and body per element — Spark's
+    regexp_extract_all returns a single group, so two-capture extraction
+    is spelled as extract-then-project, still zero Python."""
+    matches = F.regexp_extract_all(F.col(html_col),
+                                   F.lit(_ANCHOR_PATTERN), 0)
+    pairs = F.transform(
+        matches,
+        lambda m: F.struct(
+            F.regexp_extract(m, _ANCHOR_HREF_RE, 1).alias("link"),
+            F.trim(F.regexp_extract(m, _ANCHOR_TEXT_RE, 1)).alias("anchor")))
+    return (df.select(F.col(id_col), F.explode(pairs).alias("p"))
+            .select(id_col, "p.link", "p.anchor"))
+
+
+def top_anchors(anchors: DataFrame, k: int = 5,
+                link_col: str = "link",
+                anchor_col: str = "anchor") -> DataFrame:
+    """Most common anchor texts per TARGET host — the classic anchor-spam
+    / boilerplate-navigation diagnostic ('click here' vs keyword stuffing).
+    (host, anchor, n, rank), rank 1..k by (count desc, anchor asc).
+    Empty anchors (image links) are excluded. Bounded-key window: one
+    host's distinct anchor texts, never a global sort."""
+    from pyspark.sql.window import Window
+    host = url_host(F.col(link_col))
+    counted = (anchors
+               .select(host.alias("host"),
+                       F.lower(F.col(anchor_col)).alias("anchor"))
+               .where((F.length("host") > 0) & (F.length("anchor") > 0))
+               .groupBy("host", "anchor")
+               .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("host").orderBy(F.col("n").desc(),
+                                           F.col("anchor").asc())
+    return (counted.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

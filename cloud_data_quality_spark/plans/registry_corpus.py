@@ -1832,3 +1832,45 @@ select d.doc_id, coalesce(re.ct, '') as clean_text,
          as n_removed
 from d left join re using (doc_id)
 """
+
+
+#: anchor synthesis: one real text anchor per doc (host/text from doc_id
+#: arithmetic), plus an empty-body anchor (extracted, then excluded by
+#: top_anchors) and an <img> anchor (nested markup — skipped by design).
+_ANCHOR_HTML_SQL = (
+    "'<p><a href=\"https://t' || (doc_id % 5) || '.test/x\">' || "
+    "case doc_id % 3 when 0 then 'Click Here' when 1 then 'Read More' "
+    "else 'Widget ' || (doc_id % 4) end || '</a>"
+    "<a href=\"https://t1.test/e\"></a>"
+    "<a href=\"https://t0.test/i\"><img src=\"x.png\"/></a></p>'")
+_TOP_ANCHOR_K = 3
+
+
+def q_top_anchor_texts(spark, sf_dir):
+    """Anchor-text mining (linkgraph.extract_anchor_texts + top_anchors):
+    most common anchor texts per TARGET host. The oracle rebuilds the
+    expected anchors from doc_id arithmetic, so extraction (incl. the
+    skip-nested-markup and drop-empty-anchor contracts) is checked
+    end-to-end against ground truth."""
+    from cloud_data_quality_spark.functions.linkgraph import (
+        extract_anchor_texts,
+        top_anchors,
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_ANCHOR_HTML_SQL).alias("html"))
+    return top_anchors(extract_anchor_texts(docs), k=_TOP_ANCHOR_K)
+
+
+def _oracle_top_anchor_texts() -> str:
+    return f"""
+with a as (select 't' || (doc_id % 5) || '.test' as host,
+                  lower(case doc_id % 3 when 0 then 'Click Here'
+                        when 1 then 'Read More'
+                        else 'Widget ' || (doc_id % 4) end) as anchor
+           from documents),
+c as (select host, anchor, count(*)::BIGINT as n from a group by 1, 2),
+r as (select *, row_number() over (partition by host
+                                   order by n desc, anchor asc) as rank
+      from c)
+select host, anchor, n, rank::INT as rank from r where rank <= {_TOP_ANCHOR_K}
+"""

@@ -92,3 +92,31 @@ class TestHostPagerank:
         degs = {r["host"]: (r["out_deg"], r["in_deg"])
                 for r in host_degrees(edges).collect()}
         assert degs == {"a": (1, 0), "b": (0, 1)}
+
+
+class TestAnchorTexts:
+    def test_extract_pairs_and_skip_nested(self, spark):
+        from cloud_data_quality_spark.functions.linkgraph import (
+            extract_anchor_texts)
+        html = ('<a href="https://a.test/x"> Click Here </a>'
+                '<A HREF = "https://b.test/y">More</A>'
+                '<a href="https://c.test/z"><img src="i.png"/></a>'
+                '<a href="https://d.test/e"></a>'
+                '<a name="no-href">plain</a>')
+        df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+        got = {(r["link"], r["anchor"])
+               for r in extract_anchor_texts(df).collect()}
+        assert got == {("https://a.test/x", "Click Here"),
+                       ("https://b.test/y", "More"),
+                       ("https://d.test/e", "")}
+
+    def test_top_anchors_rank_and_filters(self, spark):
+        from cloud_data_quality_spark.functions.linkgraph import top_anchors
+        rows = ([(i, "https://t.test/p", "Click Here") for i in range(3)]
+                + [(9, "https://t.test/p", "rare")]
+                + [(10, "https://t.test/p", "")]        # empty excluded
+                + [(11, "not a url", "x")])             # hostless excluded
+        df = spark.createDataFrame(rows, "doc_id long, link string, anchor string")
+        got = [(r["anchor"], r["n"], r["rank"])
+               for r in top_anchors(df, k=2).orderBy("rank").collect()]
+        assert got == [("click here", 3, 1), ("rare", 1, 2)]
