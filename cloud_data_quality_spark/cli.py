@@ -19,9 +19,10 @@ Subcommands:
                   resample | split | incremental-dedup |
                   incremental-minhash-dedup | chunk | c4-clean |
                   paragraph-stats | repetition-stats | dup-ngram-stats |
-                  canonicalize-urls | classify | containment
+                  canonicalize-urls | classify | containment | normalize |
+                  url-dedup | boilerplate | tfidf | pagerank | profile
                   (functions/corpus.py, functions/hosts.py,
-                  functions/classifier.py)
+                  functions/classifier.py, functions/linkgraph.py)
   curate          composed resumable pipeline, every stage optional except
                   quality+dedup: [c4-clean →] quality filter →
                   [span-dedup →] [decontaminate →] [host blocklist+cap →]
