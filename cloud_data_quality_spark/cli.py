@@ -381,11 +381,35 @@ def _curate(args) -> int:
     # --url-col, and rows whose host doesn't parse pass through untouched
     # instead of pooling under ''.
     host_url_col = args.url_col or args.id_col
-    if (blocklist or args.max_per_host > 0 or args.url_hygiene) \
-            and host_url_col not in df.columns:
+    if (blocklist or args.max_per_host > 0 or args.url_hygiene
+            or args.boilerplate) and host_url_col not in df.columns:
         raise SystemExit(
             f"curate: no column {host_url_col!r} in input for the host "
             f"stage (pass --url-col)")
+
+    def normalize(d):
+        from pyspark.sql import functions as F
+
+        from cloud_data_quality_spark.functions.text import normalize_text
+        return d.withColumn(args.text_col,
+                            normalize_text(F.col(args.text_col)))
+
+    def boilerplate(d):
+        from pyspark.sql import functions as F
+
+        from cloud_data_quality_spark.functions.corpus import (
+            host_boilerplate_removal)
+        # rewrite text in place (same convention as span_dedup): docs whose
+        # every line was host boilerplate reassemble to '' and are dropped
+        cleaned = host_boilerplate_removal(
+            d, url_col=host_url_col, text_col=args.text_col,
+            id_col=args.id_col)
+        return (d.drop(args.text_col)
+                .join(cleaned.select(
+                          args.id_col,
+                          F.col("clean_text").alias(args.text_col)),
+                      args.id_col, "inner")
+                .where(F.length(F.col(args.text_col)) > 0))
 
     def hosts(d):
         from pyspark.sql import functions as F
@@ -528,6 +552,15 @@ def _curate(args) -> int:
             token_col="__nt", id_col=args.id_col).select(*cols)
 
     stages = []
+    # order: normalization first (every downstream fingerprint/stat sees
+    # canonical text), then host-template stripping (boilerplate lines
+    # would pollute C4/quality statistics), then the content stages
+    if args.normalize:
+        stages.append(PipelineStage("normalize", normalize,
+                                    kind="partition"))
+    if args.boilerplate:
+        stages.append(PipelineStage("boilerplate", boilerplate,
+                                    kind="global"))
     if args.c4_clean:
         stages.append(PipelineStage("c4_clean", c4, kind="partition"))
     stages.append(PipelineStage("quality", quality, kind="partition"))
@@ -692,8 +725,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="pagerank: power-iteration rounds")
 
     cu = sub.add_parser(
-        "curate", help="composed resumable pipeline: [c4-clean →] quality "
-                       "filter → [span-dedup →] [decontaminate →] [host "
+        "curate", help="composed resumable pipeline: [normalize →] "
+                       "[boilerplate →] [c4-clean →] quality filter → "
+                       "[span-dedup →] [decontaminate →] [host "
                        "blocklist+cap →] exact dedup → [sample →] "
                        "[top-fraction | token-budget →] [pack] (staged, "
                        "per-partition lineage, restart-safe)")
@@ -727,6 +761,14 @@ def main(argv: list[str] | None = None) -> int:
                          "classifier score until this many (word) tokens "
                          "are selected (0 = disabled; mutually exclusive "
                          "with --top-fraction)")
+    cu.add_argument("--normalize", action="store_true",
+                    help="prepend Unicode text normalization (NFC, "
+                         "exotic-whitespace/control-char cleanup) so every "
+                         "downstream fingerprint sees canonical text")
+    cu.add_argument("--boilerplate", action="store_true",
+                    help="before content stages: per-host boilerplate line "
+                         "removal (site-template stripping); uses "
+                         "--url-col, docs reassembling to '' dropped")
     cu.add_argument("--c4-clean", action="store_true",
                     help="prepend C4 §2.2 line-level cleaning (terminal-"
                          "punctuation lines, ≥5 words, no javascript; "

@@ -638,6 +638,37 @@ class TestCurateArgValidation:
                   "--id-col", "doc_id", "--url-col", "nope",
                   "--max-per-host", "5"])
 
+    def test_curate_normalize_and_boilerplate_stages(self, spark, tmp_path,
+                                                     capsys):
+        """--normalize and --boilerplate compose as the leading curate
+        stages: invisible bytes are gone and the host-template line is
+        stripped from every doc before quality/dedup run."""
+        import json as _json
+        inp = str(tmp_path / "bp.parquet")
+        boiler = "Subscribe to our newsletter and accept all cookies today."
+        rows = [(i, f"https://h0.example.com/p/{i}",
+                 boiler + "\n" +
+                 f"The quick brown fox numbered {i}​ jumped over the "
+                 f"lazy dog and then ran away into the deep woods after.")
+                for i in range(6)]
+        spark.createDataFrame(
+            rows, "doc_id long, url string, text string").write.parquet(inp)
+        rc = main(["curate", "--input", inp,
+                   "--work-dir", str(tmp_path / "wbp"), "--run-id", "n1",
+                   "--id-col", "doc_id", "--url-col", "url",
+                   "--normalize", "--boilerplate"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        names = [s["name"] for s in out["stages"]]
+        assert names[:2] == ["normalize", "boilerplate"]
+        final = spark.read.parquet(out["stages"][-1]["output"])
+        texts = [r["text"] for r in final.collect()]
+        assert len(texts) == 6
+        for t in texts:
+            assert boiler not in t          # site template stripped
+            assert "​" not in t        # normalization ran first
+            assert "quick brown fox" in t   # the real content survived
+
     def test_curate_refuses_dup_ids(self, spark, tmp_path):
         dup = str(tmp_path / "cdup.parquet")
         spark.createDataFrame(
