@@ -1323,3 +1323,86 @@ def host_boilerplate_removal(
                     F.lit(None).cast("string").alias("clean_text"),
                     F.lit(None).cast("bigint").alias("n_lines"),
                     F.lit(None).cast("bigint").alias("n_removed"))))
+
+
+def build_vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary: the top_n most frequent whitespace tokens with
+    their corpus frequency and 1-based rank — the tokenizer-training /
+    embedding-table prep step of an LLM data pipeline (and the vocab side
+    of OOV-rate quality scoring, see :func:`oov_stats`).
+
+    Deterministic: ties broken by term ascending, so the rank (and the
+    boundary cut at top_n) is a total order both engines replay.
+
+    Scale shape: explode tokens (narrow) → one partial-aggregated count
+    shuffle on term (stopword skew is absorbed map-side: counts combine
+    before the exchange) → orderBy+limit plans as TakeOrderedAndProject
+    (per-partition top-N, driver merge of N-row heaps — never a global
+    sort) → rank via a window over the ALREADY top_n-bounded frame (≤top_n
+    rows on one partition by construction, not a corpus-wide window).
+
+    Reference analogue: CloudDQ profiles column value distributions via
+    generated GROUP BY queries (clouddq/classes/dq_rule.py rule SQL); this
+    is the corpus-scale equivalent over token space.
+    """
+    from cloud_data_quality_spark.functions.text import tokens
+    freq = (df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("freq")))
+    top = freq.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(top_n)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    return top.select(
+        "term", "freq",
+        F.row_number().over(w).cast("int").alias("rank"))
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a bounded vocabulary
+    (usually :func:`build_vocabulary`'s output): high OOV fraction flags
+    gibberish, boilerplate-mangled, or wrong-language documents — a
+    standard learned-tokenizer-era quality gate.
+
+    Returns (id_col, n_tokens, n_oov, oov_micro) for every input row:
+    oov_micro = floor(n_oov * 1e6 / n_tokens) in integer micro-units
+    (exact on any partitioning — no float division anywhere), NULL for
+    token-less documents (0/0 is no evidence, not 0% OOV).
+
+    Scale shape: explode tokens (narrow) → broadcast left join against the
+    vocab (bounded by top_n — never a shuffle join) → one per-doc
+    partial-aggregated count shuffle on the id → broadcast-safe left join
+    back to the input's id spine so empty/NULL-text docs keep a row.
+    """
+    from cloud_data_quality_spark.functions.text import tokens
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("term"))
+    iv = F.broadcast(
+        vocab.select("term").withColumn("__iv", F.lit(1)))
+    per = (toks.join(iv, "term", "left")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                F.sum(F.when(F.col("__iv").isNull(), 1).otherwise(0))
+                .cast("bigint").alias("n_oov")))
+    return (df.select(id_col).join(per, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
+                .alias("n_tokens"),
+                F.coalesce(F.col("n_oov"), F.lit(0)).cast("bigint")
+                .alias("n_oov"),
+                # `div`, not `/`: float division + cast would round-trip
+                # through a double; integer floor-div is exact and matches
+                # DuckDB's `//` on non-negative operands
+                F.when(F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                       F.expr("(coalesce(n_oov, 0) * 1000000) "
+                              "div n_tokens"))
+                .cast("bigint").alias("oov_micro")))

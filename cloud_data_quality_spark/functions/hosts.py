@@ -318,3 +318,46 @@ def drop_url_patterns(
         return df
     combined = "(" + "|".join(pats) + ")"
     return df.where(~F.coalesce(F.col(url_col).rlike(combined), F.lit(False)))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl snapshot diff: classify every URL across two crawl snapshots
+    as added / removed / changed / unchanged by content fingerprint — the
+    incremental-recrawl bookkeeping step (what must be re-extracted, what
+    can reuse the previous wave's verdicts, what left the web).
+
+    Contract: url_col must be unique within each snapshot (run
+    latest_revision first for raw WARC inputs with multiple revisions);
+    duplicate urls would fan the outer join out multiplicatively.
+
+    Returns (url, status, old_fp, new_fp); fingerprints are md5 of the
+    text, NULL for NULL text. A NULL fingerprint on a PRESENT row is
+    compared null-safely, so two NULL-text revisions of a URL are
+    'unchanged', not 'changed'.
+
+    Scale shape: fingerprint each side (narrow) → ONE full outer
+    shuffle join on url (uniform md5-distributed keys; at catalog scale
+    both snapshots live in url-bucketed stores and the join is
+    exchange-free on the store side, same layout as the incremental-dedup
+    catalogs in corpus.py).
+    """
+    def side(d: DataFrame, fp_name: str, flag: str) -> DataFrame:
+        return d.select(
+            F.col(url_col).alias("url"),
+            F.md5(F.col(text_col)).alias(fp_name),
+            F.lit(True).alias(flag))
+
+    j = side(old, "old_fp", "__in_old").join(
+        side(new, "new_fp", "__in_new"), "url", "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_fp").eqNullSafe(F.col("new_fp")),
+              F.lit("unchanged"))
+        .otherwise(F.lit("changed")))
+    return j.select("url", status.alias("status"), "old_fp", "new_fp")

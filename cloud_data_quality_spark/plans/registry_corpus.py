@@ -1874,3 +1874,103 @@ r as (select *, row_number() over (partition by host
       from c)
 select host, anchor, n, rank::INT as rank from r where rank <= {_TOP_ANCHOR_K}
 """
+
+
+_VOCAB_TOP_N = 20
+
+
+def q_corpus_vocab(spark, sf_dir):
+    """Corpus vocabulary build (corpus.build_vocabulary): top-N tokens by
+    frequency with deterministic (freq desc, term asc) rank — the
+    tokenizer-prep operator. TakeOrderedAndProject top-N, never a global
+    sort; the rank window runs over the already-N-bounded frame."""
+    from cloud_data_quality_spark.functions.corpus import build_vocabulary
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return build_vocabulary(docs, top_n=_VOCAB_TOP_N)
+
+
+def _oracle_corpus_vocab() -> str:
+    toks = OF.sql_tokens("text")
+    return f"""
+with toks as (select unnest({toks}) as term from documents),
+freq as (select term, count(*)::BIGINT as freq from toks group by term),
+r as (select term, freq,
+             row_number() over (order by freq desc, term asc) as rank
+      from freq)
+select term, freq, rank::INT as rank from r where rank <= {_VOCAB_TOP_N}
+"""
+
+
+def q_vocab_oov_docs(spark, sf_dir):
+    """Per-doc OOV rate against the corpus top-N vocabulary
+    (corpus.oov_stats): integer micro-unit fraction, NULL for token-less
+    docs. Vocab is broadcast (bounded by top_n); token counts
+    partial-aggregate on the doc id."""
+    from cloud_data_quality_spark.functions.corpus import (
+        build_vocabulary,
+        oov_stats,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = build_vocabulary(docs, top_n=_VOCAB_TOP_N)
+    return oov_stats(docs, vocab)
+
+
+def _oracle_vocab_oov_docs() -> str:
+    toks = OF.sql_tokens("text")
+    return f"""
+with toks as (select doc_id, unnest({toks}) as term from documents),
+freq as (select term, count(*)::BIGINT as freq from toks group by term),
+vocab as (select term from (
+            select term, row_number() over (order by freq desc, term asc)
+                   as rank from freq) where rank <= {_VOCAB_TOP_N}),
+per as (select t.doc_id, count(*)::BIGINT as n_tokens,
+               sum(case when v.term is null then 1 else 0 end)::BIGINT
+                 as n_oov
+        from toks t left join vocab v using (term) group by t.doc_id)
+select d.doc_id,
+       coalesce(p.n_tokens, 0)::BIGINT as n_tokens,
+       coalesce(p.n_oov, 0)::BIGINT as n_oov,
+       case when coalesce(p.n_tokens, 0) > 0
+            then ((coalesce(p.n_oov, 0) * 1000000) // p.n_tokens)::BIGINT
+       end as oov_micro
+from documents d left join per p using (doc_id)
+"""
+
+
+#: snapshot synthesis from doc_id arithmetic: old wave misses doc_id%10==0
+#: (added later), new wave misses doc_id%7==0 (removed), and every
+#: doc_id%5==0 page's text changed between waves.
+_SNAP_URL_SQL = "'https://s' || (doc_id % 13) || '.example.com/p/' || doc_id"
+_SNAP_NEW_TEXT_SQL = ("case when doc_id % 5 = 0 then text || ' updated'"
+                      " else text end")
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Crawl snapshot diff (hosts.snapshot_diff): per-URL
+    added/removed/changed/unchanged across two synthesized crawl waves.
+    The oracle replays the wave arithmetic and an is-not-distinct-from
+    fingerprint compare — full outer join on uniform url keys."""
+    from cloud_data_quality_spark.functions.hosts import snapshot_diff
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SNAP_URL_SQL).alias("url"), "text")
+    old = docs.where("doc_id % 10 != 0").select("url", "text")
+    new = docs.where("doc_id % 7 != 0").select(
+        "url", F.expr(_SNAP_NEW_TEXT_SQL).alias("text"))
+    return snapshot_diff(old, new)
+
+
+def _oracle_snapshot_diff() -> str:
+    return f"""
+with o as (select {_SNAP_URL_SQL} as url, md5(text) as old_fp, true as in_o
+           from documents where doc_id % 10 != 0),
+n as (select {_SNAP_URL_SQL} as url,
+             md5({_SNAP_NEW_TEXT_SQL}) as new_fp, true as in_n
+      from documents where doc_id % 7 != 0)
+select coalesce(o.url, n.url) as url,
+       case when o.in_o is null then 'added'
+            when n.in_n is null then 'removed'
+            when o.old_fp is not distinct from n.new_fp then 'unchanged'
+            else 'changed' end as status,
+       o.old_fp, n.new_fp
+from o full outer join n on o.url = n.url
+"""

@@ -1211,3 +1211,76 @@ class TestHostBoilerplateRemoval:
             self._df(spark, rows), min_docs=3).collect()}
         assert out[0]["clean_text"] == "" and out[0]["n_removed"] == 1
         assert out[9]["clean_text"] is None and out[9]["n_lines"] is None
+
+
+class TestVocabAndOov:
+    def test_vocab_rank_and_tiebreak(self, spark):
+        from cloud_data_quality_spark.functions.corpus import build_vocabulary
+        df = spark.createDataFrame(
+            [(1, "b b b a a c c z"), (2, "a c")],
+            "doc_id bigint, text string")
+        v = {r["term"]: (r["freq"], r["rank"])
+             for r in build_vocabulary(df, top_n=3).collect()}
+        # a, b, c all tie at freq 3 → term-ascending breaks the tie;
+        # z (freq 1) falls off the top-3 cut
+        assert v == {"a": (3, 1), "b": (3, 2), "c": (3, 3)}
+
+    def test_oov_edges(self, spark):
+        from cloud_data_quality_spark.functions.corpus import (
+            build_vocabulary,
+            oov_stats,
+        )
+        df = spark.createDataFrame(
+            [(1, "a a b weird"), (2, ""), (3, None), (4, "a")],
+            "doc_id bigint, text string")
+        vocab = build_vocabulary(df, top_n=2)  # {a, b}
+        out = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_micro"])
+               for r in oov_stats(df, vocab).collect()}
+        assert out[1] == (4, 1, 250000)
+        # empty / NULL text: zero tokens, NULL rate (no evidence != 0% OOV)
+        assert out[2] == (0, 0, None)
+        assert out[3] == (0, 0, None)
+        assert out[4] == (1, 0, 0)
+
+    def test_vocab_plan_shape(self, spark):
+        """Top-N must plan as TakeOrderedAndProject (bounded driver merge),
+        and the OOV join must broadcast the vocab — never shuffle the
+        token stream against it."""
+        from cloud_data_quality_spark.functions.corpus import (
+            build_vocabulary,
+            oov_stats,
+        )
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("w"), (F.col("id") % 7).cast("string"))
+            .alias("text"))
+        vocab = build_vocabulary(df, top_n=5)
+        vplan = vocab._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in vplan
+        oplan = (oov_stats(df, vocab)._jdf.queryExecution()
+                 .executedPlan().toString())
+        assert "BroadcastHashJoin" in oplan
+
+
+class TestSnapshotDiff:
+    def test_statuses(self, spark):
+        from cloud_data_quality_spark.functions.hosts import snapshot_diff
+        old = spark.createDataFrame(
+            [("u1", "same"), ("u2", "before"), ("u3", "gone"),
+             ("u5", None)],
+            "url string, text string")
+        new = spark.createDataFrame(
+            [("u1", "same"), ("u2", "after"), ("u4", "fresh"),
+             ("u5", None)],
+            "url string, text string")
+        out = {r["url"]: r["status"]
+               for r in snapshot_diff(old, new).collect()}
+        assert out == {"u1": "unchanged", "u2": "changed", "u3": "removed",
+                       "u4": "added", "u5": "unchanged"}
+
+    def test_null_text_vs_present_text_is_changed(self, spark):
+        from cloud_data_quality_spark.functions.hosts import snapshot_diff
+        old = spark.createDataFrame([("u", None)], "url string, text string")
+        new = spark.createDataFrame([("u", "now")], "url string, text string")
+        [r] = snapshot_diff(old, new).collect()
+        assert r["status"] == "changed" and r["old_fp"] is None
