@@ -266,3 +266,42 @@ def test_c4_line_filter_vs_python_replay_fuzzed(spark):
         assert r["n_lines_kept"] == len(kept), (i, text)
         if keep:
             assert r["clean_text"] == "\n".join(kept), i
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_vocab_oov_parity_on_nasty_corpus(spark, seed):
+    """Vocabulary + OOV-rate cross-engine parity on the divergence-prone
+    text class: exotic whitespace (\\x0b is Java-\\s but not RE2-\\s),
+    CRLF, trailing separators, unicode, NULL/empty — the tokenizer is the
+    only shared semantic, so this fuzzes exactly the layer that can
+    drift."""
+    import random
+
+    import duckdb
+
+    from cloud_data_quality_spark.functions.corpus import (
+        build_vocabulary,
+        oov_stats,
+    )
+    from cloud_data_quality_spark.plans.registry_corpus import (
+        _VOCAB_TOP_N,
+        _oracle_vocab_oov_docs,
+    )
+    rng = random.Random(seed)
+    pieces = ["w%d" % i for i in range(30)] + [
+        "", " ", "\t", "\x0b", "\r\n", "\n", "…", " x", "中文",
+        "a,b", "end.", "x " * 5]
+    rows = []
+    for i in range(120):
+        txt = (None if i % 17 == 0 else
+               "".join(rng.choice(pieces) + rng.choice([" ", "\n", ""])
+                       for _ in range(rng.randint(0, 12))))
+        rows.append((i, txt))
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = (oov_stats(sdf, build_vocabulary(sdf, top_n=_VOCAB_TOP_N))
+           .orderBy("doc_id").collect())
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con.register("documents", pdf)
+    want = con.sql(_oracle_vocab_oov_docs() + " order by doc_id").fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in want]
