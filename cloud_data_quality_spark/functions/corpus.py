@@ -1406,3 +1406,45 @@ def oov_stats(
                        F.expr("(coalesce(n_oov, 0) * 1000000) "
                               "div n_tokens"))
                 .cast("bigint").alias("oov_micro")))
+
+
+def dedup_lines_in_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document repeated-line removal (the within-doc half of the
+    Gopher/MassiveText repetition cleanup; :func:`span_dedup` is the
+    CROSS-document half): each line keeps only its first occurrence inside
+    its own document — scraper stutter, repeated nav strips, and copy-paste
+    echoes collapse without any cross-document coordination.
+
+    Blank lines are structure, not repetition, and are always kept.
+
+    Returns (id_col, clean_text, n_lines, n_removed); NULL text stays NULL
+    with NULL counts.
+
+    Scale shape: a PURE per-row Column expression — split → higher-order
+    filter(first-occurrence-index == own-index) → rejoin. Zero shuffle,
+    zero Python, survives any partitioning; cost is O(lines²) per doc in
+    array_position probes, bounded by per-doc line counts, not corpus
+    size. (Contrast: a posexplode+window formulation would shuffle the
+    whole corpus on doc id for a decision that never leaves the row.)
+    """
+    arr = F.split(F.col(text_col), "\n", -1)
+    # keep line i iff it's blank or the FIRST index holding this exact
+    # line is i itself (array_position is 1-based; the (x, i) lambda index
+    # is 0-based)
+    kept = F.filter(
+        arr, lambda x, i: (F.length(x) == 0)
+        | (F.array_position(arr, x) == i + 1))
+    n_lines = F.size(arr).cast("bigint")
+    n_kept = F.size(kept).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.array_join(kept, "\n")).alias("clean_text"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("bigint"))
+        .otherwise(n_lines).alias("n_lines"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("bigint"))
+        .otherwise(n_lines - n_kept).alias("n_removed"))

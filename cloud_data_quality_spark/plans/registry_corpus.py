@@ -1974,3 +1974,45 @@ select coalesce(o.url, n.url) as url,
        o.old_fp, n.new_fp
 from o full outer join n on o.url = n.url
 """
+
+
+#: line structure synthesized from doc_id arithmetic (the testdata corpus
+#: is single-line): a nav strip repeated twice, the lead 40 chars repeated
+#: once, one blank line, every 11th doc NULL. Valid in BOTH Spark SQL and
+#: DuckDB (substr/chr/|| agree).
+_DEDUP_LINES_TEXT_SQL = (
+    "case when doc_id % 11 = 0 then null else "
+    "substr(text, 1, 40) || chr(10) || 'nav ' || (doc_id % 3) || chr(10) "
+    "|| substr(text, 41, 40) || chr(10) || 'nav ' || (doc_id % 3) || "
+    "chr(10) || chr(10) || substr(text, 1, 40) || chr(10) || 'footer line'"
+    " end")
+
+
+def q_dedup_lines_docs(spark, sf_dir):
+    """Intra-document repeated-line removal (corpus.dedup_lines_in_doc):
+    each line keeps only its first occurrence inside its own document,
+    blank lines always survive, NULL text stays NULL. Pure per-row Column
+    expression — zero shuffle, zero Python."""
+    from cloud_data_quality_spark.functions.corpus import dedup_lines_in_doc
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_DEDUP_LINES_TEXT_SQL).alias("text"))
+    return dedup_lines_in_doc(docs)
+
+
+def _oracle_dedup_lines_docs() -> str:
+    return f"""
+with d as (select doc_id, {_DEDUP_LINES_TEXT_SQL} as text from documents),
+s as (select doc_id, text, string_split(text, chr(10)) as arr from d),
+k as (select doc_id, text, arr,
+             list_filter(arr, (x, i) -> length(x) = 0
+                              or list_position(arr, x) = i) as kept
+      from s)
+select doc_id,
+       case when text is null then null
+            else array_to_string(kept, chr(10)) end as clean_text,
+       (case when text is null then null else len(arr) end)::BIGINT
+         as n_lines,
+       (case when text is null then null else len(arr) - len(kept)
+        end)::BIGINT as n_removed
+from k
+"""

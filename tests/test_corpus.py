@@ -1284,3 +1284,42 @@ class TestSnapshotDiff:
         new = spark.createDataFrame([("u", "now")], "url string, text string")
         [r] = snapshot_diff(old, new).collect()
         assert r["status"] == "changed" and r["old_fp"] is None
+
+
+class TestDedupLinesInDoc:
+    def test_first_occurrence_kept_blanks_survive(self, spark):
+        from cloud_data_quality_spark.functions.corpus import (
+            dedup_lines_in_doc,
+        )
+        text = "lead\nnav\nbody\nnav\n\nlead\ntail"
+        df = spark.createDataFrame(
+            [("d1", text), ("d2", None), ("d3", "only")],
+            "doc_id string, text string")
+        out = {r["doc_id"]: r for r in dedup_lines_in_doc(df).collect()}
+        assert out["d1"]["clean_text"] == "lead\nnav\nbody\n\ntail"
+        assert out["d1"]["n_lines"] == 7
+        assert out["d1"]["n_removed"] == 2
+        assert out["d2"]["clean_text"] is None
+        assert out["d2"]["n_lines"] is None
+        assert out["d3"]["clean_text"] == "only"
+        assert out["d3"]["n_removed"] == 0
+
+    def test_repeated_blanks_all_kept(self, spark):
+        from cloud_data_quality_spark.functions.corpus import (
+            dedup_lines_in_doc,
+        )
+        df = spark.createDataFrame(
+            [("d", "a\n\n\na")], "doc_id string, text string")
+        [r] = dedup_lines_in_doc(df).collect()
+        assert r["clean_text"] == "a\n\n"
+        assert r["n_removed"] == 1
+
+    def test_zero_shuffle_plan(self, spark):
+        from cloud_data_quality_spark.functions.corpus import (
+            dedup_lines_in_doc,
+        )
+        df = spark.range(10).selectExpr(
+            "cast(id as string) as doc_id", "'x\\ny\\nx' as text")
+        plan = (dedup_lines_in_doc(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "Exchange" not in plan
