@@ -1448,3 +1448,107 @@ def dedup_lines_in_doc(
         .otherwise(n_lines).alias("n_lines"),
         F.when(F.col(text_col).isNull(), F.lit(None).cast("bigint"))
         .otherwise(n_lines - n_kept).alias("n_removed"))
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based source rebalancing — the multilingual data-mixing
+    rule of mT5/XLM-R (sample stratum s with probability ∝ n_s^alpha,
+    alpha in (0,1] flattening the head). Deterministic downsample with
+    keep-rate r_s = (n_min/n_s)^(1-alpha): the largest sample whose
+    post-mix counts are ∝ n_s^alpha without ever replicating (the
+    smallest stratum keeps rate 1). alpha=1 keeps everything; alpha→0
+    approaches uniform-per-stratum. Unlike :func:`importance_resample`
+    the target distribution is DERIVED from the observed counts inside
+    the plan, not supplied by the caller.
+
+    Scale shape: per-stratum counts are a tiny aggregate (map-side
+    combined); the min rides along as a broadcast scalar; the keep
+    decision is the same md5-threshold narrow filter as
+    stratified_sample — the corpus itself never shuffles. For alpha=0.5
+    the rate is sqrt(n_min/n_s): sqrt and division are IEEE
+    correctly-rounded, so the floored 60-bit threshold is bit-identical
+    in any engine (the replay contract); other alphas go through pow(),
+    whose last ulp is implementation-defined — thresholds may differ by
+    ~1 in 2^60 across engines (still deterministic per engine).
+    """
+    counts = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    mn = counts.agg(F.min("__n").alias("__mn"))
+    ratio = F.col("__mn") / F.col("__n")
+    rate = F.sqrt(ratio) if alpha == 0.5 else \
+        F.pow(ratio, F.lit(1.0 - alpha))
+    rates = (counts.crossJoin(F.broadcast(mn))
+             .select(stratum_col,
+                     F.floor(rate * F.lit(float(1 << _HASH_BITS)))
+                     .cast("bigint").alias("__thr")))
+    return (df.join(F.broadcast(rates), stratum_col)
+            .where(sample_hash(id_col, salt) < F.col("__thr"))
+            .select(*df.columns))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k documents for a fixed bag of query
+    terms (Robertson/Sparck-Jones, the Lucene `ln(1 + (N-df+0.5)/(df+0.5))`
+    idf variant). Output (id, score) with score rounded to 4 dp BEFORE the
+    top-k cut and ties broken by id, so the cut is deterministic and
+    engine-replayable.
+
+    Scale shape: the query is a handful of terms, so per-doc term
+    frequencies are PURE Column expressions (size∘filter over the token
+    array — no explode, no (doc,term) shuffle); corpus statistics (N,
+    Σdl, per-term document frequencies) are ONE tiny aggregate row
+    broadcast back; the ranked cut is orderBy+limit —
+    TakeOrderedAndProject (per-partition heap + driver merge), never a
+    global sort. Exactly one narrow scan over the corpus. Float op order
+    mirrors the oracle SQL term by term: every input to ln/÷ is built
+    from exact integers, so scores match bit-for-bit cross-engine before
+    the 4-dp round.
+    """
+    from cloud_data_quality_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+
+    def _tf(term: str) -> Column:
+        # a (x, t=term) default-arg lambda would have arity 2 and pyspark
+        # would bind the ELEMENT INDEX to t — closure factory instead
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per_doc = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("__dl"),
+        *[_tf(t).cast("bigint").alias(f"__tf{i}")
+          for i, t in enumerate(query_terms)])
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("__nd"),
+        F.sum("__dl").alias("__sdl"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("bigint")).alias(f"__df{i}")
+          for i in range(len(query_terms))])
+    avgdl = F.col("__sdl").cast("double") / F.col("__nd")
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        tf, dfq = F.col(f"__tf{i}"), F.col(f"__df{i}")
+        idf = F.log(F.lit(1.0) + (F.col("__nd") - dfq + F.lit(0.5))
+                    / (dfq + F.lit(0.5)))
+        term = (idf * (tf * F.lit(k1 + 1.0))
+                / (tf + F.lit(k1) * (F.lit(1.0 - b)
+                                     + (F.lit(b) * F.col("__dl")) / avgdl)))
+        score = term if score is None else score + term
+    return (scored.select(id_col, F.round(score, 4).alias("score"))
+            .where(F.col("score") > 0)
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k))

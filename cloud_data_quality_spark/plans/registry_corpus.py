@@ -2016,3 +2016,79 @@ select doc_id,
         end)::BIGINT as n_removed
 from k
 """
+
+
+_MIX_SALT = "tmix"
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature source mixing (corpus.temperature_mix, alpha=0.5): the
+    en-heavy documents corpus flattened toward the mT5 sampling rule —
+    keep-rate sqrt(n_min/n_lang) per language, md5-threshold
+    deterministic. alpha=0.5 keeps every float op IEEE-correctly-rounded
+    (sqrt + division only), so the 60-bit thresholds replay bit-exact."""
+    from cloud_data_quality_spark.functions.corpus import temperature_mix
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix(docs, "lang", alpha=0.5, salt=_MIX_SALT)
+
+
+def _oracle_temperature_mix() -> str:
+    two60 = float(1 << 60)
+    return f"""
+with counts as (select lang, count(*)::DOUBLE as n
+                from documents group by lang),
+mn as (select min(n) as m from counts),
+rates as (select lang, floor(sqrt(m / n) * {two60!r})::BIGINT as thr
+          from counts cross join mn)
+select d.doc_id, d.lang from documents d join rates using (lang)
+where ('0x' || substr(md5(d.doc_id::VARCHAR || '|{_MIX_SALT}'), 1, 15))
+      ::BIGINT < thr
+"""
+
+
+_BM25_TERMS = ("dup", "vector", "spark", "key")
+_BM25_K = 15
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (corpus.bm25_topk): top-15 documents for a
+    4-term query mixing one rare high-idf term with three common ones.
+    Pure-Column term frequencies (no explode), one broadcast stats row,
+    TakeOrderedAndProject cut; 4-dp rounding + doc_id tiebreak make the
+    cut exact cross-engine."""
+    from cloud_data_quality_spark.functions.corpus import bm25_topk
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, list(_BM25_TERMS), k=_BM25_K,
+                     k1=_BM25_K1, b=_BM25_B)
+
+
+def _oracle_bm25_topk() -> str:
+    """Constants embedded via repr() so both engines score with the SAME
+    doubles (k1+1 computed in Python once, not re-derived from a decimal
+    literal that may round differently)."""
+    toks = OF.sql_tokens("text")
+    k1, k1p1, one_b, b = (repr(_BM25_K1), repr(_BM25_K1 + 1.0),
+                          repr(1.0 - _BM25_B), repr(_BM25_B))
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::BIGINT as tf{i}"
+        for i, t in enumerate(_BM25_TERMS))
+    df_cols = ", ".join(
+        f"sum(case when tf{i} > 0 then 1 else 0 end)::BIGINT as df{i}"
+        for i in range(len(_BM25_TERMS)))
+    terms = " + ".join(
+        f"ln(1.0 + (nd - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1p1}) / (tf{i} + {k1} * ({one_b}"
+        f" + ({b} * dl) / (sdl::DOUBLE / nd)))"
+        for i in range(len(_BM25_TERMS)))
+    return f"""
+with d as (select doc_id, {toks} as toks from documents
+           where text is not null),
+s as (select doc_id, len(toks)::BIGINT as dl, {tf_cols} from d),
+st as (select count(*)::BIGINT as nd, sum(dl)::BIGINT as sdl, {df_cols}
+       from s),
+scored as (select doc_id, round({terms}, 4) as score from s cross join st)
+select doc_id, score from scored where score > 0
+order by score desc, doc_id asc limit {_BM25_K}
+"""

@@ -1323,3 +1323,65 @@ class TestDedupLinesInDoc:
         plan = (dedup_lines_in_doc(df)._jdf.queryExecution()
                 .executedPlan().toString())
         assert "Exchange" not in plan
+
+
+class TestTemperatureMix:
+    def _df(self, spark):
+        rows = [(f"a{i}", "big") for i in range(400)] + \
+               [(f"b{i}", "mid") for i in range(100)] + \
+               [(f"c{i}", "small") for i in range(25)]
+        return spark.createDataFrame(rows, "doc_id string, lang string")
+
+    def test_smallest_stratum_kept_in_full(self, spark):
+        from cloud_data_quality_spark.functions.corpus import temperature_mix
+        out = temperature_mix(self._df(spark), "lang", alpha=0.5)
+        counts = {r["lang"]: r["n"] for r in
+                  out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert counts["small"] == 25
+        # expected kept ~ sqrt(n_min*n_s): big ~ 100, mid ~ 50
+        assert 80 <= counts["big"] <= 120
+        assert 38 <= counts["mid"] <= 62
+        # post-mix ratio big/mid should be ~sqrt(400/100)=2, far below raw 4
+        assert counts["big"] / counts["mid"] < 3
+
+    def test_alpha_one_keeps_everything(self, spark):
+        from cloud_data_quality_spark.functions.corpus import temperature_mix
+        df = self._df(spark)
+        assert temperature_mix(df, "lang", alpha=1.0).count() == df.count()
+
+    def test_deterministic(self, spark):
+        from cloud_data_quality_spark.functions.corpus import temperature_mix
+        a = {r["doc_id"] for r in
+             temperature_mix(self._df(spark), "lang").collect()}
+        b = {r["doc_id"] for r in
+             temperature_mix(self._df(spark), "lang").collect()}
+        assert a == b
+
+
+class TestBm25TopK:
+    def _df(self, spark):
+        rows = [("d1", "rare common common filler filler"),
+                ("d2", "common filler filler filler filler"),
+                ("d3", "rare rare common filler filler filler filler"),
+                ("d4", "filler filler filler filler"),
+                ("d5", None)]
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_rare_term_dominates_and_order(self, spark):
+        from cloud_data_quality_spark.functions.corpus import bm25_topk
+        out = bm25_topk(self._df(spark), ["rare", "common"], k=10).collect()
+        ids = [r["doc_id"] for r in out]
+        # d4 has no query terms (score 0) and d5 is NULL — both absent
+        assert set(ids) == {"d1", "d2", "d3"}
+        # docs containing the rare term outrank the common-only doc
+        assert ids.index("d2") == len(ids) - 1
+        scores = [r["score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_k_cut_and_plan_shape(self, spark):
+        from cloud_data_quality_spark.functions.corpus import bm25_topk
+        q = bm25_topk(self._df(spark), ["rare"], k=1)
+        assert q.count() == 1
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Generate" not in plan  # no explode — pure-Column tf
