@@ -214,6 +214,18 @@ def _corpus(args) -> int:
     elif args.op == "c4-clean":
         out = C.c4_clean_stage(df, text_col=args.text_col,
                                id_col=args.id_col)
+    elif args.op == "dedup-lines":
+        out = C.dedup_lines_in_doc(df, text_col=args.text_col,
+                                   id_col=args.id_col)
+    elif args.op == "temperature-mix":
+        out = C.temperature_mix(df, stratum_col=args.stratum_col,
+                                alpha=args.alpha, id_col=args.id_col,
+                                salt=args.salt)
+    elif args.op == "bm25":
+        if not args.query:
+            raise SystemExit("bm25: pass --query 'term1 term2 ...'")
+        out = C.bm25_topk(df, args.query.split(), k=args.top_k,
+                          text_col=args.text_col, id_col=args.id_col)
     elif args.op == "paragraph-stats":
         out = C.paragraph_stats(df, text_col=args.text_col,
                                 id_col=args.id_col)
@@ -658,7 +670,8 @@ def main(argv: list[str] | None = None) -> int:
                             "compact-store", "compact-minhash-store",
                             "containment", "classify", "split",
                             "dup-ngram-stats", "normalize", "url-dedup", "boilerplate",
-                            "tfidf", "pagerank", "profile"])
+                            "tfidf", "pagerank", "profile",
+                            "dedup-lines", "temperature-mix", "bm25"])
     c.add_argument("--input", default=None,
                    help="required for all ops except compact-*")
     c.add_argument("--output", default=None,
@@ -715,7 +728,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--ts-col", default="warc_ts",
                    help="url-dedup: capture-timestamp column (newest wins)")
     c.add_argument("--top-k", type=int, default=5,
-                   help="tfidf: terms to keep per document")
+                   help="tfidf: terms to keep per document; bm25: result "
+                        "count")
+    c.add_argument("--alpha", type=float, default=0.5,
+                   help="temperature-mix: sampling temperature exponent in "
+                        "(0,1]; 0.5 keeps the replay bit-exact (sqrt)")
+    c.add_argument("--query", default="",
+                   help="bm25: whitespace-separated query terms")
     c.add_argument("--html-col", default="html",
                    help="pagerank: column holding raw HTML to extract "
                         "hrefs from")

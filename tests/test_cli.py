@@ -781,3 +781,54 @@ class TestCurateUrlHygiene:
         final = spark.read.parquet(out["stages"][-1]["output"])
         assert final.where("url like '%/tag/%'").count() == 0
         assert final.count() > 0
+
+
+class TestRound5CorpusOps:
+    def test_dedup_lines_op(self, spark, tmp_path, capsys):
+        inp = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            [(1, "x\nnav\ny\nnav"), (2, "z")],
+            schema="doc_id bigint, text string").write.parquet(inp)
+        out = str(tmp_path / "lines")
+        rc = main(["corpus", "--op", "dedup-lines", "--input", inp,
+                   "--output", out])
+        assert rc == 0
+        got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+        assert got[1]["clean_text"] == "x\nnav\ny"
+        assert got[1]["n_removed"] == 1 and got[2]["n_removed"] == 0
+
+    def test_temperature_mix_op(self, spark, tmp_path, capsys):
+        inp = str(tmp_path / "docs.parquet")
+        rows = [(i, "t", "en") for i in range(100)] + \
+               [(1000 + i, "t", "de") for i in range(25)]
+        spark.createDataFrame(
+            rows, schema="doc_id bigint, text string, lang string") \
+            .write.parquet(inp)
+        out = str(tmp_path / "mixed")
+        rc = main(["corpus", "--op", "temperature-mix", "--input", inp,
+                   "--output", out, "--stratum-col", "lang"])
+        assert rc == 0
+        got = spark.read.parquet(out)
+        counts = {r["lang"]: r["n"] for r in
+                  got.groupBy("lang").count()
+                  .withColumnRenamed("count", "n").collect()}
+        assert counts["de"] == 25  # smallest stratum kept in full
+        assert 35 <= counts["en"] <= 65  # ~sqrt(25*100)=50
+
+    def test_bm25_op_requires_query_and_ranks(self, spark, tmp_path,
+                                              capsys):
+        inp = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            [(1, "rare words here"), (2, "words here only"),
+             (3, "plain filler")],
+            schema="doc_id bigint, text string").write.parquet(inp)
+        with pytest.raises(SystemExit):
+            main(["corpus", "--op", "bm25", "--input", inp,
+                  "--output", str(tmp_path / "x")])
+        out = str(tmp_path / "ranked")
+        rc = main(["corpus", "--op", "bm25", "--input", inp,
+                   "--output", out, "--query", "rare words", "--top-k", "2"])
+        assert rc == 0
+        got = spark.read.parquet(out).orderBy("score",
+                                             ascending=False).collect()
+        assert [r["doc_id"] for r in got] == [1, 2]
