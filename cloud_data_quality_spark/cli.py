@@ -20,7 +20,8 @@ Subcommands:
                   incremental-minhash-dedup | chunk | c4-clean |
                   paragraph-stats | repetition-stats | dup-ngram-stats |
                   canonicalize-urls | classify | containment | normalize |
-                  url-dedup | boilerplate | tfidf | pagerank | profile
+                  url-dedup | boilerplate | tfidf | pagerank | profile |
+                  dedup-lines | temperature-mix | bm25 | encoding-stats
                   (functions/corpus.py, functions/hosts.py,
                   functions/classifier.py, functions/linkgraph.py)
   curate          composed resumable pipeline, every stage optional except
@@ -213,6 +214,9 @@ def _corpus(args) -> int:
                                 text_col=args.text_col, id_col=args.id_col)
     elif args.op == "c4-clean":
         out = C.c4_clean_stage(df, text_col=args.text_col,
+                               id_col=args.id_col)
+    elif args.op == "encoding-stats":
+        out = C.encoding_stats(df, text_col=args.text_col,
                                id_col=args.id_col)
     elif args.op == "dedup-lines":
         out = C.dedup_lines_in_doc(df, text_col=args.text_col,
@@ -671,7 +675,8 @@ def main(argv: list[str] | None = None) -> int:
                             "containment", "classify", "split",
                             "dup-ngram-stats", "normalize", "url-dedup", "boilerplate",
                             "tfidf", "pagerank", "profile",
-                            "dedup-lines", "temperature-mix", "bm25"])
+                            "dedup-lines", "temperature-mix", "bm25",
+                            "encoding-stats"])
     c.add_argument("--input", default=None,
                    help="required for all ops except compact-*")
     c.add_argument("--output", default=None,

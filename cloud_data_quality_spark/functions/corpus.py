@@ -1552,3 +1552,44 @@ def bm25_topk(
             .where(F.col("score") > 0)
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def encoding_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encoding-hygiene signals for crawled text: per-doc counts of U+FFFD
+    replacement characters (the scar tissue of a bad charset transcode —
+    the classic "drop if > k" mojibake gate), C0/DEL control characters,
+    and zero-width characters, plus `is_normalized` — whether
+    :func:`text.normalize_text` would be a no-op. The ctrl/zero-width
+    classes are the SAME constants normalize_text strips, so those counts
+    explain exactly what normalization would change; U+FFFD is the one
+    signal normalization can NOT repair (the original bytes are gone) —
+    gate on it, don't normalize it.
+
+    Returns (id, n_chars, n_replacement, n_ctrl, n_zero_width,
+    is_normalized); NULL text propagates NULL everywhere.
+
+    Scale shape: pure per-row Column expressions (length-difference
+    counting over JVM regexp_replace) — zero shuffle, zero Python, fully
+    codegen'd; survives any partitioning."""
+    from cloud_data_quality_spark.functions.text import (
+        NORM_CTRL_RE,
+        NORM_ZERO_WIDTH_RE,
+        normalize_text,
+    )
+    t = F.col(text_col)
+
+    def n_of(pattern: str) -> Column:
+        return (F.length(t)
+                - F.length(F.regexp_replace(t, pattern, ""))).cast("bigint")
+
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("bigint").alias("n_chars"),
+        n_of("\\x{FFFD}").alias("n_replacement"),
+        n_of(NORM_CTRL_RE).alias("n_ctrl"),
+        n_of(NORM_ZERO_WIDTH_RE).alias("n_zero_width"),
+        (normalize_text(t) == t).alias("is_normalized"))

@@ -2092,3 +2092,50 @@ scored as (select doc_id, round({terms}, 4) as score from s cross join st)
 select doc_id, score from scored where score > 0
 order by score desc, doc_id asc limit {_BM25_K}
 """
+
+
+#: mojibake synthesis from doc_id arithmetic (the corpus itself is clean
+#: ASCII): replacement chars, a zero-width + control pair, typographic
+#: punctuation (normalize-dirty but count-clean), every 13th doc NULL.
+#: Unicode chars are embedded as literals — valid bytes in BOTH parsers
+#: (Spark chr() wraps at 256, so chr(65533) is NOT portable).
+_ENC_TEXT_SQL = (
+    "case when doc_id % 13 = 0 then null "
+    "when doc_id % 4 = 0 then substr(text, 1, 30) || '\ufffd\ufffd' "
+    "when doc_id % 4 = 1 then '\u200b' || substr(text, 1, 30) || '\u001f' "
+    "when doc_id % 4 = 2 then '\u201cq\u201d \u2014 ' || substr(text, 1, 20) "
+    "else text end")
+
+
+def q_encoding_stats(spark, sf_dir):
+    """Encoding hygiene (corpus.encoding_stats): U+FFFD / control /
+    zero-width counts + normalize-is-noop flag over a synthesized
+    mojibake corpus. Pure Column length-difference counting — zero
+    shuffle; classes shared with normalize_text so the stats explain the
+    normalizer."""
+    from cloud_data_quality_spark.functions.corpus import encoding_stats
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_ENC_TEXT_SQL).alias("text"))
+    return encoding_stats(docs)
+
+
+def _oracle_encoding_stats() -> str:
+    from cloud_data_quality_spark.functions.text import (
+        NORM_CTRL_RE,
+        NORM_ZERO_WIDTH_RE,
+    )
+    norm = OF.sql_normalize_text("text")
+    return f"""
+with d as (select doc_id, {_ENC_TEXT_SQL} as text from documents)
+select doc_id,
+       length(text)::BIGINT as n_chars,
+       (length(text) - length(regexp_replace(text, '\\x{{FFFD}}', '', 'g')))
+         ::BIGINT as n_replacement,
+       (length(text) - length(regexp_replace(text, '{NORM_CTRL_RE}', '', 'g')))
+         ::BIGINT as n_ctrl,
+       (length(text)
+        - length(regexp_replace(text, '{NORM_ZERO_WIDTH_RE}', '', 'g')))
+         ::BIGINT as n_zero_width,
+       ({norm} = text) as is_normalized
+from d
+"""

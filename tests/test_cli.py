@@ -832,3 +832,15 @@ class TestRound5CorpusOps:
         got = spark.read.parquet(out).orderBy("score",
                                              ascending=False).collect()
         assert [r["doc_id"] for r in got] == [1, 2]
+
+    def test_encoding_stats_op(self, spark, tmp_path, capsys):
+        inp = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            [(1, "plain"), (2, "bad​text")],
+            schema="doc_id bigint, text string").write.parquet(inp)
+        out = str(tmp_path / "enc")
+        rc = main(["corpus", "--op", "encoding-stats", "--input", inp,
+                   "--output", out])
+        assert rc == 0
+        got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+        assert got[1]["is_normalized"] and got[2]["n_zero_width"] == 1

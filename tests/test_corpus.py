@@ -1385,3 +1385,34 @@ class TestBm25TopK:
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
         assert "Generate" not in plan  # no explode — pure-Column tf
+
+
+class TestEncodingStats:
+    def test_counts_and_flag(self, spark):
+        from cloud_data_quality_spark.functions.corpus import encoding_stats
+        df = spark.createDataFrame(
+            [("d1", "ok text"),
+             ("d2", "bad �� tail"),
+             ("d3", "​zero‌width\x07ctrl"),
+             ("d4", "“curly”"),
+             ("d5", None)],
+            "doc_id string, text string")
+        out = {r["doc_id"]: r for r in encoding_stats(df).collect()}
+        assert out["d1"]["is_normalized"] and out["d1"]["n_replacement"] == 0
+        assert out["d2"]["n_replacement"] == 2
+        # U+FFFD is not normalize-repairable: d2 stays "normalized"
+        assert out["d2"]["is_normalized"]
+        assert out["d3"]["n_zero_width"] == 2 and out["d3"]["n_ctrl"] == 1
+        assert not out["d3"]["is_normalized"]
+        assert not out["d4"]["is_normalized"]  # curly quotes map to ASCII
+        assert out["d4"]["n_ctrl"] == 0
+        assert out["d5"]["n_chars"] is None
+        assert out["d5"]["is_normalized"] is None
+
+    def test_zero_shuffle_plan(self, spark):
+        from cloud_data_quality_spark.functions.corpus import encoding_stats
+        df = spark.range(5).selectExpr("cast(id as string) doc_id",
+                                       "'t' as text")
+        plan = (encoding_stats(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "Exchange" not in plan
