@@ -305,3 +305,78 @@ def test_vocab_oov_parity_on_nasty_corpus(spark, seed):
     con.register("documents", pdf)
     want = con.sql(_oracle_vocab_oov_docs() + " order by doc_id").fetchall()
     assert [tuple(r) for r in got] == [tuple(w) for w in want]
+
+
+def test_dedup_lines_vs_python_replay_fuzzed(spark):
+    """dedup_lines_in_doc (higher-order Column filter) vs an independent
+    pure-Python replay over nasty line structures: CRs kept verbatim (the
+    operator splits on \\n ONLY — CRLF handling is normalize_text's job),
+    unicode spaces, repeated blanks, dup lines at every offset, empties."""
+    import random
+    from cloud_data_quality_spark.functions.corpus import dedup_lines_in_doc
+
+    rng = random.Random(7)
+    pieces = ["a", "b b", "", " ", " ", "x\r", "x", "tail words",
+              "​zw", "a", "line line line"]
+    texts = [None, "", "\n", "\n\n", "a\na\na"]
+    for _ in range(120):
+        texts.append("\n".join(rng.choice(pieces)
+                               for _ in range(rng.randrange(0, 9))))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+           for r in dedup_lines_in_doc(df).collect()}
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] == (None, None, None)
+            continue
+        lines = t.split("\n")
+        kept = [ln for j, ln in enumerate(lines)
+                if ln == "" or lines.index(ln) == j]
+        assert got[i] == ("\n".join(kept), len(lines),
+                          len(lines) - len(kept)), f"doc {i}: {t!r}"
+
+
+def test_encoding_stats_vs_duckdb_fuzzed_corpus(spark):
+    """encoding_stats vs a DuckDB replay generated from the SAME class
+    constants over fuzzed mojibake: replacement chars, C0 controls, zero
+    widths, curly punctuation, NBSP, clean ASCII, NULL/empty."""
+    import random
+
+    import duckdb
+
+    from cloud_data_quality_spark.functions.corpus import encoding_stats
+    from cloud_data_quality_spark.functions.text import (
+        NORM_CTRL_RE,
+        NORM_ZERO_WIDTH_RE,
+    )
+    from cloud_data_quality_spark.plans.oracle_fragments import (
+        sql_normalize_text,
+    )
+    rng = random.Random(21)
+    atoms = ["ok", "�", "\x07", "\x1f", "​", "‍", "﻿",
+             "“q”", "—", " ", " ", "\t", "\n", "x\r",
+             "…", "tail"]
+    texts = [None, "", "���"]
+    for _ in range(150):
+        texts.append("".join(rng.choice(atoms)
+                             for _ in range(rng.randrange(1, 12))))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_chars"], r["n_replacement"], r["n_ctrl"],
+                         r["n_zero_width"], r["is_normalized"])
+           for r in encoding_stats(df).collect()}
+    con = duckdb.connect()
+    con.execute("create table d(doc_id int, text varchar)")
+    con.executemany("insert into d values (?, ?)",
+                    list(enumerate(texts)))
+    norm = sql_normalize_text("text")
+    duck = {r[0]: tuple(r[1:]) for r in con.execute(f"""
+select doc_id,
+  length(text)::BIGINT,
+  (length(text) - length(regexp_replace(text, '\\x{{FFFD}}', '', 'g')))::BIGINT,
+  (length(text) - length(regexp_replace(text, '{NORM_CTRL_RE}', '', 'g')))::BIGINT,
+  (length(text) - length(regexp_replace(text, '{NORM_ZERO_WIDTH_RE}', '', 'g')))::BIGINT,
+  ({norm} = text)
+from d""").fetchall()}
+    assert got == duck
