@@ -21,7 +21,8 @@ Subcommands:
                   paragraph-stats | repetition-stats | dup-ngram-stats |
                   canonicalize-urls | classify | containment | normalize |
                   url-dedup | boilerplate | tfidf | pagerank | profile |
-                  dedup-lines | temperature-mix | bm25 | encoding-stats
+                  dedup-lines | temperature-mix | bm25 | encoding-stats |
+                  inverted-index
                   (functions/corpus.py, functions/hosts.py,
                   functions/classifier.py, functions/linkgraph.py)
   curate          composed resumable pipeline, every stage optional except
@@ -215,6 +216,9 @@ def _corpus(args) -> int:
     elif args.op == "c4-clean":
         out = C.c4_clean_stage(df, text_col=args.text_col,
                                id_col=args.id_col)
+    elif args.op == "inverted-index":
+        out = C.inverted_index(df, text_col=args.text_col,
+                               id_col=args.id_col, max_df=args.max_df)
     elif args.op == "encoding-stats":
         out = C.encoding_stats(df, text_col=args.text_col,
                                id_col=args.id_col)
@@ -676,7 +680,7 @@ def main(argv: list[str] | None = None) -> int:
                             "dup-ngram-stats", "normalize", "url-dedup", "boilerplate",
                             "tfidf", "pagerank", "profile",
                             "dedup-lines", "temperature-mix", "bm25",
-                            "encoding-stats"])
+                            "encoding-stats", "inverted-index"])
     c.add_argument("--input", default=None,
                    help="required for all ops except compact-*")
     c.add_argument("--output", default=None,
@@ -738,6 +742,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--alpha", type=float, default=0.5,
                    help="temperature-mix: sampling temperature exponent in "
                         "(0,1]; 0.5 keeps the replay bit-exact (sqrt)")
+    c.add_argument("--max-df", type=int, default=1000,
+                   help="inverted-index: terms above this document "
+                        "frequency keep df but truncate postings (skew "
+                        "defense; stopword postings carry no signal)")
     c.add_argument("--query", default="",
                    help="bm25: whitespace-separated query terms")
     c.add_argument("--html-col", default="html",

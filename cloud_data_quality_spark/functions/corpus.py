@@ -1593,3 +1593,47 @@ def encoding_stats(
         n_of(NORM_CTRL_RE).alias("n_ctrl"),
         n_of(NORM_ZERO_WIDTH_RE).alias("n_zero_width"),
         (normalize_text(t) == t).alias("is_normalized"))
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 1000,
+) -> DataFrame:
+    """Inverted index build: one row per term with its document frequency
+    and the full sorted posting list (doc ids) — the backbone artifact for
+    retrieval, containment checks, and cross-doc overlap tooling.
+
+    Terms whose document frequency exceeds `max_df` keep their exact `df`
+    but emit an EMPTY posting list with `truncated=true` — the same
+    principled skew defense as :func:`dedup.containment_pairs`: ubiquitous
+    terms (stopwords) are precisely the ones whose postings carry no
+    discriminative signal, and they are also the ones whose collect would
+    concentrate the corpus onto one reducer. The cap is applied BEFORE any
+    per-term list materializes, so no executor ever holds a hot term's
+    postings.
+
+    Scale shape: explode → (term, doc) distinct-aggregate (map-side
+    combined — a doc's repeated term collapses locally), df count agg on
+    the term key, then collect_list only over the df-filtered remainder;
+    posting lists are sorted with sort_array so output is deterministic
+    under any partitioning. All shuffles key on term — uniform after the
+    hot-term cap."""
+    from cloud_data_quality_spark.functions.text import tokens
+
+    pairs = (df.select(F.col(id_col).alias("__doc"),
+                       F.explode(tokens(F.col(text_col))).alias("term"))
+             .groupBy("term", "__doc").agg(F.lit(1).alias("__one")))
+    dfreq = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    kept = (pairs.join(dfreq.where(F.col("df") <= F.lit(max_df)), "term")
+            .groupBy("term")
+            .agg(F.sort_array(F.collect_list("__doc")).alias("postings")))
+    id_type = dict(df.dtypes)[id_col]
+    return (dfreq.join(kept, "term", "left")
+            .select("term", "df",
+                    F.coalesce(F.col("postings"),
+                               F.array().cast(f"array<{id_type}>"))
+                    .alias("postings"),
+                    (F.col("df") > F.lit(max_df)).alias("truncated")))

@@ -2139,3 +2139,34 @@ select doc_id,
        ({norm} = text) as is_normalized
 from d
 """
+
+
+_INV_MAX_DF = 100
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted index (corpus.inverted_index): term → df + sorted posting
+    list, hot terms (df > cap) kept as df-only truncated rows — the
+    containment-style skew defense applied BEFORE any posting list
+    materializes. With the word-soup vocabulary most terms truncate and
+    the rare 'dup' token carries real postings."""
+    from cloud_data_quality_spark.functions.corpus import inverted_index
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return inverted_index(docs, max_df=_INV_MAX_DF)
+
+
+def _oracle_inverted_index() -> str:
+    toks = OF.sql_tokens("text")
+    return f"""
+with toks as (select doc_id, unnest({toks}) as term from documents),
+pairs as (select distinct term, doc_id from toks),
+dfreq as (select term, count(*)::BIGINT as df from pairs group by term),
+kept as (select term, list(doc_id order by doc_id) as postings
+         from pairs
+         where term in (select term from dfreq where df <= {_INV_MAX_DF})
+         group by term)
+select d.term, d.df,
+       coalesce(k.postings, []::BIGINT[]) as postings,
+       (d.df > {_INV_MAX_DF}) as truncated
+from dfreq d left join kept k using (term)
+"""

@@ -1416,3 +1416,25 @@ class TestEncodingStats:
         plan = (encoding_stats(df)._jdf.queryExecution()
                 .executedPlan().toString())
         assert "Exchange" not in plan
+
+
+class TestInvertedIndex:
+    def test_postings_and_truncation(self, spark):
+        from cloud_data_quality_spark.functions.corpus import inverted_index
+        df = spark.createDataFrame(
+            [(3, "hot rare"), (1, "hot"), (2, "hot rare rare"), (4, None)],
+            "doc_id bigint, text string")
+        out = {r["term"]: r for r in
+               inverted_index(df, max_df=2).collect()}
+        assert out["rare"]["df"] == 2
+        assert out["rare"]["postings"] == [2, 3]  # sorted, repeat collapsed
+        assert not out["rare"]["truncated"]
+        assert out["hot"]["df"] == 3
+        assert out["hot"]["postings"] == [] and out["hot"]["truncated"]
+
+    def test_string_ids(self, spark):
+        from cloud_data_quality_spark.functions.corpus import inverted_index
+        df = spark.createDataFrame([("b", "w"), ("a", "w")],
+                                   "doc_id string, text string")
+        [r] = inverted_index(df, max_df=10).collect()
+        assert r["postings"] == ["a", "b"]
