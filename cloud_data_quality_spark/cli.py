@@ -26,7 +26,8 @@ Subcommands:
                   (functions/corpus.py, functions/hosts.py,
                   functions/classifier.py, functions/linkgraph.py)
   curate          composed resumable pipeline, every stage optional except
-                  quality+dedup: [c4-clean →] quality filter →
+                  quality+dedup: [normalize →] [boilerplate →]
+                  [dedup-lines →] [c4-clean →] quality filter →
                   [span-dedup →] [decontaminate →] [host blocklist+cap →]
                   exact dedup → [stratified sample →] [top-fraction |
                   token-budget selection →] [sequence packing]
@@ -390,6 +391,16 @@ def _curate(args) -> int:
         from cloud_data_quality_spark.functions.corpus import c4_clean_stage
         return c4_clean_stage(d, text_col=args.text_col, id_col=args.id_col)
 
+    def deduplines(d):
+        from pyspark.sql import functions as F
+
+        from cloud_data_quality_spark.functions.corpus import dedup_lines_col
+        # in-place narrow rewrite (no join — the decision never leaves the
+        # row); docs whose every line was a repeat of line 1 still keep
+        # that first line, so no emptiness filter is needed here
+        return d.withColumn(args.text_col,
+                            dedup_lines_col(F.col(args.text_col)))
+
     def quality(d):
         cols = d.columns
         return annotate_quality_arrow(d).where("keep").select(*cols)
@@ -581,6 +592,10 @@ def _curate(args) -> int:
     if args.boilerplate:
         stages.append(PipelineStage("boilerplate", boilerplate,
                                     kind="global"))
+    if args.dedup_lines:
+        # before c4: line-quality statistics should see each line once
+        stages.append(PipelineStage("dedup_lines", deduplines,
+                                    kind="partition"))
     if args.c4_clean:
         stages.append(PipelineStage("c4_clean", c4, kind="partition"))
     stages.append(PipelineStage("quality", quality, kind="partition"))
@@ -758,7 +773,8 @@ def main(argv: list[str] | None = None) -> int:
 
     cu = sub.add_parser(
         "curate", help="composed resumable pipeline: [normalize →] "
-                       "[boilerplate →] [c4-clean →] quality filter → "
+                       "[boilerplate →] [dedup-lines →] [c4-clean →] "
+                       "quality filter → "
                        "[span-dedup →] [decontaminate →] [host "
                        "blocklist+cap →] exact dedup → [sample →] "
                        "[top-fraction | token-budget →] [pack] (staged, "
@@ -801,6 +817,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="before content stages: per-host boilerplate line "
                          "removal (site-template stripping); uses "
                          "--url-col, docs reassembling to '' dropped")
+    cu.add_argument("--dedup-lines", action="store_true",
+                    help="before c4-clean: intra-document repeated-line "
+                         "removal (scraper stutter / nav strips), narrow "
+                         "per-row rewrite")
     cu.add_argument("--c4-clean", action="store_true",
                     help="prepend C4 §2.2 line-level cleaning (terminal-"
                          "punctuation lines, ≥5 words, no javascript; "

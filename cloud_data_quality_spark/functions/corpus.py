@@ -1408,6 +1408,20 @@ def oov_stats(
                 .cast("bigint").alias("oov_micro")))
 
 
+def dedup_lines_col(text: Column) -> Column:
+    """Column form of :func:`dedup_lines_in_doc`'s cleanup: the text with
+    every repeated line reduced to its first in-document occurrence (blank
+    lines always kept, NULL → NULL). Use this for in-place rewrites (the
+    `curate --dedup-lines` stage); use dedup_lines_in_doc when you also
+    want the removal counts."""
+    arr = F.split(text, "\n", -1)
+    kept = F.filter(
+        arr, lambda x, i: (F.length(x) == 0)
+        | (F.array_position(arr, x) == i + 1))
+    return F.when(text.isNull(), F.lit(None).cast("string")) \
+        .otherwise(F.array_join(kept, "\n"))
+
+
 def dedup_lines_in_doc(
     df: DataFrame,
     text_col: str = "text",

@@ -844,3 +844,28 @@ class TestRound5CorpusOps:
         assert rc == 0
         got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
         assert got[1]["is_normalized"] and got[2]["n_zero_width"] == 1
+
+    def test_curate_dedup_lines_stage(self, spark, tmp_path, capsys):
+        """--dedup-lines composes as a leading partition stage: repeated
+        in-doc lines collapse before quality filtering, and the stage
+        appears in the lineage report."""
+        import json as _json
+        good = ("this is a perfectly reasonable english sentence with "
+                "plenty of common stopwords in the mix and good length.")
+        inp = str(tmp_path / "docs.parquet")
+        rows = [(f"u{i}", "\n".join([good, good, good + " extra", good]))
+                for i in range(40)]
+        spark.createDataFrame(rows, "url string, text string") \
+            .write.parquet(inp)
+        work = str(tmp_path / "wdl")
+        rc = main(["curate", "--input", inp, "--work-dir", work,
+                   "--run-id", "dl", "--buckets", "4",
+                   "--id-col", "url", "--dedup-lines"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        names = [s["name"] for s in out["stages"]]
+        assert names[:2] == ["dedup_lines", "quality"]
+        dl = next(s for s in out["stages"] if s["name"] == "dedup_lines")
+        got = spark.read.parquet(dl["output"])
+        [r] = got.where("url = 'u0'").collect()
+        assert r["text"] == "\n".join([good, good + " extra"])
