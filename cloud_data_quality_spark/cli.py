@@ -22,7 +22,7 @@ Subcommands:
                   canonicalize-urls | classify | containment | normalize |
                   url-dedup | boilerplate | tfidf | pagerank | profile |
                   dedup-lines | temperature-mix | bm25 | encoding-stats |
-                  inverted-index
+                  inverted-index | readability
                   (functions/corpus.py, functions/hosts.py,
                   functions/classifier.py, functions/linkgraph.py)
   curate          composed resumable pipeline, every stage optional except
@@ -217,6 +217,9 @@ def _corpus(args) -> int:
     elif args.op == "c4-clean":
         out = C.c4_clean_stage(df, text_col=args.text_col,
                                id_col=args.id_col)
+    elif args.op == "readability":
+        out = C.readability_stats(df, text_col=args.text_col,
+                                  id_col=args.id_col)
     elif args.op == "inverted-index":
         out = C.inverted_index(df, text_col=args.text_col,
                                id_col=args.id_col, max_df=args.max_df)
@@ -695,7 +698,7 @@ def main(argv: list[str] | None = None) -> int:
                             "dup-ngram-stats", "normalize", "url-dedup", "boilerplate",
                             "tfidf", "pagerank", "profile",
                             "dedup-lines", "temperature-mix", "bm25",
-                            "encoding-stats", "inverted-index"])
+                            "encoding-stats", "inverted-index", "readability"])
     c.add_argument("--input", default=None,
                    help="required for all ops except compact-*")
     c.add_argument("--output", default=None,

@@ -1651,3 +1651,61 @@ def inverted_index(
                                F.array().cast(f"array<{id_type}>"))
                     .alias("postings"),
                     (F.col("df") > F.lit(max_df)).alias("truncated")))
+
+
+#: Flesch reading-ease constants (Flesch 1948), embedded via repr() into
+#: the generated oracle so both engines score with identical doubles.
+FLESCH_BASE = 206.835
+FLESCH_SENT = 1.015
+FLESCH_SYLL = 84.6
+
+
+def readability_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease scoring — the readability signal behind
+    educational-quality corpus filters: per-doc word / sentence / syllable
+    counts plus the Flesch score, using the classic vowel-group syllable
+    heuristic with the every-word-has-≥1-syllable floor.
+
+    Syllables are counted as [aeiouy]+ runs over the WHOLE lowercased text
+    plus one per vowel-less word — arithmetically identical to per-word
+    max(1, runs) (whitespace tokenization means a vowel run can never span
+    two words) but without a per-word fold, which Catalyst would interpret
+    rather than codegen. Sentences floor at 1 (word-soup corpora have no
+    terminal punctuation; Flesch is undefined at S=0, not infinite).
+    Score is rounded to 4 dp from IEEE-exact inputs (integer counts,
+    correctly-rounded divisions, repr-shared constants) so it replays
+    bit-for-bit cross-engine. Docs with zero words (or NULL text) emit
+    NULL score.
+
+    Scale shape: pure Column expressions — zero shuffle, zero Python; one
+    higher-order filter for the vowel-less-word count, everything else
+    plain regexp counting."""
+    from cloud_data_quality_spark.functions.text import tokens
+
+    t = F.lower(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks).cast("bigint")
+    n_sent = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit("[.!?]+"), F.lit(0))).cast("bigint")
+    runs = F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0)))
+    no_vowel = F.size(F.filter(
+        toks, lambda w: ~F.lower(w).rlike("[aeiouy]")))
+    n_syll = (runs + no_vowel).cast("bigint")
+    w = n_words.cast("double")
+    s = F.greatest(n_sent, F.lit(1)).cast("double")
+    score = (F.lit(FLESCH_BASE) - F.lit(FLESCH_SENT) * (w / s)
+             - F.lit(FLESCH_SYLL) * (n_syll.cast("double") / w))
+    return df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("bigint"))
+        .otherwise(n_words).alias("n_words"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("bigint"))
+        .otherwise(n_sent).alias("n_sentences"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("bigint"))
+        .otherwise(n_syll).alias("n_syllables"),
+        F.when(n_words > 0, F.round(score, 4))
+        .otherwise(F.lit(None).cast("double")).alias("flesch"))

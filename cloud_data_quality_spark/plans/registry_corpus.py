@@ -2170,3 +2170,53 @@ select d.term, d.df,
        (d.df > {_INV_MAX_DF}) as truncated
 from dfreq d left join kept k using (term)
 """
+
+
+#: sentence punctuation synthesized from doc_id arithmetic (the word-soup
+#: corpus has none); every 9th doc NULL.
+_READ_TEXT_SQL = ("case when doc_id % 9 = 0 then null else "
+                  "substr(text, 1, 80) || case doc_id % 3 "
+                  "when 0 then '. The end.' when 1 then '! ok?!' "
+                  "else '' end end")
+
+
+def q_readability_stats(spark, sf_dir):
+    """Flesch reading ease (corpus.readability_stats): word/sentence/
+    syllable counts + 4-dp score over a corpus with synthesized sentence
+    punctuation. Pure Column, zero shuffle; constants repr-shared with
+    the oracle."""
+    from cloud_data_quality_spark.functions.corpus import readability_stats
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_READ_TEXT_SQL).alias("text"))
+    return readability_stats(docs)
+
+
+def _oracle_readability_stats() -> str:
+    from cloud_data_quality_spark.functions.corpus import (
+        FLESCH_BASE,
+        FLESCH_SENT,
+        FLESCH_SYLL,
+    )
+    toks = OF.sql_tokens("text")
+    return f"""
+with d as (select doc_id, {_READ_TEXT_SQL} as text from documents),
+s as (select doc_id, text, {toks} as toks,
+             len(regexp_extract_all(text, '[.!?]+'))::BIGINT as n_sent,
+             (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              + len(list_filter({toks},
+                    w -> not regexp_matches(lower(w), '[aeiouy]'))))
+               ::BIGINT as n_syll
+      from d)
+select doc_id,
+       (case when text is null then null else len(toks) end)::BIGINT
+         as n_words,
+       n_sent as n_sentences,
+       n_syll as n_syllables,
+       case when len(toks) > 0 then
+         round({FLESCH_BASE!r}
+               - {FLESCH_SENT!r} * (len(toks)::DOUBLE
+                                    / greatest(n_sent, 1)::DOUBLE)
+               - {FLESCH_SYLL!r} * (n_syll::DOUBLE / len(toks)::DOUBLE), 4)
+       end as flesch
+from s
+"""

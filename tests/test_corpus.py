@@ -1438,3 +1438,39 @@ class TestInvertedIndex:
                                    "doc_id string, text string")
         [r] = inverted_index(df, max_df=10).collect()
         assert r["postings"] == ["a", "b"]
+
+
+class TestReadabilityStats:
+    def test_counts_and_score(self, spark):
+        from cloud_data_quality_spark.functions.corpus import (
+            FLESCH_BASE,
+            FLESCH_SENT,
+            FLESCH_SYLL,
+            readability_stats,
+        )
+        df = spark.createDataFrame(
+            [("d1", "The cat sat. The dog ran!"),
+             ("d2", "xyz pqrst"),   # vowel-less words: 1 syllable each
+             ("d3", ""), ("d4", None)],
+            "doc_id string, text string")
+        out = {r["doc_id"]: r for r in readability_stats(df).collect()}
+        r = out["d1"]
+        assert r["n_words"] == 6 and r["n_sentences"] == 2
+        # the/cat/sat/the/dog/ran — one vowel group each
+        assert r["n_syllables"] == 6
+        expected = round(FLESCH_BASE - FLESCH_SENT * (6 / 2)
+                         - FLESCH_SYLL * (6 / 6), 4)
+        assert r["flesch"] == expected
+        assert out["d2"]["n_syllables"] == 2  # vowel-less floor
+        assert out["d2"]["n_sentences"] == 0  # floors to 1 only in score
+        assert out["d3"]["n_words"] == 0 and out["d3"]["flesch"] is None
+        assert out["d4"]["n_words"] is None and out["d4"]["flesch"] is None
+
+    def test_zero_shuffle_plan(self, spark):
+        from cloud_data_quality_spark.functions.corpus import (
+            readability_stats)
+        df = spark.range(4).selectExpr("cast(id as string) doc_id",
+                                       "'a b.' as text")
+        plan = (readability_stats(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "Exchange" not in plan
