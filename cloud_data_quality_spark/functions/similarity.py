@@ -466,3 +466,91 @@ def semantic_dedup(
     return (cells.join(dropped, cells["id"] == dropped["a_id"], "left")
             .select(F.col("id").alias(id_col), "cell",
                     F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")))
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: one corpus-wide
+    scale 127/max|x| (a single tiny aggregate broadcast back), each
+    component rounded to an integer in [-127, 127]. At 10^9+ vectors this
+    is the 4x memory / bandwidth lever that makes brute-force and IVF
+    scans feasible — and integer dot products are EXACT (no float
+    summation order anywhere), so downstream scores are bit-replayable in
+    any engine.
+
+    Returns (id, qvec array<int>, scale double); NULL embeddings drop out
+    (they cannot be scored).
+
+    Every arithmetic step is IEEE correctly-rounded (max, abs, division,
+    multiply, round-half-away) — the quantized vectors are bit-identical
+    cross-engine, which is why the quantized ANN oracle can assert exact
+    values rather than recall bounds."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = df.where(F.col(vec_col).isNotNull()).agg(
+        F.max(F.array_max(F.transform(vd, lambda x: F.abs(x))))
+        .alias("__amax"))
+    return (df.where(F.col(vec_col).isNotNull())
+            .crossJoin(F.broadcast(amax))
+            .select(
+                F.col(id_col),
+                F.transform(vd, lambda x: F.round(
+                    x * (F.lit(127.0) / F.col("__amax")), 0).cast("int"))
+                .alias("qvec"),
+                (F.lit(127.0) / F.col("__amax")).alias("scale")))
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors: corpus and
+    probes share the CORPUS scale (so a probe quantizes the same way its
+    duplicates in the corpus did), cosine is integer-dot / integer-norms
+    — exact bigint arithmetic with float entering only at the final
+    divide, rounded to 6 dp before the rank cut (neighbor-id tiebreak).
+
+    Scale shape: the probe set is guarded small (same contract as
+    brute_force_topk), the corpus is streamed once; the JVM fold here is
+    the exact-parity anchor — the production twin at 10^9 vectors is the
+    same Arrow/BLAS batch pattern as brute_force_topk_np with an int32
+    GEMM, 4x less memory traffic than the float path."""
+    from pyspark.sql.window import Window
+    _guard_probes(probes, "quantized_topk", 10_000)
+    scale_src = quantize_embeddings(corpus, vec_col=vec_col, id_col=id_col)
+    qc = scale_src.select(F.col(id_col).alias("__nid"),
+                          F.col("qvec").alias("__cv"), "scale")
+    # quantize probes with the corpus scale: q = round(x * scale)
+    pv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qp = (probes.crossJoin(F.broadcast(
+              scale_src.select(F.max("scale").alias("__s"))))
+          .select(F.col(probe_id_col),
+                  F.transform(pv, lambda x: F.round(
+                      x * F.col("__s"), 0).cast("int")).alias("__pv")))
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+    dot = idot(F.col("__pv"), F.col("__cv"))
+    na = idot(F.col("__pv"), F.col("__pv"))
+    nb = idot(F.col("__cv"), F.col("__cv"))
+    scored = (qp.crossJoin(qc)
+              .where(F.col(probe_id_col) != F.col("__nid"))
+              .select(F.col(probe_id_col),
+                      F.col("__nid").alias("neighbor_id"),
+                      F.round(dot.cast("double")
+                              / F.nullif(F.sqrt(na.cast("double"))
+                                         * F.sqrt(nb.cast("double")),
+                                         F.lit(0.0)), 6).alias("cos_sim")))
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -615,3 +615,43 @@ drops as (
 select c.vec_id, c.cell::INT as cell, (d.vec_id is null) as keep
 from assigned c left join drops d using (vec_id)
 """
+
+
+def q_quantized_ann(spark, sf_dir):
+    """Int8-quantized brute-force cosine top-k (similarity.
+    quantized_topk): corpus-scale symmetric quantization, EXACT bigint
+    dot/norm arithmetic, float only at the final divide (6 dp). The
+    oracle replays every step — quantization included — bit-for-bit."""
+    from cloud_data_quality_spark.functions.similarity import quantized_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = (emb.where(F.col("vec_id") < 10)
+              .select(F.col("vec_id").alias("probe_id"), "embedding"))
+    return quantized_topk(emb, probes, k=5)
+
+
+ORACLE_QUANTIZED_ANN = """
+with amax as (select max(list_max(list_transform(embedding::DOUBLE[],
+                                                 x -> abs(x)))) as m
+              from embeddings where embedding is not null),
+q as (select vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> round(x * sc.s)::BIGINT) as qv
+      from embeddings, (select 127.0 / m as s from amax) sc
+      where embedding is not null),
+probes as (select vec_id as probe_id, qv as pq from q where vec_id < 10),
+scored as (
+  select probe_id, e.vec_id as neighbor_id,
+         round(list_sum(list_transform(pq, (x, i) -> x * e.qv[i]))::DOUBLE
+               / nullif(sqrt(list_sum(list_transform(pq, x -> x * x))
+                             ::DOUBLE)
+                        * sqrt(list_sum(list_transform(e.qv, x -> x * x))
+                               ::DOUBLE), 0), 6) as cos_sim
+  from probes, q e where e.vec_id != probe_id),
+ranked as (select probe_id, neighbor_id, cos_sim,
+                  row_number() over (partition by probe_id
+                                     order by cos_sim desc,
+                                              neighbor_id asc) as rank
+           from scored)
+select probe_id, neighbor_id, cos_sim, rank::INT as rank
+from ranked where rank <= 5
+"""

@@ -563,3 +563,40 @@ class TestSemanticDedup:
             ._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestQuantizedAnn:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_quantize_bounds_and_nulls(self, spark):
+        from cloud_data_quality_spark.functions.similarity import (
+            quantize_embeddings)
+        df = spark.createDataFrame(
+            [(1, [0.5, -2.0]), (2, [1.0, 0.0]), (3, None)],
+            "vec_id bigint, embedding array<float>")
+        out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+        assert 3 not in out                      # NULL embedding dropped
+        assert out[1]["qvec"] == [32, -127]      # amax=2.0 → scale 63.5
+        assert out[2]["qvec"] == [64, 0]
+        assert out[1]["scale"] == out[2]["scale"] == 63.5
+
+    def test_recall_vs_float_topk(self, emb):
+        from cloud_data_quality_spark.functions.similarity import (
+            brute_force_topk_np,
+            quantized_topk,
+        )
+        probes = (emb.where(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("probe_id"), "embedding"))
+        exact = brute_force_topk_np(emb, probes, k=5).collect()
+        quant = quantized_topk(emb, probes, k=5).collect()
+        by_probe_e, by_probe_q = {}, {}
+        for r in exact:
+            by_probe_e.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+        for r in quant:
+            by_probe_q.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+        recalls = [len(by_probe_e[p] & by_probe_q[p]) / 5
+                   for p in by_probe_e]
+        assert sum(recalls) / len(recalls) >= 0.8  # int8 keeps the ranking
