@@ -502,6 +502,24 @@ def quantize_embeddings(
                 (F.lit(127.0) / F.col("__amax")).alias("scale")))
 
 
+def _quantized_frames(corpus, probes, vec_col, id_col, probe_id_col):
+    """Shared by the JVM-fold and Arrow-GEMM quantized paths: the corpus
+    quantized by quantize_embeddings, and the probes quantized IN SPARK
+    with the corpus scale — both twins consume identical integers (numpy
+    half-to-even rounding never enters), which is what makes them
+    element-wise comparable."""
+    scale_src = quantize_embeddings(corpus, vec_col=vec_col, id_col=id_col)
+    qc = scale_src.select(F.col(id_col).alias("__nid"),
+                          F.col("qvec").alias("__cv"), "scale")
+    pv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qp = (probes.crossJoin(F.broadcast(
+              scale_src.select(F.max("scale").alias("__s"))))
+          .select(F.col(probe_id_col),
+                  F.transform(pv, lambda x: F.round(
+                      x * F.col("__s"), 0).cast("int")).alias("__pv")))
+    return qc, qp
+
+
 def quantized_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -523,16 +541,8 @@ def quantized_topk(
     GEMM, 4x less memory traffic than the float path."""
     from pyspark.sql.window import Window
     _guard_probes(probes, "quantized_topk", 10_000)
-    scale_src = quantize_embeddings(corpus, vec_col=vec_col, id_col=id_col)
-    qc = scale_src.select(F.col(id_col).alias("__nid"),
-                          F.col("qvec").alias("__cv"), "scale")
-    # quantize probes with the corpus scale: q = round(x * scale)
-    pv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    qp = (probes.crossJoin(F.broadcast(
-              scale_src.select(F.max("scale").alias("__s"))))
-          .select(F.col(probe_id_col),
-                  F.transform(pv, lambda x: F.round(
-                      x * F.col("__s"), 0).cast("int")).alias("__pv")))
+    qc, qp = _quantized_frames(corpus, probes, vec_col, id_col,
+                               probe_id_col)
 
     def idot(a, b):
         return F.aggregate(
@@ -553,4 +563,72 @@ def quantized_topk(
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def quantized_topk_np(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Arrow/GEMM twin of :func:`quantized_topk` — element-wise identical
+    results (pytest-pinned), one int64 matrix product per corpus batch
+    instead of three interpreted JVM folds per (row, probe) pair. The
+    quantized integers come from the SAME Spark expressions as the JVM
+    path (_quantized_frames), so the only float op is the final
+    exact-ints divide — bit-identical in numpy and the JVM.
+
+    Per-batch candidate pruning keeps ties at the kth score minus 1e-6:
+    the global rank runs on the 6-dp ROUNDED score (as the JVM path
+    does), and a raw-score cut exactly at the kth value could drop a
+    candidate that ties after rounding and wins the id tiebreak."""
+    from pyspark.sql.window import Window
+    _guard_probes(probes, "quantized_topk_np", 10_000)
+    qc, qp = _quantized_frames(corpus, probes, vec_col, id_col,
+                               probe_id_col)
+    pr = qp.collect()
+    pids = np.array([r[0] for r in pr], dtype=np.int64)
+    P = np.array([list(r[1]) for r in pr], dtype=np.int64)
+    pn = np.sqrt(np.einsum("ij,ij->i", P, P).astype(np.float64))
+
+    def score(batches):
+        import pandas as pd
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            C = np.vstack(pdf["__cv"].to_numpy()).astype(np.int64)
+            ids = pdf["__nid"].to_numpy(dtype=np.int64)
+            cn = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+            D = (C @ P.T).astype(np.float64)       # exact: int64 dots
+            denom = np.outer(cn, pn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(denom > 0, D / denom, np.nan)
+            out_p, out_n, out_c = [], [], []
+            for j in range(len(pids)):
+                col = S[:, j].copy()
+                col[ids == pids[j]] = -np.inf
+                kk = min(k, n)
+                kth = np.partition(col, -kk)[-kk]
+                take = np.flatnonzero(col >= kth - 1e-6)
+                out_p.append(np.full(len(take), pids[j], dtype=np.int64))
+                out_n.append(ids[take])
+                out_c.append(col[take])
+            yield pd.DataFrame({
+                "probe_id": np.concatenate(out_p),
+                "neighbor_id": np.concatenate(out_n),
+                "cos": np.concatenate(out_c),
+            })
+
+    cand = qc.select("__nid", "__cv").mapInPandas(
+        score, schema="probe_id bigint, neighbor_id bigint, cos double")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (cand.select(F.col("probe_id").alias(probe_id_col),
+                        "neighbor_id",
+                        F.round("cos", 6).alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))

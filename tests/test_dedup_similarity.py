@@ -600,3 +600,18 @@ class TestQuantizedAnn:
         recalls = [len(by_probe_e[p] & by_probe_q[p]) / 5
                    for p in by_probe_e]
         assert sum(recalls) / len(recalls) >= 0.8  # int8 keeps the ranking
+
+    def test_np_twin_element_wise_equal(self, emb):
+        from cloud_data_quality_spark.functions.similarity import (
+            quantized_topk,
+            quantized_topk_np,
+        )
+        probes = (emb.where(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("probe_id"), "embedding"))
+        jvm = sorted([(r["probe_id"], r["rank"], r["neighbor_id"],
+                       r["cos_sim"]) for r in
+                      quantized_topk(emb, probes, k=5).collect()])
+        gemm = sorted([(r["probe_id"], r["rank"], r["neighbor_id"],
+                        r["cos_sim"]) for r in
+                       quantized_topk_np(emb, probes, k=5).collect()])
+        assert jvm == gemm
