@@ -536,9 +536,13 @@ def quantized_topk(
 
     Scale shape: the probe set is guarded small (same contract as
     brute_force_topk), the corpus is streamed once; the JVM fold here is
-    the exact-parity anchor — the production twin at 10^9 vectors is the
-    same Arrow/BLAS batch pattern as brute_force_topk_np with an int32
-    GEMM, 4x less memory traffic than the float path."""
+    the exact-parity anchor, quantized_topk_np the batch twin. What int8
+    buys at 10^9 vectors is FOOTPRINT — persisted/shuffled vectors are 4x
+    smaller than float32, 8x smaller than float64 — plus engine-exact
+    replayability; it is NOT a local FLOPs win in this stack (numpy
+    integer matmul has no BLAS kernel — measured 2.2x slower than the
+    float64 dgemm at 500k x 64; a real int8 win needs a dedicated kernel
+    such as FAISS/oneDNN, absent in this container)."""
     from pyspark.sql.window import Window
     _guard_probes(probes, "quantized_topk", 10_000)
     qc, qp = _quantized_frames(corpus, probes, vec_col, id_col,
@@ -574,12 +578,15 @@ def quantized_topk_np(
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
 ) -> DataFrame:
-    """Arrow/GEMM twin of :func:`quantized_topk` — element-wise identical
+    """Arrow twin of :func:`quantized_topk` — element-wise identical
     results (pytest-pinned), one int64 matrix product per corpus batch
     instead of three interpreted JVM folds per (row, probe) pair. The
     quantized integers come from the SAME Spark expressions as the JVM
     path (_quantized_frames), so the only float op is the final
-    exact-ints divide — bit-identical in numpy and the JVM.
+    exact-ints divide — bit-identical in numpy and the JVM. Note numpy
+    integer matmul bypasses BLAS (measured 1.3 s float64 dgemm vs 2.8 s
+    int64 at 500k x 64, best-of-3): use this twin for exactness and
+    footprint, brute_force_topk_np for raw local speed.
 
     Per-batch candidate pruning keeps ties at the kth score minus 1e-6:
     the global rank runs on the 6-dp ROUNDED score (as the JVM path
