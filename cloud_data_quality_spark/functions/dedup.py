@@ -498,13 +498,34 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25,
 
 
 def dedup_near_duplicates(df: DataFrame, pairs: DataFrame,
-                          id_col: str = "doc_id") -> DataFrame:
-    """Keep one canonical doc (min id) per near-dup cluster; docs in no pair
+                          id_col: str = "doc_id",
+                          score_col: str | None = None) -> DataFrame:
+    """Keep one canonical doc per near-dup cluster; docs in no pair
     survive untouched. Anti-join on the non-canonical member set — one
-    broadcast-able frame of (cluster members minus canonicals)."""
+    broadcast-able frame of (cluster members minus canonicals).
+
+    Default representative: min id (order-free, replay-exact). Pass
+    `score_col` to keep the HIGHEST-scoring member instead — what real
+    pipelines do (keep the longest / highest-quality variant of a
+    near-dup group); ties break on min id so the choice stays
+    deterministic. The score join adds one shuffle keyed on the cluster
+    members only (a tiny frame relative to the corpus — every member was
+    in a candidate pair), then a bounded-key window per cluster (cluster
+    sizes are near-dup group sizes, never corpus-scale)."""
     labels = duplicate_clusters(pairs)
-    losers = labels.where(F.col("id") != F.col("cluster_id")) \
-                   .select(F.col("id").alias(id_col))
+    if score_col is None:
+        losers = labels.where(F.col("id") != F.col("cluster_id")) \
+                       .select(F.col("id").alias(id_col))
+        return df.join(losers, id_col, "left_anti")
+    from pyspark.sql.window import Window
+    scored = labels.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s")),
+        "id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__s").desc_nulls_last(), F.col("id").asc())
+    losers = (scored.withColumn("__r", F.row_number().over(w))
+              .where(F.col("__r") > 1)
+              .select(F.col("id").alias(id_col)))
     return df.join(losers, id_col, "left_anti")
 
 

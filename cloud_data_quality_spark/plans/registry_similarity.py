@@ -655,3 +655,44 @@ ranked as (select probe_id, neighbor_id, cos_sim,
 select probe_id, neighbor_id, cos_sim, rank::INT as rank
 from ranked where rank <= 5
 """
+
+
+def q_best_rep_dedup(spark, sf_dir):
+    """Near-dup dedup keeping the BEST cluster member (longest text,
+    min-id tiebreak) instead of min-id — what production pipelines keep
+    from a near-dup group (dedup.dedup_near_duplicates score_col path).
+    The oracle replays pair derivation, the recursive-CTE closure, and
+    the argmax choice."""
+    from cloud_data_quality_spark.functions.dedup import (
+        dedup_near_duplicates,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, text_col="text", id_col="doc_id",
+                              n=3, k=8, jaccard_threshold=0.5,
+                              broadcast_verify=True).select("id_a", "id_b")
+    scored = docs.withColumn("__len", F.length("text"))
+    out = dedup_near_duplicates(scored, pairs, score_col="__len")
+    return out.select("doc_id",
+                      F.col("__len").cast("bigint").alias("n_chars"))
+
+
+ORACLE_BEST_REP_DEDUP = f"""
+with recursive {_ORACLE_MINHASH_PAIRS_CTES[0]},
+pr as (select id_a{_ORACLE_MINHASH_PAIRS_CTES[1]}),
+edges as (select id_a as a, id_b as b from pr
+          union select id_b, id_a from pr),
+reach as (select a as n, b as m from edges
+          union
+          select r.n, e.b from reach r join edges e on r.m = e.a),
+labels as (select n as id, least(n, min(m)) as cluster_id
+           from reach group by n),
+scored as (select lab.id, lab.cluster_id, length(d.text) as l
+           from labels lab join documents d on lab.id = d.doc_id),
+reps as (select id from (
+           select id, row_number() over (partition by cluster_id
+                      order by l desc nulls last, id asc) as rn
+           from scored) where rn = 1),
+losers as (select id from labels where id not in (select id from reps))
+select d.doc_id, length(d.text)::BIGINT as n_chars from documents d
+where d.doc_id not in (select id from losers)
+"""

@@ -615,3 +615,23 @@ class TestQuantizedAnn:
                         r["cos_sim"]) for r in
                        quantized_topk_np(emb, probes, k=5).collect()])
         assert jvm == gemm
+
+
+class TestBestRepDedup:
+    def test_score_representative_and_ties(self, spark):
+        from cloud_data_quality_spark.functions.dedup import (
+            dedup_near_duplicates)
+        df = spark.createDataFrame(
+            [(1, "short", 5), (2, "longer text", 11), (3, "longer tex!", 11),
+             (4, "solo", 4)],
+            "doc_id bigint, text string, score int")
+        pairs = spark.createDataFrame([(1, 2), (2, 3)],
+                                      "id_a bigint, id_b bigint")
+        # min-id default keeps 1; score path keeps 2 (max score, tie → min id)
+        kept_min = {r["doc_id"] for r in
+                    dedup_near_duplicates(df, pairs).collect()}
+        assert kept_min == {1, 4}
+        kept_best = {r["doc_id"] for r in
+                     dedup_near_duplicates(df, pairs,
+                                           score_col="score").collect()}
+        assert kept_best == {2, 4}
