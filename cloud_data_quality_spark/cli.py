@@ -471,6 +471,24 @@ def _curate(args) -> int:
         # silently collapse to a single row)
         return dedup_exact(d, text_col=args.text_col, id_col=args.id_col)
 
+    def neardedup(d):
+        from cloud_data_quality_spark.functions.dedup import (
+            dedup_near_duplicates,
+            minhash_lsh_pairs,
+        )
+        pairs = minhash_lsh_pairs(
+            d, text_col=args.text_col, id_col=args.id_col,
+            jaccard_threshold=args.near_dedup,
+            broadcast_verify=True).select("id_a", "id_b")
+        if args.keep_best:
+            from pyspark.sql import functions as F
+            scored = d.withColumn("__len",
+                                  F.length(F.col(args.text_col)))
+            return dedup_near_duplicates(
+                scored, pairs, id_col=args.id_col,
+                score_col="__len").drop("__len")
+        return dedup_near_duplicates(d, pairs, id_col=args.id_col)
+
     def select_top(d):
         from pyspark.sql import functions as F
 
@@ -610,6 +628,10 @@ def _curate(args) -> int:
     if blocklist or args.max_per_host > 0 or args.url_hygiene:
         stages.append(PipelineStage("hosts", hosts, kind="global"))
     stages.append(PipelineStage("dedup", dedup, kind="global"))
+    if args.near_dedup > 0:
+        # after exact dedup: MinHash near-dup removal, keeping min-id or
+        # (--keep-best) the longest member of each cluster
+        stages.append(PipelineStage("near_dedup", neardedup, kind="global"))
     if args.sample_fractions:
         stages.append(PipelineStage("sample", sample, kind="partition"))
     if not 0 <= args.top_fraction < 1:
@@ -837,6 +859,13 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--decontaminate", default=None, metavar="PARQUET",
                     help="drop documents sharing 8-word shingles with this "
                          "benchmark/eval parquet (broadcast semi-join)")
+    cu.add_argument("--near-dedup", type=float, default=0.0,
+                    metavar="JACCARD",
+                    help="after exact dedup: MinHash near-dup removal at "
+                         "this Jaccard threshold (0 = disabled)")
+    cu.add_argument("--keep-best", action="store_true",
+                    help="near-dedup: keep each cluster's LONGEST member "
+                         "(min-id tiebreak) instead of the min-id one")
     cu.add_argument("--sample-fractions", default="",
                     help="after dedup: deterministic stratified sampling, "
                          "e.g. en=0.5,de=0.2 over --stratum-col")

@@ -442,22 +442,21 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25,
     executor loss restarts the whole computation). Default (None) picks
     reliable iff a checkpoint dir is configured.
 
-    Convergence check: labels only ever decrease, so sum(cluster_id) is
-    strictly monotone — equal sums ⇒ fixpoint. The sum rides the round's
-    checkpoint job as an Observation, so each round is exactly ONE job (no
-    separate scalar agg pass over the checkpointed frame)."""
+    Convergence check: a per-round count of CHANGED labels — zero changes
+    is exactly the fixpoint (no monotonicity argument needed, and unlike a
+    sum over labels it works for STRING ids — url-keyed corpora cluster
+    without a numeric surrogate). The count rides the round's checkpoint
+    job as an Observation, so each round is exactly ONE job (no separate
+    scalar agg pass over the checkpointed frame)."""
     from pyspark.sql import Observation
     spark = pairs.sparkSession
     if reliable_checkpoint is None:
         reliable_checkpoint = (
             spark.sparkContext.getCheckpointDir() is not None)
 
-    def _materialize(df: DataFrame) -> tuple[DataFrame, int]:
-        obs = Observation()
-        df = df.observe(obs, F.sum("cluster_id").alias("s"))
-        df = (df.checkpoint(eager=True) if reliable_checkpoint
-              else df.localCheckpoint())
-        return df, obs.get["s"]
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        return (df.checkpoint(eager=True) if reliable_checkpoint
+                else df.localCheckpoint())
 
     # Materialize edges ONCE. `pairs` is usually the un-materialized MinHash
     # LSH pipeline (q_minhash_clusters / dedup_near_duplicates pass it
@@ -472,7 +471,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25,
     edges = pairs.select(both_dirs.alias("e")).select("e.src", "e.dst")
     edges = (edges.checkpoint(eager=True) if reliable_checkpoint
              else edges.localCheckpoint(eager=True))
-    labels, prev_sum = _materialize(
+    labels = _checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id")))
@@ -482,18 +481,23 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25,
                         .agg(F.min("cluster_id").alias("nbr_min")))
         l1 = (labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
               .select(F.col("id"),
+                      F.col("cluster_id").alias("__old"),
                       F.least(F.col("cluster_id"),
                               F.coalesce(F.col("nbr_min"), F.col("cluster_id")))
                        .alias("cluster_id")))
         parent = l1.select(F.col("id").alias("pid"),
                            F.col("cluster_id").alias("plabel"))
         l2 = (l1.join(parent, l1.cluster_id == parent.pid, "left")
-              .select(l1.id,
+              .select(l1.id, l1["__old"],
                       F.coalesce("plabel", "cluster_id").alias("cluster_id")))
-        labels, cur_sum = _materialize(l2)
-        if cur_sum == prev_sum:
+        obs = Observation()
+        mat = _checkpoint(l2.observe(
+            obs, F.sum(F.when(F.col("cluster_id") != F.col("__old"),
+                              F.lit(1)).otherwise(F.lit(0)))
+            .alias("changed")))
+        labels = mat.select("id", "cluster_id")
+        if obs.get["changed"] == 0:
             break
-        prev_sum = cur_sum
     return labels
 
 

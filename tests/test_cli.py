@@ -869,3 +869,30 @@ class TestRound5CorpusOps:
         got = spark.read.parquet(dl["output"])
         [r] = got.where("url = 'u0'").collect()
         assert r["text"] == "\n".join([good, good + " extra"])
+
+    def test_curate_near_dedup_keep_best(self, spark, tmp_path, capsys):
+        """--near-dedup composes after exact dedup; --keep-best keeps the
+        longest cluster member."""
+        import json as _json
+        base = ("plenty of common english stopwords flow through this "
+                "sentence and it reads just fine for the filter")
+        inp = str(tmp_path / "docs.parquet")
+        rows = [("u1", base + " tail one"),
+                ("u2", base + " tail one extra words here"),  # longest
+                ("u3", "a completely different and also quite acceptable "
+                       "english sentence with the usual stopwords in it "
+                       "reading well")]
+        spark.createDataFrame(rows, "url string, text string") \
+            .write.parquet(inp)
+        work = str(tmp_path / "wnd")
+        rc = main(["curate", "--input", inp, "--work-dir", work,
+                   "--run-id", "nd", "--buckets", "4", "--id-col", "url",
+                   "--near-dedup", "0.5", "--keep-best"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        names = [s["name"] for s in out["stages"]]
+        assert names == ["quality", "dedup", "near_dedup"]
+        nd = next(s for s in out["stages"] if s["name"] == "near_dedup")
+        kept = {r["url"] for r in
+                spark.read.parquet(nd["output"]).collect()}
+        assert kept == {"u2", "u3"}  # u1 lost to its longer near-dup u2

@@ -635,3 +635,13 @@ class TestBestRepDedup:
                      dedup_near_duplicates(df, pairs,
                                            score_col="score").collect()}
         assert kept_best == {2, 4}
+
+    def test_string_id_clustering(self, spark):
+        from cloud_data_quality_spark.functions.dedup import (
+            duplicate_clusters)
+        pairs = spark.createDataFrame(
+            [("b", "c"), ("a", "b"), ("x", "y")],
+            "id_a string, id_b string")
+        out = {r["id"]: r["cluster_id"]
+               for r in duplicate_clusters(pairs).collect()}
+        assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
