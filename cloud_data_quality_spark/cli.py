@@ -29,7 +29,8 @@ Subcommands:
                   quality+dedup: [normalize →] [boilerplate →]
                   [dedup-lines →] [c4-clean →] quality filter →
                   [span-dedup →] [decontaminate →] [host blocklist+cap →]
-                  exact dedup → [stratified sample →] [top-fraction |
+                  exact dedup → [minhash near-dedup (--keep-best) →]
+                  [stratified sample →] [top-fraction |
                   token-budget selection →] [sequence packing]
                   (engine/pipeline.py)
 """
@@ -800,7 +801,8 @@ def main(argv: list[str] | None = None) -> int:
         "curate", help="composed resumable pipeline: [normalize →] "
                        "[boilerplate →] [dedup-lines →] [c4-clean →] "
                        "quality filter → "
-                       "[span-dedup →] [decontaminate →] [host "
+                       "[span-dedup →] [decontaminate →] [near-dedup →] "
+                       "[host "
                        "blocklist+cap →] exact dedup → [sample →] "
                        "[top-fraction | token-budget →] [pack] (staged, "
                        "per-partition lineage, restart-safe)")
