@@ -22,7 +22,7 @@ Subcommands:
                   canonicalize-urls | classify | containment | normalize |
                   url-dedup | boilerplate | tfidf | pagerank | profile |
                   dedup-lines | temperature-mix | bm25 | encoding-stats |
-                  inverted-index | readability
+                  inverted-index | readability | near-dedup
                   (functions/corpus.py, functions/hosts.py,
                   functions/classifier.py, functions/linkgraph.py)
   curate          composed resumable pipeline, every stage optional except
@@ -218,6 +218,21 @@ def _corpus(args) -> int:
     elif args.op == "c4-clean":
         out = C.c4_clean_stage(df, text_col=args.text_col,
                                id_col=args.id_col)
+    elif args.op == "near-dedup":
+        from cloud_data_quality_spark.functions.dedup import (
+            dedup_near_duplicates,
+            minhash_lsh_pairs,
+        )
+        pairs = minhash_lsh_pairs(
+            df, text_col=args.text_col, id_col=args.id_col,
+            jaccard_threshold=args.jaccard_threshold,
+            broadcast_verify=True).select("id_a", "id_b")
+        if args.keep_best:
+            scored = df.withColumn("__len", F.length(F.col(args.text_col)))
+            out = dedup_near_duplicates(scored, pairs, id_col=args.id_col,
+                                        score_col="__len").drop("__len")
+        else:
+            out = dedup_near_duplicates(df, pairs, id_col=args.id_col)
     elif args.op == "readability":
         out = C.readability_stats(df, text_col=args.text_col,
                                   id_col=args.id_col)
@@ -721,7 +736,8 @@ def main(argv: list[str] | None = None) -> int:
                             "dup-ngram-stats", "normalize", "url-dedup", "boilerplate",
                             "tfidf", "pagerank", "profile",
                             "dedup-lines", "temperature-mix", "bm25",
-                            "encoding-stats", "inverted-index", "readability"])
+                            "encoding-stats", "inverted-index", "readability",
+                            "near-dedup"])
     c.add_argument("--input", default=None,
                    help="required for all ops except compact-*")
     c.add_argument("--output", default=None,
@@ -775,6 +791,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--store", default=None,
                    help="incremental-dedup: fp-bucketed catalog table name")
     c.add_argument("--buckets", type=int, default=64)
+    c.add_argument("--keep-best", action="store_true",
+                   help="near-dedup: keep each cluster's LONGEST member "
+                        "(min-id tiebreak) instead of the min-id one")
     c.add_argument("--ts-col", default="warc_ts",
                    help="url-dedup: capture-timestamp column (newest wins)")
     c.add_argument("--top-k", type=int, default=5,
