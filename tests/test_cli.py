@@ -896,3 +896,17 @@ class TestRound5CorpusOps:
         kept = {r["url"] for r in
                 spark.read.parquet(nd["output"]).collect()}
         assert kept == {"u2", "u3"}  # u1 lost to its longer near-dup u2
+
+    def test_near_dedup_op(self, spark, tmp_path, capsys):
+        inp = str(tmp_path / "docs.parquet")
+        base = "one two three four five six seven eight nine ten"
+        spark.createDataFrame(
+            [(1, base), (2, base + " eleven"), (3, "unrelated words only")],
+            schema="doc_id bigint, text string").write.parquet(inp)
+        out = str(tmp_path / "nd")
+        rc = main(["corpus", "--op", "near-dedup", "--input", inp,
+                   "--output", out, "--jaccard-threshold", "0.5",
+                   "--keep-best"])
+        assert rc == 0
+        kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert kept == {2, 3}  # longest near-dup member survives
