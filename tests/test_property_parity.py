@@ -380,3 +380,41 @@ select doc_id,
   ({norm} = text)
 from d""").fetchall()}
     assert got == duck
+
+
+def test_temperature_mix_vs_duckdb_fuzzed_strata(spark):
+    """temperature_mix (alpha=0.5) vs a DuckDB replay of the
+    sqrt(n_min/n_s) 60-bit thresholds over fuzzed stratum layouts:
+    extreme skew, singletons, equal sizes, two strata of size 1."""
+    import random
+
+    import duckdb
+    rng = random.Random(99)
+    from cloud_data_quality_spark.functions.corpus import temperature_mix
+    layouts = [
+        {"a": 1, "b": 1},
+        {"a": 1000, "b": 1},
+        {"a": 7, "b": 7, "c": 7},
+        {rng.choice("abcdef"): rng.randrange(1, 400) for _ in range(5)},
+        {"x": 313},
+    ]
+    for li, layout in enumerate(layouts):
+        rows = [(f"{s}{i}", s) for s, n in sorted(layout.items())
+                for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id string, lang string")
+        got = {r["doc_id"] for r in
+               temperature_mix(df, "lang", alpha=0.5,
+                               salt=f"z{li}").collect()}
+        con = duckdb.connect()
+        con.execute("create table d(doc_id varchar, lang varchar)")
+        con.executemany("insert into d values (?, ?)", rows)
+        duck = {r[0] for r in con.execute(f"""
+with counts as (select lang, count(*)::DOUBLE as n from d group by lang),
+mn as (select min(n) as m from counts),
+rates as (select lang,
+                 floor(sqrt(m / n) * 1152921504606846976.0)::BIGINT as thr
+          from counts cross join mn)
+select doc_id from d join rates using (lang)
+where ('0x' || substr(md5(doc_id || '|z{li}'), 1, 15))::BIGINT < thr
+""").fetchall()}
+        assert got == duck, f"layout {li}: {layout}"
