@@ -557,7 +557,10 @@ def q_curation_pipeline_docs(spark, sf_dir):
     stage materializes + journals lineage; this query replays the full
     staged run and returns the survivor set the DuckDB oracle re-derives in
     one SQL chain — so the staging machinery itself is value-checked, not
-    just the individual operators."""
+    just the individual operators. A leading dedup-lines REWRITE stage
+    (over doc_id-synthesized line structure) feeds the word-count gate, so
+    a stage that mutates text — not just filters rows — is value-checked
+    through the whole chain."""
     import shutil
     import uuid
 
@@ -565,8 +568,12 @@ def q_curation_pipeline_docs(spark, sf_dir):
         PipelineStage,
         ResumableCurationPipeline,
     )
+    from cloud_data_quality_spark.functions.corpus import dedup_lines_col
     from cloud_data_quality_spark.functions.text import fingerprint, word_count
     from pyspark.sql.window import Window
+
+    def lines(df):
+        return df.withColumn("text", dedup_lines_col(F.col("text")))
 
     def gate(df):
         return df.where(word_count(F.col("text")) >= _PIPE_MIN_WORDS)
@@ -584,9 +591,12 @@ def q_curation_pipeline_docs(spark, sf_dir):
     work = f"/tmp/cdq_pipeline_{uuid.uuid4().hex}"
     pipe = ResumableCurationPipeline(spark, work, n_buckets=8,
                                      id_col="doc_id")
+    src = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_DEDUP_LINES_TEXT_SQL).alias("text"))
     res = pipe.run(
-        _t(spark, sf_dir, "documents"),
-        [PipelineStage("gate", gate, kind="partition"),
+        src,
+        [PipelineStage("lines", lines, kind="partition"),
+         PipelineStage("gate", gate, kind="partition"),
          PipelineStage("cap", cap, kind="global"),
          PipelineStage("dedup", dedup, kind="global")],
         run_id="oracle")
@@ -598,7 +608,18 @@ def q_curation_pipeline_docs(spark, sf_dir):
 
 def _oracle_curation_pipeline() -> str:
     return f"""
-with gate as (select doc_id, source, text from documents
+with src as (select doc_id, source, {_DEDUP_LINES_TEXT_SQL} as text
+             from documents),
+arr as (select doc_id, source, text,
+               string_split(text, chr(10)) as a from src),
+lines as (select doc_id, source,
+                 case when text is null then null
+                      else array_to_string(list_filter(a,
+                             (x, i) -> length(x) = 0
+                                       or list_position(a, x) = i),
+                           chr(10)) end as text
+          from arr),
+gate as (select doc_id, source, text from lines
               where {OF.sql_word_count('text')} >= {_PIPE_MIN_WORDS}),
 cap as (select doc_id, source, text from (
           select *, row_number() over (partition by source
