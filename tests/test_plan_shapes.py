@@ -159,3 +159,47 @@ class TestRound5PlanShapes:
             .select("doc_id", F.col("text").alias("html"))
         plan = plan_of(extract_links(docs))
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+class TestRound5SessionThreePlanShapes:
+    def test_bm25_single_scan_broadcast_stats(self, spark):
+        """BM25: the corpus stats row reaches the scorer as a broadcast
+        (never a shuffle of the corpus on a stats key), the ranked cut is
+        TakeOrderedAndProject, and no explode/Generate appears — term
+        frequencies are pure Column exprs."""
+        from cloud_data_quality_spark.functions.corpus import bm25_topk
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text")
+        plan = plan_of(bm25_topk(docs, ["dup", "key"], k=5))
+        assert "TakeOrderedAndProject" in plan
+        assert "Generate" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_temperature_mix_corpus_never_shuffles(self, spark):
+        """temperature_mix: the only Exchanges belong to the tiny counts
+        aggregate; the corpus joins the rate table via broadcast, so no
+        Exchange sits between the corpus scan and the output filter."""
+        from cloud_data_quality_spark.functions.corpus import temperature_mix
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "lang")
+        plan = plan_of(temperature_mix(docs, "lang"))
+        assert "BroadcastHashJoin" in plan
+        # the corpus-side scan feeds the broadcast join directly: no
+        # SortMergeJoin anywhere in this plan
+        assert "SortMergeJoin" not in plan
+
+    def test_inverted_index_no_collect_before_cap(self, spark):
+        """inverted_index: the df-cap filter must run BEFORE collect_list
+        (hot-term postings never materialize); plan order check — the
+        filter on df sits below the list aggregation."""
+        from cloud_data_quality_spark.functions.corpus import inverted_index
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text")
+        plan = plan_of(inverted_index(docs, max_df=10))
+        i_collect = plan.find("collect_list")
+        i_cap = plan.find("<= 10")
+        assert i_collect != -1 and i_cap != -1
+        # physical plans print top-down (output first, inputs below): the
+        # cap filter executing BEFORE the list aggregation means it prints
+        # AFTER it
+        assert i_cap > i_collect
