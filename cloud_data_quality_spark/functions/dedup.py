@@ -496,7 +496,10 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25,
                               F.lit(1)).otherwise(F.lit(0)))
             .alias("changed")))
         labels = mat.select("id", "cluster_id")
-        if obs.get["changed"] == 0:
+        # sum() over an EMPTY labels frame observes NULL, not 0 — without
+        # the coalesce an empty pair set would spin all max_iterations
+        # rounds of empty-frame checkpoints before returning
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels
 

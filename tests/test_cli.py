@@ -910,3 +910,82 @@ class TestRound5CorpusOps:
         assert rc == 0
         kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
         assert kept == {2, 3}  # longest near-dup member survives
+
+    def test_curate_all_thirteen_stages(self, spark, tmp_path, capsys):
+        """Kitchen sink: every optional stage enabled at once — order
+        pinned, rows flow through non-empty, resume is a no-op."""
+        import json as _json
+        tmpl = "nav home about contact login menu footer links here."
+        mk = lambda i: (  # noqa: E731
+            f"the quick brown fox number {i} jumps over the lazy dog "
+            f"near marker {i} and walks toward the quiet evening "
+            f"street {i} with no worries at all tonight {i} honestly.")
+        stut = lambda i: (  # noqa: E731
+            f"scraper stutter line {i} with plenty of words in it today.")
+        typo = lambda i: (  # noqa: E731
+            f"\u201ctypographic\u201d quotes \u2014 and dashes number {i}.")
+        rows = []
+        for h in range(3):
+            for i in range(8):
+                doc = h * 10 + i
+                # tmpl is host boilerplate (in EVERY host doc); stut is an
+                # intra-doc duplicate unique to this doc; all content lines
+                # are per-doc unique so only dedup-lines (not boilerplate /
+                # span-dedup) touches them
+                text = "\n".join([tmpl, mk(doc), stut(doc), stut(doc),
+                                  typo(doc)])
+                rows.append((f"https://h{h}.test/{doc}", "en", text))
+        # a 3-line near-dup pair: each line differs only in its tail, so
+        # exact Jaccard stays well above 0.5 while nothing is cross-doc
+        # line-identical (span-dedup must not resolve it first)
+        common = [
+            "the data pipeline runs each night and reports the usual summary",
+            "many shared words appear in this long sentence about the data",
+            "the usual english stopwords hold the whole paragraph together",
+        ]
+        rows.append(("https://h0.test/90", "en",
+                     "\n".join([tmpl] + [c + " alpha." for c in common])))
+        rows.append(("https://h0.test/91", "en",
+                     "\n".join([tmpl] + [c + " alpha beta." for c in common])))
+        inp = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(rows, "url string, lang string, text string") \
+            .write.parquet(inp)
+        bench = str(tmp_path / "bench.parquet")
+        spark.createDataFrame([(1, mk(5))], "bid bigint, text string") \
+            .write.parquet(bench)
+
+        work = str(tmp_path / "wall")
+        argv = ["curate", "--input", inp, "--work-dir", work,
+                "--run-id", "all", "--buckets", "4", "--id-col", "url",
+                "--normalize", "--boilerplate", "--dedup-lines",
+                "--c4-clean", "--span-dedup",
+                "--decontaminate", bench,
+                "--near-dedup", "0.5", "--keep-best",
+                "--max-per-host", "100",
+                "--sample-fractions", "en=1.0",
+                "--token-budget", "100000",
+                "--pack-budget", "128"]
+        rc = main(argv)
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        names = [s["name"] for s in out["stages"]]
+        assert names == ["normalize", "boilerplate", "dedup_lines",
+                         "c4_clean", "quality", "span_dedup",
+                         "decontaminate", "hosts", "dedup", "near_dedup",
+                         "sample", "select_budget", "pack"]
+        assert out["rows_out"] > 0
+        for st in out["stages"][:-1]:
+            assert st["rows_out"] <= st["rows_in"], st["name"]
+        # the decontaminated doc (mk(5), doc 5 of host 0) is gone
+        sel = out["stages"][-2]
+        kept = spark.read.parquet(sel["output"])
+        assert kept.where(kept["url"] == "https://h0.test/5").count() == 0
+        # near-dup pair resolved to the LONGER member
+        u = {r["url"] for r in kept.collect()}
+        assert not {"https://h0.test/90", "https://h0.test/91"} <= u
+
+        rc = main(argv)
+        assert rc == 0
+        out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert all(s["resumed"] for s in out2["stages"])
+        assert out2["rows_out"] == out["rows_out"]

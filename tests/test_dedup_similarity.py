@@ -645,3 +645,15 @@ class TestBestRepDedup:
         out = {r["id"]: r["cluster_id"]
                for r in duplicate_clusters(pairs).collect()}
         assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    def test_empty_pairs_terminate_immediately(self, spark):
+        """Regression: an empty pair list must converge on round one (an
+        empty frame's observed sum is NULL, not 0 — the loop used to spin
+        max_iterations rounds of empty checkpoints)."""
+        import time
+        from cloud_data_quality_spark.functions.dedup import (
+            duplicate_clusters)
+        pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+        t0 = time.time()
+        assert duplicate_clusters(pairs).count() == 0
+        assert time.time() - t0 < 60  # 25 empty rounds would take minutes
