@@ -22,7 +22,7 @@ Subcommands:
                   canonicalize-urls | classify | containment | normalize |
                   url-dedup | boilerplate | tfidf | pagerank | profile |
                   dedup-lines | temperature-mix | bm25 | encoding-stats |
-                  inverted-index | readability | near-dedup
+                  inverted-index | readability | near-dedup | script-stats
                   (functions/corpus.py, functions/hosts.py,
                   functions/classifier.py, functions/linkgraph.py)
   curate          composed resumable pipeline, every stage optional except
@@ -233,6 +233,9 @@ def _corpus(args) -> int:
                                         score_col="__len").drop("__len")
         else:
             out = dedup_near_duplicates(df, pairs, id_col=args.id_col)
+    elif args.op == "script-stats":
+        out = C.script_stats(df, text_col=args.text_col,
+                             id_col=args.id_col)
     elif args.op == "readability":
         out = C.readability_stats(df, text_col=args.text_col,
                                   id_col=args.id_col)
@@ -737,7 +740,7 @@ def main(argv: list[str] | None = None) -> int:
                             "tfidf", "pagerank", "profile",
                             "dedup-lines", "temperature-mix", "bm25",
                             "encoding-stats", "inverted-index", "readability",
-                            "near-dedup"])
+                            "near-dedup", "script-stats"])
     c.add_argument("--input", default=None,
                    help="required for all ops except compact-*")
     c.add_argument("--output", default=None,

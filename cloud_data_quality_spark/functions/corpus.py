@@ -1709,3 +1709,67 @@ def readability_stats(
         .otherwise(n_syll).alias("n_syllables"),
         F.when(n_words > 0, F.round(score, 4))
         .otherwise(F.lit(None).cast("double")).alias("flesch"))
+
+
+#: script classes as EXPLICIT codepoint ranges — identical semantics in
+#: Java regex and RE2 (the \p{script=...} spellings differ per engine, so
+#: the shared-constant oracle pattern demands raw ranges). Ranges cover
+#: the dominant blocks, not every historic supplement — a routing signal,
+#: not a property database.
+SCRIPT_RANGES = (
+    ("latin", "[A-Za-z\\x{00C0}-\\x{024F}]"),
+    ("cjk", "[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}"
+            "\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}]"),
+    ("cyrillic", "[\\x{0400}-\\x{04FF}]"),
+    ("arabic", "[\\x{0600}-\\x{06FF}\\x{0750}-\\x{077F}]"),
+    ("greek", "[\\x{0370}-\\x{03FF}]"),
+    ("devanagari", "[\\x{0900}-\\x{097F}]"),
+)
+
+
+def script_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode script profile per document: counts of Latin / CJK
+    (Han+kana+hangul) / Cyrillic / Arabic / Greek / Devanagari characters
+    plus the dominant script — the routing signal that decides which
+    language-ID model, tokenizer, or per-script pipeline branch a crawled
+    page feeds (and the cheap mixed-script spam tell: Cyrillic lookalikes
+    inside Latin words).
+
+    Returns (id, n_letters, n_<script>..., dominant) where n_letters sums
+    the classified counts, `dominant` is the argmax with the declaration
+    order above breaking ties, and docs with zero classified characters
+    (or NULL text) get dominant NULL.
+
+    Scale shape: pure Column length-difference counting over explicit
+    codepoint ranges (the \\p{script=..} spellings differ between engines;
+    raw ranges replay identically) — zero shuffle, zero Python, fully
+    codegen'd."""
+    t = F.col(text_col)
+    counts = {
+        name: (F.length(t) - F.length(F.regexp_replace(t, rng, "")))
+        .cast("bigint")
+        for name, rng in SCRIPT_RANGES
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    # ordered CASE: the first declared script holding the max wins ties —
+    # the oracle replays the same greatest() + CASE chain
+    max_all = F.greatest(*counts.values())
+    best = None
+    for name, _ in SCRIPT_RANGES:
+        cond = (counts[name] == max_all) & (counts[name] > 0)
+        best = F.when(cond, F.lit(name)) if best is None \
+            else best.when(cond, F.lit(name))
+    dominant = best.otherwise(F.lit(None).cast("string"))
+    return df.select(
+        F.col(id_col),
+        total.alias("n_letters"),
+        *[counts[n].alias(f"n_{n}") for n, _ in SCRIPT_RANGES],
+        dominant.alias("dominant"))
+
+

@@ -2241,3 +2241,55 @@ select doc_id,
        end as flesch
 from s
 """
+
+
+#: script mixes synthesized from doc_id arithmetic (the corpus is pure
+#: ASCII): Cyrillic suffix, CJK-majority page, Arabic-only page, Greek +
+#: Devanagari sprinkle, every 10th doc NULL. Unicode as literals (valid
+#: bytes in both parsers).
+_SCRIPT_TEXT_SQL = (
+    "case when doc_id % 10 = 0 then null "
+    "when doc_id % 5 = 0 then substr(text, 1, 30) "
+    "|| ' \u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440' "
+    "when doc_id % 5 = 1 then "
+    "'\u4e2d\u6587\u7f51\u9875\u5185\u5bb9\u4e2d\u6587\u7f51"
+    "\u9875\u5185\u5bb9 ' || substr(text, 1, 8) "
+    "when doc_id % 5 = 2 then "
+    "'\u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639"
+    "\u0627\u0644\u0645' "
+    "when doc_id % 5 = 3 then "
+    "'\u03b1\u03b2\u03b3 \u0926\u0947\u0935\u0928\u093e\u0917"
+    "\u0930\u0940 ok' "
+    "else text end")
+
+
+def q_script_stats(spark, sf_dir):
+    """Unicode script profile (corpus.script_stats): per-script character
+    counts + dominant script over synthesized multi-script pages. Pure
+    Column codepoint-range counting — zero shuffle; the ranges are shared
+    constants so the oracle cannot drift."""
+    from cloud_data_quality_spark.functions.corpus import script_stats
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SCRIPT_TEXT_SQL).alias("text"))
+    return script_stats(docs)
+
+
+def _oracle_script_stats() -> str:
+    from cloud_data_quality_spark.functions.corpus import SCRIPT_RANGES
+    cnt = ", ".join(
+        f"(length(text) - length(regexp_replace(text, '{rng}', '', 'g')))"
+        f"::BIGINT as n_{name}" for name, rng in SCRIPT_RANGES)
+    names = [name for name, _ in SCRIPT_RANGES]
+    total = " + ".join(f"n_{n}" for n in names)
+    greatest = ", ".join(f"n_{n}" for n in names)
+    dom = " ".join(
+        f"when n_{n} = greatest({greatest}) and n_{n} > 0 then '{n}'"
+        for n in names)
+    return f"""
+with d as (select doc_id, {_SCRIPT_TEXT_SQL} as text from documents),
+c as (select doc_id, {cnt} from d)
+select doc_id, ({total}) as n_letters,
+       {", ".join("n_" + n for n in names)},
+       case {dom} end as dominant
+from c
+"""

@@ -1474,3 +1474,31 @@ class TestReadabilityStats:
         plan = (readability_stats(df)._jdf.queryExecution()
                 .executedPlan().toString())
         assert "Exchange" not in plan
+
+
+class TestScriptStats:
+    def test_counts_dominant_and_ties(self, spark):
+        from cloud_data_quality_spark.functions.corpus import script_stats
+        df = spark.createDataFrame(
+            [("d1", "hello мир"),          # latin 5 vs cyrillic 3
+             ("d2", "你好世界 ok"),          # cjk 4 vs latin 2
+             ("d3", "αβ ab"),              # tie 2-2 → latin (declared first)
+             ("d4", "1234 !!"),            # no letters
+             ("d5", None)],
+            "doc_id string, text string")
+        out = {r["doc_id"]: r for r in script_stats(df).collect()}
+        assert out["d1"]["dominant"] == "latin"
+        assert out["d1"]["n_cyrillic"] == 3 and out["d1"]["n_latin"] == 5
+        assert out["d2"]["dominant"] == "cjk" and out["d2"]["n_cjk"] == 4
+        assert out["d3"]["dominant"] == "latin"  # declaration-order tiebreak
+        assert out["d4"]["dominant"] is None and out["d4"]["n_letters"] == 0
+        assert out["d5"]["dominant"] is None
+        assert out["d5"]["n_letters"] is None
+
+    def test_zero_shuffle_plan(self, spark):
+        from cloud_data_quality_spark.functions.corpus import script_stats
+        df = spark.range(4).selectExpr("cast(id as string) doc_id",
+                                       "'ab' as text")
+        plan = (script_stats(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "Exchange" not in plan
