@@ -418,3 +418,44 @@ select doc_id from d join rates using (lang)
 where ('0x' || substr(md5(doc_id || '|z{li}'), 1, 15))::BIGINT < thr
 """).fetchall()}
         assert got == duck, f"layout {li}: {layout}"
+
+
+def test_script_stats_vs_duckdb_fuzzed_corpus(spark):
+    """script_stats vs a DuckDB replay from the SAME range constants over
+    fuzzed script mixes (incl. boundary codepoints of each range)."""
+    import random
+
+    import duckdb
+
+    from cloud_data_quality_spark.functions.corpus import (
+        SCRIPT_RANGES,
+        script_stats,
+    )
+    rng = random.Random(5)
+    atoms = ["a", "Z", "À", "ɏ", "぀", "ヿ", "一",
+             "鿿", "가", "Ѐ", "ӿ", "؀", "ݿ",
+             "Ͱ", "Ͽ", "ऀ", "ॿ", " ", "1", "!",
+             "☃"]  # snowman: in NO range
+    texts = [None, "", "☃☃"]
+    for _ in range(150):
+        texts.append("".join(rng.choice(atoms)
+                             for _ in range(rng.randrange(1, 15))))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    got = {r["doc_id"]: tuple(r)[1:] for r in script_stats(df).collect()}
+    con = duckdb.connect()
+    con.execute("create table d(doc_id int, text varchar)")
+    con.executemany("insert into d values (?, ?)", list(enumerate(texts)))
+    names = [n for n, _ in SCRIPT_RANGES]
+    cnt = ", ".join(
+        f"(length(text) - length(regexp_replace(text, '{rg}', '', 'g')))"
+        f"::BIGINT as n_{n}" for n, rg in SCRIPT_RANGES)
+    dom = " ".join(
+        f"when n_{n} = greatest({', '.join('n_' + m for m in names)}) "
+        f"and n_{n} > 0 then '{n}'" for n in names)
+    duck = {r[0]: tuple(r)[1:] for r in con.execute(f"""
+with c as (select doc_id, {cnt} from d)
+select doc_id, ({' + '.join('n_' + n for n in names)}) as n_letters,
+       {', '.join('n_' + n for n in names)},
+       case {dom} end as dominant from c""").fetchall()}
+    assert got == duck
