@@ -282,3 +282,75 @@ def grouped_percentiles_disc(
         for name, num, den in percentiles
     ]
     return joined.groupBy(*group_cols).agg(*aggs)
+
+
+def global_enumerate(df: DataFrame, order_cols: list[str],
+                     position_col: str = "position",
+                     n_partitions: int | None = None) -> DataFrame:
+    """Stable 1-based global row numbers under a total order — the
+    training-order primitive (deterministic corpus shuffles, stable
+    example ids, resumable epoch cursors) — WITHOUT the single-partition
+    global window `row_number() over (order by ...)` plans into.
+
+    `order_cols` must be a TOTAL order (include a unique tiebreak column,
+    e.g. the doc id): ties would make positions partitioning-dependent.
+    Returns all input columns plus `position_col`; the result depends only
+    on the order, not on input partitioning (pytest-pinned).
+
+    Scale shape: repartitionByRange on the order key (one shuffle) +
+    in-partition sort, then the same two-pass distributed prefix count as
+    select_token_budget — pass 1 collects ONE row per partition (bounded
+    by partition count, never data), the driver prefix-sums offsets, pass
+    2 adds offset + local index. With a checkpoint dir configured (the
+    cluster posture) `ordered` is reliably frozen and pass 2 is safely
+    recomputable; the single-box fallback instead localCheckpoints the
+    output so a cache eviction can't recompute pass 2 against re-sampled
+    range boundaries."""
+    for c in order_cols:
+        if c not in df.columns:
+            raise ValueError(f"order column {c!r} not in {df.columns}")
+    spark = df.sparkSession
+    nparts = n_partitions or spark.sparkContext.defaultParallelism
+    ordered = (df.repartitionByRange(nparts, *[F.col(c).asc()
+                                               for c in order_cols])
+               .sortWithinPartitions(*[F.col(c).asc() for c in order_cols]))
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+    if reliable:
+        ordered = ordered.checkpoint(eager=True)
+    else:
+        ordered = ordered.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def part_counts(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        n = 0
+        for pdf in it:
+            n += len(pdf)
+        yield pd.DataFrame({"pid": [pid], "n": [n]})
+
+    counts = {int(r["pid"]): int(r["n"])
+              for r in ordered.mapInPandas(
+                  part_counts, schema="pid int, n bigint").collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    out_schema = StructType(list(ordered.schema.fields)
+                            + [StructField(position_col, LongType())])
+
+    def number(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        pos = offsets.get(pid, 0)
+        for pdf in it:
+            out = pdf.copy()
+            out[position_col] = range(pos + 1, pos + 1 + len(pdf))
+            pos += len(pdf)
+            yield out
+
+    out = ordered.mapInPandas(number, schema=out_schema)
+    if not reliable:
+        out = out.localCheckpoint(eager=True)
+        ordered.unpersist()
+    return out

@@ -2293,3 +2293,34 @@ select doc_id, ({total}) as n_letters,
        case {dom} end as dominant
 from c
 """
+
+
+_ENUM_SALT = "shuf"
+
+
+def q_corpus_shuffle_positions(spark, sf_dir):
+    """Deterministic corpus shuffle order (selection.global_enumerate):
+    every doc gets a stable 1-based training position under the
+    md5-derived pseudo-random total order (hash asc, doc_id tiebreak) —
+    the reproducible-training-order primitive. Distributed prefix count,
+    never a single-partition row_number window."""
+    from cloud_data_quality_spark.functions.corpus import sample_hash
+    from cloud_data_quality_spark.functions.selection import (
+        global_enumerate,
+    )
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id")
+            .withColumn("__h", sample_hash("doc_id", _ENUM_SALT)))
+    out = global_enumerate(docs, ["__h", "doc_id"])
+    return out.select("doc_id", "position")
+
+
+def _oracle_corpus_shuffle_positions() -> str:
+    return f"""
+select doc_id,
+       row_number() over (
+         order by ('0x' || substr(md5(doc_id::VARCHAR || '|{_ENUM_SALT}'),
+                                  1, 15))::BIGINT asc,
+                  doc_id asc)::BIGINT as position
+from documents
+"""

@@ -379,3 +379,26 @@ class TestDsir:
         arrow = {r["doc_id"]: (r["dsir_micro"], r["n_feats"])
                  for r in dsir_scores_arrow(df).collect()}
         assert jvm == arrow
+
+
+class TestGlobalEnumerate:
+    def test_positions_match_window_and_partitioning_invariant(self, spark):
+        from cloud_data_quality_spark.functions.selection import (
+            global_enumerate)
+        rows = [(i, (i * 37) % 101) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id bigint, key bigint")
+        expected = {i: ((i * 37) % 101) for i in range(300)}
+        order = sorted(expected, key=lambda i: (expected[i], i))
+        want = {doc: pos + 1 for pos, doc in enumerate(order)}
+        for parts in (1, 7):
+            got = {r["doc_id"]: r["position"] for r in
+                   global_enumerate(df.repartition(parts),
+                                    ["key", "doc_id"]).collect()}
+            assert got == want, f"parts={parts}"
+
+    def test_missing_order_column_raises(self, spark):
+        from cloud_data_quality_spark.functions.selection import (
+            global_enumerate)
+        df = spark.range(3).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError, match="order column"):
+            global_enumerate(df, ["nope"])
