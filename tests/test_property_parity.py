@@ -459,3 +459,38 @@ select doc_id, ({' + '.join('n_' + n for n in names)}) as n_letters,
        {', '.join('n_' + n for n in names)},
        case {dom} end as dominant from c""").fetchall()}
     assert got == duck
+
+
+def test_readability_vs_python_replay_fuzzed(spark):
+    """readability_stats vs an independent pure-Python replay of the
+    counts (words via py_tokens, sentences via [.!?]+ runs, syllables via
+    whole-text vowel runs + vowel-less-word floor) over fuzzed text."""
+    import random
+    import re
+
+    from cloud_data_quality_spark.functions.corpus import readability_stats
+    from cloud_data_quality_spark.functions.text import py_tokens
+
+    rng = random.Random(17)
+    atoms = ["The cat sat.", "xyz", "a!!", "why try fly", "", "  ",
+             "Mr. O'Neil went home?!", "co-op re-entry.", "\trhythm\n",
+             "AEIOU aeiou yyy."]
+    texts = [None, "", "..."]
+    for _ in range(120):
+        texts.append(" ".join(rng.choice(atoms)
+                              for _ in range(rng.randrange(1, 6))))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_sentences"], r["n_syllables"])
+           for r in readability_stats(df).collect()}
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] == (None, None, None)
+            continue
+        toks = py_tokens(t)
+        n_sent = len(re.findall(r"[.!?]+", t))
+        runs = len(re.findall(r"[aeiouy]+", t.lower()))
+        no_vowel = sum(1 for w in toks
+                       if not re.search(r"[aeiouy]", w.lower()))
+        assert got[i] == (len(toks), n_sent, runs + no_vowel), \
+            f"doc {i}: {t!r}"
