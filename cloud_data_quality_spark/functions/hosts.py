@@ -361,3 +361,53 @@ def snapshot_diff(
               F.lit("unchanged"))
         .otherwise(F.lit("changed")))
     return j.select("url", status.alias("status"), "old_fp", "new_fp")
+
+
+def snapshot_line_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level crawl revision diff: for every URL present in BOTH waves,
+    how many DISTINCT lines were added, removed, and kept — the
+    change-magnitude signal behind re-crawl scheduling and template-drift
+    alarms (:func:`snapshot_diff` answers "did it change", this answers
+    "how much").
+
+    SET semantics over distinct lines (duplicate occurrences collapse;
+    Spark's array_except and DuckDB's list semantics only agree on
+    distinct elements, and "the nav line appeared twice" is churn noise,
+    not content change). NULL text on either side counts as zero lines.
+
+    Scale shape: ONE equi shuffle join on the url key (uniform — urls are
+    unique per wave by contract); all line arithmetic is per-row Column
+    expressions on the joined row. Both-wave inner join by design: added/
+    removed PAGES are snapshot_diff's output, not line churn."""
+    o = old.select(F.col(url_col).alias("url"),
+                   F.col(text_col).alias("__ot"))
+    n = new.select(F.col(url_col).alias("url"),
+                   F.col(text_col).alias("__nt"))
+
+    def dlines(c: Column) -> Column:
+        return F.when(c.isNull(), F.array().cast("array<string>")) \
+            .otherwise(F.array_distinct(F.split(c, "\n", -1)))
+
+    ol, nl = dlines(F.col("__ot")), dlines(F.col("__nt"))
+    added = F.size(F.array_except(nl, ol)).cast("bigint")
+    removed = F.size(F.array_except(ol, nl)).cast("bigint")
+    kept = F.size(F.array_intersect(nl, ol)).cast("bigint")
+    joined = (o.join(n, "url")
+              .select("url",
+                      added.alias("n_added"),
+                      removed.alias("n_removed"),
+                      kept.alias("n_kept")))
+    # churn fraction in integer micro-units — integer `div`, the same
+    # exact cross-engine arithmetic as oov_stats (float division then
+    # truncation can disagree with SQL floor at exact boundaries); NULL
+    # when the new side has no lines at all
+    return joined.withColumn(
+        "churn_micro",
+        F.when(F.col("n_added") + F.col("n_kept") > 0,
+               F.expr("(n_added * 1000000) div (n_added + n_kept)"))
+        .cast("bigint"))

@@ -2324,3 +2324,56 @@ select doc_id,
                   doc_id asc)::BIGINT as position
 from documents
 """
+
+
+#: multi-line wave synthesis: three lines from text arithmetic; the new
+#: wave rewrites the middle line for doc_id%3==0 and appends a line for
+#: doc_id%5==0; every 11th doc NULL text in the old wave.
+_LDIFF_OLD_SQL = ("case when doc_id % 11 = 0 then null else "
+                  "substr(text, 1, 30) || chr(10) || substr(text, 31, 30)"
+                  " || chr(10) || 'footer line' end")
+_LDIFF_NEW_SQL = ("substr(text, 1, 30) || chr(10) || "
+                  "case when doc_id % 3 = 0 then 'rewritten middle' "
+                  "else substr(text, 31, 30) end || chr(10) || "
+                  "'footer line' || case when doc_id % 5 = 0 "
+                  "then chr(10) || 'fresh addendum' else '' end")
+
+
+def q_snapshot_line_diff(spark, sf_dir):
+    """Line-level crawl revision diff (hosts.snapshot_line_diff):
+    added/removed/kept DISTINCT line counts + integer-micro churn per url
+    across two synthesized waves. One uniform url-key join, per-row set
+    arithmetic."""
+    from cloud_data_quality_spark.functions.hosts import snapshot_line_diff
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select(F.col("doc_id").alias("url"),
+                      F.expr(_LDIFF_OLD_SQL).alias("text"))
+    new = docs.select(F.col("doc_id").alias("url"),
+                      F.expr(_LDIFF_NEW_SQL).alias("text"))
+    return snapshot_line_diff(old, new)
+
+
+def _oracle_snapshot_line_diff() -> str:
+    return f"""
+with o as (select doc_id as url,
+                  case when {_LDIFF_OLD_SQL.replace("text", "text")} is null
+                       then [] else list_distinct(string_split(
+                         {_LDIFF_OLD_SQL}, chr(10))) end as ol
+           from documents),
+n as (select doc_id as url,
+             list_distinct(string_split({_LDIFF_NEW_SQL}, chr(10)))
+               as nl from documents),
+j as (select o.url,
+             len(list_filter(nl, x -> not list_contains(ol, x)))::BIGINT
+               as n_added,
+             len(list_filter(ol, x -> not list_contains(nl, x)))::BIGINT
+               as n_removed,
+             len(list_filter(nl, x -> list_contains(ol, x)))::BIGINT
+               as n_kept
+      from o join n using (url))
+select url, n_added, n_removed, n_kept,
+       (case when n_added + n_kept > 0
+             then (n_added * 1000000) // (n_added + n_kept) end)::BIGINT
+         as churn_micro
+from j
+"""

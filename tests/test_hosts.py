@@ -293,3 +293,35 @@ class TestDropUrlPatterns:
                                    "url string, doc_id int")
         assert drop_url_patterns(df, patterns=["/a$"]).count() == 0
         assert drop_url_patterns(df, patterns=[]).count() == 1
+
+
+class TestSnapshotLineDiff:
+    def test_counts_and_churn(self, spark):
+        from cloud_data_quality_spark.functions.hosts import (
+            snapshot_line_diff)
+        old = spark.createDataFrame(
+            [("u1", "a\nb\nc"), ("u2", None), ("u3", "x\nx\ny")],
+            "url string, text string")
+        new = spark.createDataFrame(
+            [("u1", "a\nB\nc\nd"), ("u2", "fresh"), ("u3", "x\ny")],
+            "url string, text string")
+        out = {r["url"]: r for r in snapshot_line_diff(old, new).collect()}
+        r = out["u1"]  # kept a,c; removed b; added B,d
+        assert (r["n_added"], r["n_removed"], r["n_kept"]) == (2, 1, 2)
+        assert r["churn_micro"] == 2 * 1000000 // 4
+        assert out["u2"]["n_added"] == 1 and out["u2"]["n_kept"] == 0
+        assert out["u2"]["churn_micro"] == 1000000
+        # duplicate lines collapse: u3 old {x,y} vs new {x,y} → no churn
+        r3 = out["u3"]
+        assert (r3["n_added"], r3["n_removed"], r3["n_kept"]) == (0, 0, 2)
+        assert r3["churn_micro"] == 0
+
+    def test_pages_only_in_one_wave_excluded(self, spark):
+        from cloud_data_quality_spark.functions.hosts import (
+            snapshot_line_diff)
+        old = spark.createDataFrame([("u1", "a"), ("gone", "z")],
+                                    "url string, text string")
+        new = spark.createDataFrame([("u1", "a"), ("fresh", "q")],
+                                    "url string, text string")
+        assert {r["url"] for r in
+                snapshot_line_diff(old, new).collect()} == {"u1"}
