@@ -135,3 +135,27 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
             .withColumn("within_budget",
                         (F.col("total_tokens") <= budget)
                         | (F.col("n_docs") == 1)))
+
+
+def pack_utilization(
+    manifest: DataFrame,
+    budget: int,
+    pack_col: str = "pack_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Packing observability: per-pack document count, token total, and
+    fill fraction (integer micro-units of the budget) from a
+    :func:`pack_documents` manifest — the waste metric that tells a
+    training-prep pipeline whether its packing budget/bucketing is
+    leaving context-window capacity on the floor.
+
+    Scale shape: one partial-aggregated shuffle on the pack id (uniform —
+    pack ids are hash-bucket derived); integer `div` keeps the fill
+    fraction exactly replayable."""
+    return (manifest.groupBy(pack_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(token_col).cast("bigint").alias("pack_tokens"))
+            .withColumn(
+                "fill_micro",
+                F.expr(f"(pack_tokens * 1000000) div {int(budget)}")
+                .cast("bigint")))

@@ -2377,3 +2377,28 @@ select url, n_added, n_removed, n_kept,
          as churn_micro
 from j
 """
+
+
+def q_pack_utilization(spark, sf_dir):
+    """Packing fill report (packing.pack_utilization): per-pack doc count,
+    token total, and budget-fill micro-fraction over the word-tokenizer
+    manifest — the waste observability downstream of q_pack_documents.
+    One uniform pack-id aggregate; oracle wraps the recursive greedy-pack
+    replay and aggregates it identically."""
+    from cloud_data_quality_spark.functions.packing import (
+        pack_documents,
+        pack_utilization,
+    )
+    manifest = pack_documents(_t(spark, sf_dir, "documents"),
+                              budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS)
+    return pack_utilization(manifest, budget=_PACK_BUDGET)
+
+
+def _oracle_pack_utilization() -> str:
+    return f"""
+with manifest as ({ORACLE_PACK_DOCUMENTS})
+select pack_id, count(*)::BIGINT as n_docs,
+       sum(n_tokens)::BIGINT as pack_tokens,
+       ((sum(n_tokens) * 1000000) // {_PACK_BUDGET})::BIGINT as fill_micro
+from manifest group by pack_id
+"""

@@ -208,3 +208,18 @@ class TestBpeArtifact:
         plan = docs.select(bpe_tokens_column("text"))._jdf \
             .queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+class TestPackUtilization:
+    def test_fill_fractions(self, spark):
+        from cloud_data_quality_spark.functions.packing import (
+            pack_utilization)
+        manifest = spark.createDataFrame(
+            [("a", "p0", 60), ("b", "p0", 30), ("c", "p1", 100)],
+            "doc_id string, pack_id string, n_tokens bigint")
+        out = {r["pack_id"]: r for r in
+               pack_utilization(manifest, budget=100).collect()}
+        assert out["p0"]["n_docs"] == 2
+        assert out["p0"]["pack_tokens"] == 90
+        assert out["p0"]["fill_micro"] == 900000
+        assert out["p1"]["fill_micro"] == 1000000
