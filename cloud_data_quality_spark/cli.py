@@ -823,9 +823,9 @@ def main(argv: list[str] | None = None) -> int:
         "curate", help="composed resumable pipeline: [normalize →] "
                        "[boilerplate →] [dedup-lines →] [c4-clean →] "
                        "quality filter → "
-                       "[span-dedup →] [decontaminate →] [near-dedup →] "
-                       "[host "
-                       "blocklist+cap →] exact dedup → [sample →] "
+                       "[span-dedup →] [decontaminate →] [host "
+                       "blocklist+cap →] exact dedup → [near-dedup →] "
+                       "[sample →] "
                        "[top-fraction | token-budget →] [pack] (staged, "
                        "per-partition lineage, restart-safe)")
     cu.add_argument("--input", required=True)
@@ -859,9 +859,10 @@ def main(argv: list[str] | None = None) -> int:
                          "are selected (0 = disabled; mutually exclusive "
                          "with --top-fraction)")
     cu.add_argument("--normalize", action="store_true",
-                    help="prepend Unicode text normalization (NFC, "
-                         "exotic-whitespace/control-char cleanup) so every "
-                         "downstream fingerprint sees canonical text")
+                    help="prepend text normalization (zero-width/control "
+                         "stripping, quote/dash mapping, whitespace "
+                         "collapse — no Unicode NFC) so every downstream "
+                         "fingerprint sees canonical text")
     cu.add_argument("--boilerplate", action="store_true",
                     help="before content stages: per-host boilerplate line "
                          "removal (site-template stripping); uses "

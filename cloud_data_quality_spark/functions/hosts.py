@@ -223,8 +223,11 @@ def latest_revision(
 
     Returns one row per canonical URL: the kept row's id, the latest
     timestamp, and how many revisions collapsed into it. The winner is
-    max-by (timestamp, -id): freshest capture, smallest id on an exact
-    timestamp tie — deterministic under any partitioning.
+    min-by (-unix_micros(ts), id): freshest capture, smallest id on an
+    exact timestamp tie — deterministic under any partitioning. The
+    negation happens on the TIMESTAMP (always numeric via unix_micros),
+    never on the id, so string ids — the repo's own "id IS the url"
+    curate convention — order lexicographically without a cast.
 
     Scale shape: ONE hash shuffle on the canonical URL with full map-side
     partial aggregation (max / max_by / count all combine) — a hot URL
@@ -239,8 +242,9 @@ def latest_revision(
         df.withColumn("canon_url", curl)
         .groupBy("canon_url")
         .agg(
-            F.max_by(id_col,
-                     F.struct(F.col(ts_col), (-F.col(id_col)).alias("nid"))
+            F.min_by(id_col,
+                     F.struct((-F.unix_micros(F.col(ts_col).cast(
+                         "timestamp"))).alias("nts"), F.col(id_col))
                      ).alias(id_col),
             F.max(ts_col).alias(ts_col),
             F.count(F.lit(1)).alias("n_revisions"),

@@ -591,7 +591,14 @@ def quantized_topk_np(
     Per-batch candidate pruning keeps ties at the kth score minus 1e-6:
     the global rank runs on the 6-dp ROUNDED score (as the JVM path
     does), and a raw-score cut exactly at the kth value could drop a
-    candidate that ties after rounding and wins the id tiebreak."""
+    candidate that ties after rounding and wins the id tiebreak.
+
+    Zero-norm corpus vectors score -inf inside the pruning (NaN would
+    poison np.partition: NaN sorts largest, so a batch with >= k
+    zero-norm rows would make kth NaN and silently drop EVERY candidate
+    from that batch) and surface as NULL cos_sim — exactly the JVM twin's
+    nullif(0.0) behavior, ranked last by the desc window, eligible for
+    the top-k only when a probe has fewer than k finite neighbors."""
     from pyspark.sql.window import Window
     _guard_probes(probes, "quantized_topk_np", 10_000)
     qc, qp = _quantized_frames(corpus, probes, vec_col, id_col,
@@ -613,7 +620,7 @@ def quantized_topk_np(
             D = (C @ P.T).astype(np.float64)       # exact: int64 dots
             denom = np.outer(cn, pn)
             with np.errstate(divide="ignore", invalid="ignore"):
-                S = np.where(denom > 0, D / denom, np.nan)
+                S = np.where(denom > 0, D / denom, -np.inf)
             out_p, out_n, out_c = [], [], []
             for j in range(len(pids)):
                 col = S[:, j].copy()
@@ -621,6 +628,11 @@ def quantized_topk_np(
                 kk = min(k, n)
                 kth = np.partition(col, -kk)[-kk]
                 take = np.flatnonzero(col >= kth - 1e-6)
+                # a probe's own corpus row is masked to -inf above, so it
+                # can pass the cut when kth itself is -inf (short / all-
+                # zero-norm batches) — the JVM twin filters it with
+                # `probe_id != __nid`; mirror that here
+                take = take[ids[take] != pids[j]]
                 out_p.append(np.full(len(take), pids[j], dtype=np.int64))
                 out_n.append(ids[take])
                 out_c.append(col[take])
@@ -632,10 +644,16 @@ def quantized_topk_np(
 
     cand = qc.select("__nid", "__cv").mapInPandas(
         score, schema="probe_id bigint, neighbor_id bigint, cos double")
-    w = Window.partitionBy("probe_id").orderBy(
+    # window AFTER the rename, partitioned on the caller's probe_id_col
+    # (a literal "probe_id" here breaks every non-default probe_id_col)
+    w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    # -inf marks zero-norm neighbors; surface them as NULL like the JVM
+    # twin's nullif(0.0) divide (desc ordering ranks NULL last)
+    cos = F.when(F.col("cos") == F.lit(float("-inf")), F.lit(None)
+                 ).otherwise(F.round("cos", 6))
     return (cand.select(F.col("probe_id").alias(probe_id_col),
                         "neighbor_id",
-                        F.round("cos", 6).alias("cos_sim"))
+                        cos.alias("cos_sim"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))

@@ -616,6 +616,31 @@ class TestQuantizedAnn:
                        quantized_topk_np(emb, probes, k=5).collect()])
         assert jvm == gemm
 
+    def test_np_twin_custom_probe_col_and_zero_norms(self, spark):
+        """Two past twin divergences pinned: (a) a non-default
+        probe_id_col used to break the final window (hardcoded
+        "probe_id"); (b) zero-norm corpus vectors scored NaN, and with
+        >= k zero-norm rows in a batch np.partition's NaN-sorts-largest
+        made kth NaN and silently dropped every candidate."""
+        from cloud_data_quality_spark.functions.similarity import (
+            quantized_topk,
+            quantized_topk_np,
+        )
+        rows = [(i, [float(i + 1), 1.0, 0.5]) for i in range(6)]
+        rows += [(10 + i, [0.0, 0.0, 0.0]) for i in range(8)]  # > k zeros
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        probes = (emb.where(F.col("vec_id") < 2)
+                  .select(F.col("vec_id").alias("qid"), "embedding"))
+        kw = dict(k=5, probe_id_col="qid")
+        jvm = sorted([(r["qid"], r["rank"], r["neighbor_id"], r["cos_sim"])
+                      for r in quantized_topk(emb, probes, **kw).collect()])
+        gemm = sorted([(r["qid"], r["rank"], r["neighbor_id"], r["cos_sim"])
+                       for r in
+                       quantized_topk_np(emb, probes, **kw).collect()])
+        assert jvm == gemm
+        assert len(jvm) == 10  # 2 probes x full top-5 despite zero-norms
+
 
 class TestBestRepDedup:
     def test_score_representative_and_ties(self, spark):

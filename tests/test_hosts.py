@@ -223,6 +223,21 @@ class TestLatestRevision:
         assert latest_revision(df, canonicalize=False).count() == 2
         assert latest_revision(df).count() == 1
 
+    def test_string_ids(self, spark):
+        """The curate convention is 'id IS the url' — string ids. The
+        tie-break must not negate the id (ANSI mode rejects -string);
+        it negates unix_micros(ts) and min-by's the (nts, id) struct."""
+        from cloud_data_quality_spark.functions.hosts import latest_revision
+        rows = [("https://x.com/a", 100, "u-b"),
+                ("https://x.com/a", 300, "u-c"),
+                ("https://x.com/b", 500, "u-z"),
+                ("https://x.com/b", 500, "u-a")]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts long, doc_id string")
+        got = {r["canon_url"]: r for r in latest_revision(df).collect()}
+        assert got["https://x.com/a"]["doc_id"] == "u-c"   # newest ts
+        assert got["https://x.com/b"]["doc_id"] == "u-a"   # ts tie → min id
+
     def test_single_shuffle_plan(self, spark):
         """The whole operator is one hash aggregate exchange — no window,
         no join: hot URLs partial-aggregate map-side."""
