@@ -114,6 +114,21 @@ def build_suite(spark, sf_dir: str, pages_path: str,
         return ivf_topk_np(emb, probes, IVF_CENTROIDS_64, k=10,
                            n_probe=4).count()
 
+    def q_semantic_dedup_emb():
+        """SemDeDup keep/drop over the embeddings table via the Arrow GEMM
+        twin (semantic_dedup_np: one dgemm per cell, added r6). Same-epoch
+        A/B at 32k vectors (~500/cell, 16 jittered replicas): interpreted
+        JVM fold 53.3 s vs GEMM twin 4.5 s — 11.8×, identical keep set;
+        at the suite's native 2k rows the gap is 3.5 vs 2.0 s (cells too
+        small to amortize). The JVM fold path remains the oracle-parity
+        anchor (`semantic_dedup_docs`)."""
+        from cloud_data_quality_spark.functions.ivf_artifact import (
+            IVF_CENTROIDS_64)
+        from cloud_data_quality_spark.functions.similarity import (
+            semantic_dedup_np)
+        return semantic_dedup_np(emb, IVF_CENTROIDS_64, 0.92) \
+            .where("keep").count()
+
     def q_unigram_logprob():
         return QUERIES["unigram_logprob"](spark, sf_dir).count()
 
@@ -218,11 +233,14 @@ def build_suite(spark, sf_dir: str, pages_path: str,
     def q_curate_pages():
         """The composed end-to-end corpus build (engine/pipeline, the CLI
         `curate` path): quality → span-dedup → hosts → exact-dedup →
-        top-fraction selection → packing over the pages corpus, every
-        stage materialized with lineage. Per-stage wall-times land in the
-        bench JSON as `curate_stages` (pipeline StageResult.seconds).
-        Runs ONCE per suite pass (it writes six parquet stages; resume
-        semantics would make a best-of-3 rerun measure lineage lookups)."""
+        top-fraction selection → packing over the pages corpus, fused into
+        three lineage units (quality+span_dedup / hosts+dedup /
+        select_top+pack — each marked pair trades a parquet round-trip for
+        a cheap recompute-on-crash; measured r6: 6 units 20.9 s → 3 units
+        7.9 s warm at sf0.1). Per-unit wall-times land in the bench JSON
+        as `curate_stages` (fused unit = one entry). Runs ONCE per suite
+        pass (resume semantics would make a best-of-3 rerun measure
+        lineage lookups)."""
         import shutil
         import uuid
 
@@ -270,12 +288,15 @@ def build_suite(spark, sf_dir: str, pages_path: str,
         res = pipe.run(
             pages.select("url", "text"),
             [PipelineStage("quality", quality, kind="partition"),
-             PipelineStage("span_dedup", spandedup, kind="global"),
+             PipelineStage("span_dedup", spandedup, kind="global",
+                           fuse_with_previous=True),
              PipelineStage("hosts", hosts, kind="global"),
-             PipelineStage("dedup", dedup, kind="global"),
+             PipelineStage("dedup", dedup, kind="global",
+                           fuse_with_previous=True),
              PipelineStage("select_top", select_top, kind="global"),
-             PipelineStage("pack", pack, kind="global")],
-            run_id=uuid.uuid4().hex)
+             PipelineStage("pack", pack, kind="global",
+                           fuse_with_previous=True)],
+            run_id=uuid.uuid4().hex, fuse="narrow")
         curate_stage_seconds.clear()
         curate_stage_seconds.update(
             {s.name: s.seconds for s in res.stages})
@@ -289,6 +310,7 @@ def build_suite(spark, sf_dir: str, pages_path: str,
         "dedup_exact_pages": q_dedup_exact_pages,
         "ann_topk": q_ann_topk,
         "ivf_ann": q_ivf_ann,
+        "semantic_dedup_emb": q_semantic_dedup_emb,
         "unigram_logprob_docs": q_unigram_logprob,
         "html_extract_pages": q_html_extract,
         "pack_pages": q_pack_pages,
@@ -351,6 +373,44 @@ def throughput_docs_per_sec(sf_dir: str) -> dict:
             "spawn_docs_per_sec": [c["docs_per_sec"] for c in spawns]}
 
 
+#: Same-epoch regression gate for the flagship curate leg: each fused
+#: unit's in-pipeline wall time is compared against the suite's OWN
+#: standalone legs measured seconds earlier in the same process — the one
+#: comparison box-epoch variance cannot poison (cross-round comparisons
+#: drift 2-3× with page cache/hypervisor load; r3-r5 history). Budget =
+#: 2× the summed standalone compute (documented noise threshold) + 4 s
+#: (one materialization write+read+observe at sf0.1). A unit blowing its
+#: budget means stage composition overhead is dominating again — exactly
+#: the r5 span_dedup 6.1s-in-curate-vs-1.0s-standalone pathology.
+CURATE_GATE_COMPARATORS: dict[str, list[str]] = {
+    "quality+span_dedup": ["quality_filter_pages", "span_dedup_pages"],
+    "hosts+dedup": ["host_cap_pages", "dedup_exact_pages"],
+    "select_top+pack": ["pack_pages"],
+}
+CURATE_GATE_NOISE = 2.0
+CURATE_GATE_FIXED_SEC = 4.0
+
+
+def curate_gate(timings: dict, curate_stages: dict) -> dict:
+    """Evaluate the per-unit budgets; returns {unit: {seconds, budget,
+    ok}} plus a top-level 'ok'. Units without a comparator (new stages)
+    pass with budget None — the gate flags regressions of KNOWN units,
+    it never blocks new work."""
+    out: dict = {"ok": True, "units": {}}
+    for unit, secs in curate_stages.items():
+        legs = CURATE_GATE_COMPARATORS.get(unit)
+        if not legs or any(l not in timings for l in legs):
+            out["units"][unit] = {"seconds": secs, "budget": None,
+                                  "ok": True}
+            continue
+        budget = round(CURATE_GATE_NOISE * sum(timings[l] for l in legs)
+                       + CURATE_GATE_FIXED_SEC, 3)
+        ok = secs <= budget
+        out["units"][unit] = {"seconds": secs, "budget": budget, "ok": ok}
+        out["ok"] = out["ok"] and ok
+    return out
+
+
 def run_suite(master: str, sf_dir: str) -> dict:
     from cloud_data_quality_spark.sources.session import get_spark
 
@@ -385,12 +445,17 @@ def run_suite(master: str, sf_dir: str) -> dict:
     total = round(sum(timings.values()), 3)
     f1 = keep_drop_f1(spark, pages_path)
     spark.stop()
+    gate = curate_gate(timings, curate_stage_seconds)
+    if not gate["ok"]:
+        print(f"WARNING curate regression gate violated: {gate}",
+              file=sys.stderr)
     return {
         "metric": "headline_suite_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "curate_stages": curate_stage_seconds,
+        "curate_gate": gate,
         "sf": sf,
         "pages_rows": pages_n,
         "docs_per_sec": thr["docs_per_sec"],

@@ -673,13 +673,23 @@ def _curate(args) -> int:
     if args.pack_budget > 0:
         stages.append(PipelineStage("pack", pack, kind="global"))
 
+    marks = {m.strip() for m in args.fuse_marks.split(",") if m.strip()}
+    known = {s.name for s in stages}
+    if marks - known:
+        raise SystemExit(
+            f"--fuse-marks names unknown/disabled stages "
+            f"{sorted(marks - known)} (enabled: {sorted(known)})")
+    for s in stages:
+        if s.name in marks:
+            s.fuse_with_previous = True
     pipe = ResumableCurationPipeline(
         spark, args.work_dir, n_buckets=args.buckets, id_col=args.id_col,
         partitions_per_commit=args.partitions_per_commit)
-    res = pipe.run(df, stages, run_id=args.run_id)
+    res = pipe.run(df, stages, run_id=args.run_id, fuse=args.fuse)
     print(json.dumps({
         "run_id": res.run_id,
         "stages": [{"name": s.name, "kind": s.kind, "resumed": s.resumed,
+                    "members": s.members,
                     "rows_in": s.rows_in, "rows_out": s.rows_out,
                     "seconds": s.seconds,
                     "output": s.output_path} for s in res.stages],
@@ -903,6 +913,19 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--pack-tokenizer", default="words",
                     choices=["words", "bpe"])
     cu.add_argument("--partitions-per-commit", type=int, default=None)
+    cu.add_argument("--fuse", default="narrow",
+                    choices=["none", "narrow", "max"],
+                    help="stage-fusion policy: narrow (default) merges "
+                         "adjacent narrow per-partition stages into one "
+                         "lineage unit (one materialization instead of "
+                         "one per stage, wave resume kept); none gives "
+                         "every stage its own resume point; max runs the "
+                         "whole pipeline as one unit (resume = rerun)")
+    cu.add_argument("--fuse-marks", default="",
+                    help="comma-separated stage names to fold into their "
+                         "preceding unit regardless of --fuse (use when a "
+                         "stage's recompute is cheaper than its parquet "
+                         "materialization, e.g. 'dedup,pack')")
 
     args = p.parse_args(argv)
     args.master = getattr(args, "master", None)

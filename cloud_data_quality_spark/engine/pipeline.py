@@ -15,11 +15,18 @@ operator family with different resume semantics:
   committed or reruns; its write is an idempotent overwrite).
 
 Composition contract:
-* every stage MATERIALIZES its output as parquet under
-  ``{work_dir}/{idx:02d}_{name}/out`` — the explicit stage boundary is what
+* every execution UNIT (a stage, or a fused group of stages — see
+  ``run(fuse=...)``) MATERIALIZES its output as parquet under
+  ``{work_dir}/{idx:02d}_{name}/out`` — the explicit unit boundary is what
   makes resume possible AND caps lineage recomputation: a 5-stage pipeline
-  over 100 TB never re-runs a finished stage's compute, it re-reads its
-  (column-pruned, partition-pruned) output;
+  over 100 TB never re-runs a finished unit's compute, it re-reads its
+  (column-pruned, partition-pruned) output. Adjacent narrow zero-shuffle
+  stages do NOT deserve a boundary each — a parquet write+read per trivial
+  Column rewrite is pure I/O tax at any scale — so ``fuse='narrow'`` merges
+  partition-stage chains (keeping wave resume), and
+  ``PipelineStage(fuse_with_previous=True)`` lets the author fold a stage
+  whose recompute is provably cheaper than its materialization into the
+  preceding unit;
 * stage i>0 reads stage i-1's committed output. Partition stages keep the
   ``part_key`` column through their write (``partitionBy("part_key")``), so
   the NEXT partition stage uses ``partition_expr="part_key"`` — aligned
@@ -64,10 +71,18 @@ class PipelineStage:
     per-partition closed — no cross-partition joins on the corpus itself;
     joins against OTHER tables, Arrow stages, filters are all fine).
     kind='global': transform sees the full stage input in one plan.
+
+    fuse_with_previous=True folds this stage into the PREVIOUS execution
+    unit regardless of the pipeline's fuse policy — the author's statement
+    that this stage's recompute is cheaper than a parquet materialization
+    boundary (e.g. two adjacent cheap hygiene shuffles, or packing right
+    after selection). A fused stage loses its own resume point: a crash
+    inside the unit reruns the whole unit.
     """
     name: str
     transform: Callable[[DataFrame], DataFrame]
     kind: Literal["partition", "global"] = "partition"
+    fuse_with_previous: bool = False
 
 
 @dataclass
@@ -79,6 +94,7 @@ class StageResult:
     rows_out: int
     resumed: bool  # True if the whole stage was already committed
     seconds: float = 0.0  # wall time of this stage in THIS run (~0 if resumed)
+    members: list[str] = field(default_factory=list)  # fused stage names
 
 
 @dataclass
@@ -227,6 +243,78 @@ class ResumableCurationPipeline:
             return self.spark.createDataFrame(
                 [], stage.transform(probe).schema)
 
+    # ---------- fusion ----------
+
+    @staticmethod
+    def _fuse_units(
+        stages: Sequence[PipelineStage], fuse: str,
+    ) -> list[list[PipelineStage]]:
+        """Group stages into execution units (each unit = one lineage
+        entry + one materialization).
+
+        fuse='none':   every stage is its own unit (classic behavior).
+        fuse='narrow': maximal runs of consecutive PARTITION stages merge
+                       into one partition-kind unit — adjacent narrow
+                       zero-shuffle rewrites share a single codegen'd plan
+                       and a single parquet write, and the fused unit KEEPS
+                       partition-granular wave resume.
+        fuse='max':    the whole pipeline is one unit (resume = rerun;
+                       for corpora where recompute beats any journaling).
+
+        A stage with fuse_with_previous=True joins the preceding unit in
+        every mode except when it is the first stage.
+        """
+        if fuse not in ("none", "narrow", "max"):
+            raise ValueError(f"unknown fuse policy {fuse!r}")
+        units: list[list[PipelineStage]] = []
+        for s in stages:
+            join = bool(units) and (
+                fuse == "max"
+                or s.fuse_with_previous
+                or (fuse == "narrow" and s.kind == "partition"
+                    and all(m.kind == "partition" for m in units[-1])))
+            if join:
+                units[-1].append(s)
+            else:
+                units.append([s])
+        return units
+
+    def _unit_stage(
+        self, members: list[PipelineStage],
+    ) -> tuple[PipelineStage, list[DataFrame]]:
+        """One PipelineStage representing a fused unit. The composed
+        transform inserts ONE persist(MEMORY_AND_DISK) barrier: between
+        the narrow (partition-kind) prefix and the first global member.
+        Global transforms routinely scan their input more than once
+        (span-dedup's join-back, dedup's survivor semi-join), and a narrow
+        prefix — often an Arrow UDF chain with no Exchange — would execute
+        once per scan without the barrier. Between GLOBAL members no
+        barrier is needed: a global member's output subtree contains an
+        Exchange, and Catalyst's ReusedExchange dedups repeated scans of
+        an identical shuffle within the unit's one write job. persist (not
+        localCheckpoint) keeps the lineage: an executor loss recomputes
+        the lost blocks instead of failing the unit. The pinned frames are
+        returned for unpersist after the unit's write."""
+        if len(members) == 1:
+            return members[0], []
+        from pyspark import StorageLevel
+        pinned: list[DataFrame] = []
+
+        def composed(d: DataFrame) -> DataFrame:
+            out = d
+            for i, m in enumerate(members):
+                if (m.kind == "global" and i > 0 and not pinned
+                        and all(p.kind == "partition" for p in members[:i])):
+                    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+                    pinned.append(out)
+                out = m.transform(out)
+            return out
+
+        kind = ("partition"
+                if all(m.kind == "partition" for m in members) else "global")
+        name = "+".join(m.name for m in members)
+        return PipelineStage(name, composed, kind=kind), pinned
+
     # ---------- pipeline ----------
 
     def run(
@@ -235,11 +323,15 @@ class ResumableCurationPipeline:
         stages: Sequence[PipelineStage],
         run_id: str,
         fail_at: tuple[str, int | None] | None = None,  # test crash hook
+        fuse: str = "none",
     ) -> PipelineResult:
         """Execute (or resume) the staged pipeline. ``fail_at=(stage_name,
         partition|None)`` simulates a crash inside that stage — partition
         stages crash before the given bucket, global stages crash before
-        their commit mark."""
+        their commit mark; naming a FUSED member crashes its whole unit.
+        ``fuse`` picks the stage-fusion policy (see _fuse_units); resume
+        keys include the fused unit name, so a run must be resumed under
+        the same fuse configuration it started with."""
         if not stages:
             raise ValueError("pipeline needs at least one stage")
         names = [s.name for s in stages]
@@ -247,21 +339,30 @@ class ResumableCurationPipeline:
             raise ValueError(f"duplicate stage names: {names}")
         result = PipelineResult(run_id=run_id)
         current = df
-        for idx, stage in enumerate(stages):
-            crash_here = fail_at is not None and fail_at[0] == stage.name
+        for idx, members in enumerate(self._fuse_units(stages, fuse)):
+            stage, pinned = self._unit_stage(members)
+            member_names = [m.name for m in members]
+            crash_here = fail_at is not None and fail_at[0] in member_names
             t0 = time.perf_counter()
-            if stage.kind == "partition":
-                res = self._run_partition_stage(
-                    current, stage, idx, run_id,
-                    fail_at_partition=fail_at[1] if crash_here else None)
-            elif stage.kind == "global":
-                if crash_here:
-                    raise RuntimeError(
-                        f"simulated crash in global stage {stage.name!r}")
-                res = self._run_global_stage(current, stage, idx, run_id)
-            else:
-                raise ValueError(f"unknown stage kind {stage.kind!r}")
+            try:
+                if stage.kind == "partition":
+                    res = self._run_partition_stage(
+                        current, stage, idx, run_id,
+                        fail_at_partition=fail_at[1] if crash_here else None)
+                elif stage.kind == "global":
+                    if crash_here:
+                        raise RuntimeError(
+                            f"simulated crash in global stage "
+                            f"{fail_at[0]!r} (unit {stage.name!r})")
+                    res = self._run_global_stage(current, stage, idx, run_id)
+                else:
+                    raise ValueError(f"unknown stage kind {stage.kind!r}")
+            finally:
+                for f in pinned:
+                    f.unpersist()
+                pinned.clear()
             res.seconds = round(time.perf_counter() - t0, 3)
+            res.members = member_names
             result.stages.append(res)
             current = self._stage_output_frame(stage, current, res.output_path)
         return result

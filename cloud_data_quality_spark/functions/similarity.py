@@ -468,6 +468,79 @@ def semantic_dedup(
                     F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")))
 
 
+def semantic_dedup_np(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.92,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow GEMM twin of :func:`semantic_dedup` — element-wise identical
+    keep decisions (pytest-pinned), one float64 matrix product per cell
+    instead of an interpreted `F.aggregate` fold per intra-cell PAIR.
+    This is the same twin pattern as ivf_topk_np / quantized_topk_np,
+    applied to the one pairwise-cosine operator that lacked it: at 10^9
+    docs SemDeDup's O(Σ cell²) pairwork is exactly where a per-pair
+    interpreted fold bites (the repo measured higher-order folds 7-9×
+    slower than BLAS on the IVF path).
+
+    Cell assignment runs in SPARK with the identical ivf_assign
+    expression (so the grouping — and therefore which pairs are compared
+    — is bit-identical to the JVM path); only the intra-cell cosine moves
+    to numpy. Raw dots come from one symmetric dgemm; the denominator is
+    the same single-multiply norm product as the JVM's `anrm * bnrm`
+    (never normalize-first, which would change the float op order); zero
+    norms are masked to -inf exactly where the JVM's nullif yields NULL
+    (NULL >= threshold is false). The 6-dp round before the threshold
+    compare matches the JVM contract, which is what makes GEMM-vs-fold
+    summation-order drift (~1 ulp) invisible to the keep decision.
+
+    Scale shape: ONE hash shuffle on cell (applyInPandas), strictly less
+    than the JVM path's self-join (two Exchanges of the vector column) —
+    plus the vectors cross the Arrow boundary once per cell, not once per
+    pair."""
+    import pandas as pd
+
+    from pyspark.sql.types import (BooleanType, IntegerType, StructField,
+                                   StructType)
+    id_field = corpus.schema[id_col]
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType, id_field.nullable),
+        StructField("cell", IntegerType(), True),
+        StructField("keep", BooleanType(), False),
+    ])
+    cells = corpus.select(
+        F.col(id_col),
+        ivf_assign(F.col(vec_col), centroids).alias("cell"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"))
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        null_v = pdf["__v"].isna().to_numpy()
+        if n > 1 and not null_v.all():
+            X = np.vstack([v if v is not None else
+                           np.zeros(len(centroids[0]), dtype=np.float64)
+                           for v in pdf["__v"]]).astype(np.float64)
+            nrm = np.sqrt(np.einsum("ij,ij->i", X, X))
+            nrm[null_v] = 0.0  # NULL vector == zero-norm: cos is NULL JVM-side
+            G = X @ X.T
+            denom = np.outer(nrm, nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(denom > 0, G / denom, -np.inf)
+            S = np.round(S, 6)
+            # dropped iff any SMALLER-id same-cell row scores >= threshold:
+            # strict lower triangle in id order
+            keep = ~np.tril(S >= threshold, k=-1).any(axis=1)
+        else:
+            keep = np.ones(n, dtype=bool)
+        return pd.DataFrame({id_col: pdf[id_col],
+                             "cell": pdf["cell"],
+                             "keep": keep})
+
+    return cells.groupBy("cell").applyInPandas(dedup_cell, out_schema)
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

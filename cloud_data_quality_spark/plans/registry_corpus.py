@@ -560,7 +560,14 @@ def q_curation_pipeline_docs(spark, sf_dir):
     just the individual operators. A leading dedup-lines REWRITE stage
     (over doc_id-synthesized line structure) feeds the word-count gate, so
     a stage that mutates text — not just filters rows — is value-checked
-    through the whole chain."""
+    through the whole chain.
+
+    Runs with fuse='narrow' plus an explicit fuse_with_previous mark on
+    the cap stage, so BOTH fusion paths — the narrow partition-chain merge
+    (lines+gate keep wave resume) and the marked global absorption with
+    its persist barrier (…+cap) — are value-checked by the driver oracle,
+    not just unit tests: fusion must be a physical choice with zero
+    semantic effect."""
     import shutil
     import uuid
 
@@ -597,9 +604,10 @@ def q_curation_pipeline_docs(spark, sf_dir):
         src,
         [PipelineStage("lines", lines, kind="partition"),
          PipelineStage("gate", gate, kind="partition"),
-         PipelineStage("cap", cap, kind="global"),
+         PipelineStage("cap", cap, kind="global",
+                       fuse_with_previous=True),
          PipelineStage("dedup", dedup, kind="global")],
-        run_id="oracle")
+        run_id="oracle", fuse="narrow")
     out = (spark.read.parquet(res.stages[-1].output_path)
            .select("doc_id", "source").localCheckpoint())
     shutil.rmtree(work, ignore_errors=True)

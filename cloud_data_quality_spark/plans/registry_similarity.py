@@ -573,6 +573,27 @@ def q_semantic_dedup(spark, sf_dir):
                           threshold=_SEMDEDUP_THRESHOLD)
 
 
+def q_semantic_dedup_np(spark, sf_dir):
+    """The Arrow GEMM twin of `semantic_dedup_docs` (similarity.
+    semantic_dedup_np, r6): identical cell assignment in Spark, intra-cell
+    cosine as ONE float64 dgemm per cell group instead of a per-pair
+    interpreted fold (same-epoch A/B: 11.8× at ~500-row cells). Shares
+    the JVM path's DuckDB oracle — the twin is element-wise pinned in
+    pytest AND value-checked by the driver here, so summation-order drift
+    can never silently diverge the keep set."""
+    from cloud_data_quality_spark.functions.ivf_artifact import (
+        IVF_CENTROIDS_64,
+    )
+    from cloud_data_quality_spark.functions.similarity import (
+        semantic_dedup_np,
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = (emb.where(F.col("vec_id") % 7 == 0)
+              .select((-F.col("vec_id") - 1).alias("vec_id"), "embedding"))
+    return semantic_dedup_np(emb.unionAll(copies), IVF_CENTROIDS_64,
+                             threshold=_SEMDEDUP_THRESHOLD)
+
+
 def _oracle_semantic_dedup() -> str:
     """DuckDB replay from the SAME centroid artifact as _oracle_ivf_ann
     (identical |c|^2 - 2*v*c cell scores, ties by centroid index) plus the

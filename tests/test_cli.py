@@ -573,9 +573,12 @@ class TestCurateFullPipeline:
         assert rc == 0
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["rows_out"] == 0
+        # default --fuse narrow merges the adjacent partition stages
+        # c4_clean+quality into one lineage unit
         assert [s["name"] for s in out["stages"]] == [
-            "c4_clean", "quality", "span_dedup", "dedup", "sample",
+            "c4_clean+quality", "span_dedup", "dedup", "sample",
             "select_budget", "pack"]
+        assert out["stages"][0]["members"] == ["c4_clean", "quality"]
         assert out["stages"][0]["rows_out"] == 0  # C4 drops everything
 
 
@@ -864,8 +867,10 @@ class TestRound5CorpusOps:
         assert rc == 0
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         names = [s["name"] for s in out["stages"]]
-        assert names[:2] == ["dedup_lines", "quality"]
-        dl = next(s for s in out["stages"] if s["name"] == "dedup_lines")
+        # narrow fusion: dedup_lines + quality share one lineage unit
+        assert names[0] == "dedup_lines+quality"
+        dl = out["stages"][0]
+        assert dl["members"] == ["dedup_lines", "quality"]
         got = spark.read.parquet(dl["output"])
         [r] = got.where("url = 'u0'").collect()
         assert r["text"] == "\n".join([good, good + " extra"])
@@ -969,10 +974,15 @@ class TestRound5CorpusOps:
         assert rc == 0
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         names = [s["name"] for s in out["stages"]]
-        assert names == ["normalize", "boilerplate", "dedup_lines",
-                         "c4_clean", "quality", "span_dedup",
+        # default --fuse narrow: the dedup_lines→c4_clean→quality narrow
+        # chain shares one lineage unit; sample (partition-kind but not
+        # adjacent to another partition stage) keeps its own
+        assert names == ["normalize", "boilerplate",
+                         "dedup_lines+c4_clean+quality", "span_dedup",
                          "decontaminate", "hosts", "dedup", "near_dedup",
                          "sample", "select_budget", "pack"]
+        assert out["stages"][2]["members"] == ["dedup_lines", "c4_clean",
+                                               "quality"]
         assert out["rows_out"] > 0
         for st in out["stages"][:-1]:
             assert st["rows_out"] <= st["rows_in"], st["name"]

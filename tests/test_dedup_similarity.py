@@ -564,6 +564,54 @@ class TestSemanticDedup:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_np_twin_element_wise_equal(self, spark):
+        """semantic_dedup_np (one dgemm per cell) == semantic_dedup (per-
+        pair interpreted fold) on the natural corpus plus injected exact
+        copies — every (id, cell, keep) triple identical."""
+        from cloud_data_quality_spark.functions.ivf_artifact import (
+            IVF_CENTROIDS_64)
+        from cloud_data_quality_spark.functions.similarity import (
+            semantic_dedup,
+            semantic_dedup_np,
+        )
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet") \
+            .select("vec_id", "embedding")
+        copies = (emb.where(F.col("vec_id") % 7 == 0)
+                  .select((-F.col("vec_id") - 1).alias("vec_id"),
+                          "embedding"))
+        src = emb.unionAll(copies)
+        jvm = sorted(map(tuple, semantic_dedup(
+            src, IVF_CENTROIDS_64, threshold=0.92).collect()))
+        gemm = sorted(map(tuple, semantic_dedup_np(
+            src, IVF_CENTROIDS_64, threshold=0.92).collect()))
+        assert jvm == gemm
+
+    def test_np_twin_zero_norm_and_single_row_cells(self, spark):
+        """Zero-norm vectors never drop anything and are never dropped
+        (NULL-cosine semantics), in BOTH twins."""
+        import numpy as np
+
+        from cloud_data_quality_spark.functions.similarity import (
+            semantic_dedup,
+            semantic_dedup_np,
+        )
+        d = 4
+        cents = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0]])
+        rows = [(1, [2.0, 0.1, 0.0, 0.0]),
+                (2, [2.0, 0.1, 0.0, 0.0]),   # exact dup of 1, same cell
+                (3, [0.0, 0.0, 0.0, 0.0]),   # zero norm
+                (4, [0.0, 0.0, 0.0, 0.0]),   # zero norm
+                (5, [0.1, 3.0, 0.0, 0.0])]   # alone in cell 1
+        df = spark.createDataFrame(
+            rows, f"vec_id bigint, embedding array<float>")
+        jvm = sorted(map(tuple, semantic_dedup(df, cents, 0.92).collect()))
+        gemm = sorted(map(tuple,
+                          semantic_dedup_np(df, cents, 0.92).collect()))
+        assert jvm == gemm
+        keep = {r[0]: r[2] for r in gemm}
+        assert keep == {1: True, 2: False, 3: True, 4: True, 5: True}
+
 
 class TestQuantizedAnn:
     @pytest.fixture(scope="class")

@@ -143,6 +143,116 @@ class TestComposedPipeline:
         assert a == b
 
 
+def _mark_words(df):
+    return df.withColumn("n_words", F.size(F.split("text", " ")))
+
+
+class TestFusedPipeline:
+    """Stage fusion (run(fuse=...)): adjacent narrow stages share one
+    lineage unit / one materialization; explicit fuse_with_previous folds
+    a stage into the preceding unit. Results must be identical to the
+    unfused run — fusion is a physical choice, never a semantic one."""
+
+    def test_narrow_fuses_partition_chain_keeps_wave_resume(
+            self, spark, pages, tmp_path):
+        stages = [
+            PipelineStage("quality", _quality, kind="partition"),
+            PipelineStage("mark", _mark_words, kind="partition"),
+            PipelineStage("dedup", _exact_dedup, kind="global"),
+        ]
+        work = str(tmp_path / "w")
+        pipe = ResumableCurationPipeline(spark, work, n_buckets=8,
+                                         partitions_per_commit=2)
+        # crash mid-way through the FUSED partition unit (by member name)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            pipe.run(pages, stages, run_id="r", fail_at=("mark", 5),
+                     fuse="narrow")
+        res = pipe.run(pages, stages, run_id="r", fuse="narrow")
+        assert [s.name for s in res.stages] == ["quality+mark", "dedup"]
+        assert res.stages[0].kind == "partition"
+        assert res.stages[0].members == ["quality", "mark"]
+        out = spark.read.parquet(res.stages[0].output_path)
+        assert "part_key" in out.columns  # wave machinery intact
+        got = sorted(r["url"] for r in
+                     spark.read.parquet(res.stages[-1].output_path)
+                     .select("url").collect())
+        want = sorted(r["url"] for r in
+                      _exact_dedup(_mark_words(_quality(pages)))
+                      .select("url").collect())
+        assert got == want
+
+    def test_marked_global_fusion_matches_unfused(self, spark, pages,
+                                                  tmp_path):
+        fused = [
+            PipelineStage("quality", _quality, kind="partition"),
+            PipelineStage("host_cap", _cap_hosts, kind="global",
+                          fuse_with_previous=True),
+            PipelineStage("dedup", _exact_dedup, kind="global",
+                          fuse_with_previous=True),
+        ]
+        pipe = ResumableCurationPipeline(spark, str(tmp_path / "w"),
+                                         n_buckets=8)
+        res = pipe.run(pages, fused, run_id="r", fuse="narrow")
+        assert [s.name for s in res.stages] == ["quality+host_cap+dedup"]
+        assert res.stages[0].kind == "global"
+        got = sorted(r["url"] for r in
+                     spark.read.parquet(res.stages[-1].output_path)
+                     .select("url").collect())
+        want = sorted(r["url"] for r in
+                      _expected(pages).select("url").collect())
+        assert got == want
+        assert res.rows_out == len(want)
+
+    def test_crash_in_fused_global_unit_reruns_unit_only(
+            self, spark, pages, tmp_path):
+        stages = [
+            PipelineStage("quality", _quality, kind="partition"),
+            PipelineStage("host_cap", _cap_hosts, kind="global"),
+            PipelineStage("dedup", _exact_dedup, kind="global",
+                          fuse_with_previous=True),
+        ]
+        work = str(tmp_path / "w")
+        pipe = ResumableCurationPipeline(spark, work, n_buckets=8)
+        # member name addresses the fused unit
+        with pytest.raises(RuntimeError, match="dedup"):
+            pipe.run(pages, stages, run_id="r", fail_at=("dedup", None),
+                     fuse="narrow")
+        res = pipe.run(pages, stages, run_id="r", fuse="narrow")
+        assert res.stages[0].resumed          # quality committed pre-crash
+        assert not res.stages[1].resumed      # fused unit ran now
+        assert res.stages[1].name == "host_cap+dedup"
+        assert (spark.read.parquet(res.stages[-1].output_path).count()
+                == _expected(pages).count())
+
+    def test_max_fuses_everything(self, spark, pages, tmp_path):
+        pipe = ResumableCurationPipeline(spark, str(tmp_path / "w"),
+                                         n_buckets=8)
+        res = pipe.run(pages, STAGES, run_id="r", fuse="max")
+        assert len(res.stages) == 1
+        assert res.stages[0].members == ["quality", "host_cap", "dedup"]
+        assert res.rows_out == _expected(pages).count()
+
+    def test_unknown_policy_rejected(self, spark, pages, tmp_path):
+        pipe = ResumableCurationPipeline(spark, str(tmp_path / "w"))
+        with pytest.raises(ValueError, match="fuse policy"):
+            pipe.run(pages, STAGES, run_id="r", fuse="eager")
+
+    def test_fused_unit_with_all_rows_dropped(self, spark, pages, tmp_path):
+        """The empty-output schema fallback and the AQE observation guard
+        both hold for a fused unit containing a persist barrier."""
+        stages = [
+            PipelineStage("drop_all",
+                          lambda d: d.where(F.length("text") < 0),
+                          kind="partition"),
+            PipelineStage("dedup", _exact_dedup, kind="global",
+                          fuse_with_previous=True),
+        ]
+        pipe = ResumableCurationPipeline(spark, str(tmp_path / "w"),
+                                         n_buckets=4)
+        res = pipe.run(pages, stages, run_id="e", fuse="narrow")
+        assert res.stages[0].rows_in > 0 and res.stages[0].rows_out == 0
+
+
 class TestEmptyOutputObservation:
     """Regression: AQE's empty-relation propagation used to drop the
     CollectMetrics node whenever a wave/stage filtered out EVERY row (an
