@@ -2410,3 +2410,57 @@ select pack_id, count(*)::BIGINT as n_docs,
        ((sum(n_tokens) * 1000000) // {_PACK_BUDGET})::BIGINT as fill_micro
 from manifest group by pack_id
 """
+
+
+_SHARD_DOCS_PER = 256
+
+
+def q_shard_manifest_docs(spark, sf_dir):
+    """Training-output shard writer (functions/shards.write_shards, r6):
+    documents in doc_id order → global positions (selection.
+    global_enumerate, no global window) → size-bounded order-preserving
+    parquet shards, one file per shard, manifest row per shard. The query
+    runs the WRITER end-to-end against a temp dir and returns the
+    manifest's deterministic columns (shard id, row count, position span,
+    bit_xor 60-bit-md5 content checksum binding each row's POSITION);
+    the oracle re-derives every one of them in DuckDB — so the artifact a
+    trainer would consume is value-checked, not just the transform.
+    `bytes` (filesystem state) stays in the manifest but outside the
+    oracle contract."""
+    import shutil
+    import uuid
+
+    from cloud_data_quality_spark.functions.selection import (
+        global_enumerate,
+    )
+    from cloud_data_quality_spark.functions.shards import write_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ordered = global_enumerate(docs, ["doc_id"])
+    out = f"/tmp/cdq_shards_{uuid.uuid4().hex}"
+    manifest = write_shards(ordered, out, _SHARD_DOCS_PER,
+                            id_col="doc_id", text_col="text")
+    res = manifest.select("shard_id", "n_rows", "pos_min", "pos_max",
+                          "checksum").localCheckpoint()
+    shutil.rmtree(out, ignore_errors=True)
+    return res
+
+
+def _oracle_shard_manifest() -> str:
+    return f"""
+with ordered as (
+  select doc_id, text,
+         row_number() over (order by doc_id) as position
+  from documents),
+h as (
+  select ((position - 1) // {_SHARD_DOCS_PER}) as shard_id, position,
+         ('0x' || substr(md5(position::VARCHAR || ':' ||
+                             doc_id::VARCHAR || ':' ||
+                             coalesce(text, chr(0) || 'NULL')),
+                         1, 15))::BIGINT as hh
+  from ordered)
+select shard_id, count(*)::BIGINT as n_rows,
+       min(position)::BIGINT as pos_min, max(position)::BIGINT as pos_max,
+       bit_xor(hh)::BIGINT as checksum
+from h group by shard_id
+"""

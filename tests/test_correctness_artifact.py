@@ -26,7 +26,11 @@ from cloud_data_quality_spark.plans.registry import ORACLES, QUERIES
 REPO = Path(__file__).resolve().parent.parent
 
 
-def latest_artifact() -> tuple[int, dict] | None:
+def latest_artifact() -> tuple[str, dict] | None:
+    """Newest correctness artifact: the driver's CORRECTNESS_r{N}.json
+    (highest N) or the local full sweep CORRECTNESS_full.json (written by
+    `python bench.py --verify-all`), whichever file is newer on disk.
+    `_`-prefixed keys are metadata, not query rows."""
     best = None
     for p in REPO.glob("CORRECTNESS_r*.json"):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
@@ -34,9 +38,18 @@ def latest_artifact() -> tuple[int, dict] | None:
             n = int(m.group(1))
             if best is None or n > best[0]:
                 best = (n, p)
-    if best is None:
+    candidates = []
+    if best is not None:
+        candidates.append((f"r{best[0]:02d}", best[1]))
+    full = REPO / "CORRECTNESS_full.json"
+    if full.exists():
+        candidates.append(("full", full))
+    if not candidates:
         return None
-    return best[0], json.loads(best[1].read_text())
+    label, path = max(candidates, key=lambda c: c[1].stat().st_mtime)
+    data = {k: v for k, v in json.loads(path.read_text()).items()
+            if not k.startswith("_")}
+    return label, data
 
 
 @pytest.fixture(scope="module")
@@ -55,14 +68,14 @@ def test_every_driver_checked_query_passes(artifact):
         or not (row.get("rows_match") and row.get("schema_match"))
         or row.get("hash_match") is False  # None = rows-only check, allowed
     }
-    assert not bad, f"CORRECTNESS_r{rnd:02d} records failures: {bad}"
+    assert not bad, f"CORRECTNESS_{rnd} records failures: {bad}"
 
 
 def test_artifact_keys_still_registered(artifact):
     rnd, data = artifact
     orphans = set(data) - set(QUERIES)
     assert not orphans, (
-        f"CORRECTNESS_r{rnd:02d} checked queries no longer in the registry "
+        f"CORRECTNESS_{rnd} checked queries no longer in the registry "
         f"(rename without migration?): {sorted(orphans)}")
 
 
@@ -74,8 +87,8 @@ def test_unswept_queries_have_local_rehearsal(artifact, capsys):
     pending = sorted(set(QUERIES) - set(data))
     no_oracle = [n for n in pending if n not in ORACLES]
     assert not no_oracle, (
-        f"queries neither driver-checked (CORRECTNESS_r{rnd:02d}) nor "
+        f"queries neither driver-checked (CORRECTNESS_{rnd}) nor "
         f"locally oracled: {no_oracle}")
     if pending:
-        print(f"\n[pending driver sweep since r{rnd:02d}] {len(pending)} "
+        print(f"\n[pending sweep since {rnd}] {len(pending)} "
               f"quer{'y' if len(pending) == 1 else 'ies'}: {pending}")
