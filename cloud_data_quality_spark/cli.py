@@ -440,6 +440,11 @@ def _curate(args) -> int:
             f"curate: no column {host_url_col!r} in input for the host "
             f"stage (pass --url-col)")
 
+    if args.media_filter and args.media_col not in df.columns:
+        raise SystemExit(
+            f"curate: no column {args.media_col!r} in input for "
+            f"--media-filter (pass --media-col)")
+
     def normalize(d):
         from pyspark.sql import functions as F
 
@@ -489,6 +494,13 @@ def _curate(args) -> int:
         # fingerprints would otherwise all share one window partition and
         # silently collapse to a single row)
         return dedup_exact(d, text_col=args.text_col, id_col=args.id_col)
+
+    def mediafilter(d):
+        from cloud_data_quality_spark.functions.multimodal import (
+            media_filter)
+        return media_filter(d, blob_col=args.media_col, id_col=args.id_col,
+                            min_dim=args.media_min_dim,
+                            max_dim=args.media_max_dim)
 
     def neardedup(d):
         from cloud_data_quality_spark.functions.dedup import (
@@ -647,6 +659,13 @@ def _curate(args) -> int:
     if blocklist or args.max_per_host > 0 or args.url_hygiene:
         stages.append(PipelineStage("hosts", hosts, kind="global"))
     stages.append(PipelineStage("dedup", dedup, kind="global"))
+    if args.media_filter:
+        # after text dedup: the blob gates + exact-blob dedup curate the
+        # BINARY column of a (text, media) corpus — a row whose media
+        # fails decode/dimension gates drops, duplicate blobs collapse
+        # to the min-id row
+        stages.append(PipelineStage("media_filter", mediafilter,
+                                    kind="global"))
     if args.near_dedup > 0:
         # after exact dedup: MinHash near-dup removal, keeping min-id or
         # (--keep-best) the longest member of each cluster
@@ -834,8 +853,8 @@ def main(argv: list[str] | None = None) -> int:
                        "[boilerplate →] [dedup-lines →] [c4-clean →] "
                        "quality filter → "
                        "[span-dedup →] [decontaminate →] [host "
-                       "blocklist+cap →] exact dedup → [near-dedup →] "
-                       "[sample →] "
+                       "blocklist+cap →] exact dedup → [media-filter →] "
+                       "[near-dedup →] [sample →] "
                        "[top-fraction | token-budget →] [pack] (staged, "
                        "per-partition lineage, restart-safe)")
     cu.add_argument("--input", required=True)
@@ -913,6 +932,17 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--pack-tokenizer", default="words",
                     choices=["words", "bpe"])
     cu.add_argument("--partitions-per-commit", type=int, default=None)
+    cu.add_argument("--media-filter", action="store_true",
+                    help="after exact dedup: curate the binary media "
+                         "column — drop rows whose blob is undecodable "
+                         "(no PNG/GIF/JPEG header) or outside the "
+                         "dimension bounds, and collapse exact duplicate "
+                         "blobs (sha256) to the min-id row; rows with a "
+                         "NULL blob pass through")
+    cu.add_argument("--media-col", default="media",
+                    help="binary column for --media-filter")
+    cu.add_argument("--media-min-dim", type=int, default=32)
+    cu.add_argument("--media-max-dim", type=int, default=8192)
     cu.add_argument("--fuse", default="narrow",
                     choices=["none", "narrow", "max"],
                     help="stage-fusion policy: narrow (default) merges "

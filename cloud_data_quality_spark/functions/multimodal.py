@@ -23,6 +23,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 IMAGE_META_SCHEMA = ("width int, height int, channels int, format string, "
                      "content_sha256 string")
@@ -183,6 +184,66 @@ def image_metadata(df: DataFrame, blob_col: str = "html",
             yield pdf.assign(**metas)
 
     return df.mapInPandas(stage, schema=out_schema)
+
+
+def media_filter(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    min_dim: int = 32,
+    max_dim: int = 8192,
+    formats: list[str] | None = None,
+    drop_undecodable: bool = True,
+    dedup: bool = True,
+) -> DataFrame:
+    """Media hygiene for a mixed (text, blob:binary) corpus — the binary-
+    column counterpart of the text quality gates, so `curate` can clean
+    both columns of a multimodal table (reference anchor: CloudDQ binds
+    rules per typed column including BYTES,
+    clouddq/classes/dq_entity_column.py:26-34).
+
+    Gates, applied only to rows whose blob is NON-NULL (text-only rows
+    pass untouched — no media means nothing to filter):
+
+    * undecodable blobs (no PNG/GIF/JPEG header, strict mode — no fake)
+      drop when drop_undecodable;
+    * images with width or height outside [min_dim, max_dim] drop
+      (favicon/tracking-pixel floor, decompression-bomb ceiling);
+    * when `formats` is given, anything not in it drops;
+    * when `dedup`, exact blob duplicates collapse to the min-id row
+      (sha256 of the raw bytes as the fingerprint — computed once in the
+      same Arrow pass as the header parse).
+
+    Returns the surviving rows with the ORIGINAL columns.
+
+    Scale shape: the parse+gate is one narrow mapInPandas stage (no
+    shuffle); dedup is one hash shuffle on the digest with map-side
+    partial min — the same two-level exact-dedup shape as dedup_exact,
+    keyed on a 64-hex-char digest instead of raw bytes so a hot
+    duplicate blob (a site logo repeated 10^7 times) shuffles 64 bytes
+    per row, never the blob."""
+    cols = df.columns
+    meta = image_metadata(df, blob_col=blob_col, deterministic_fake=False)
+    has_blob = F.col(blob_col).isNotNull()
+    decodable_ok = ((F.col("width") >= min_dim)
+                    & (F.col("width") <= max_dim)
+                    & (F.col("height") >= min_dim)
+                    & (F.col("height") <= max_dim))
+    if formats:
+        decodable_ok = decodable_ok & F.col("format").isin(*formats)
+    # INVALID rows have NULL dims — gate them on the policy flag, never
+    # on a NULL comparison (which would silently drop them regardless)
+    ok = F.when(F.col("format") == "INVALID",
+                F.lit(not drop_undecodable)).otherwise(decodable_ok)
+    survivors = meta.where(~has_blob | ok)
+    if not dedup:
+        return survivors.select(*cols)
+    keep_ids = (survivors.where(has_blob)
+                .groupBy("content_sha256")
+                .agg(F.min(id_col).alias(id_col))
+                .select(id_col))
+    deduped = survivors.where(has_blob).join(keep_ids, id_col, "left_semi")
+    return deduped.unionByName(survivors.where(~has_blob)).select(*cols)
 
 
 def frame_sample_stub(df: DataFrame, blob_col: str = "html",

@@ -2464,3 +2464,62 @@ select shard_id, count(*)::BIGINT as n_rows,
        bit_xor(hh)::BIGINT as checksum
 from h group by shard_id
 """
+
+
+_MEDIA_MIN_DIM = 64
+_MEDIA_MAX_DIM = 512
+
+
+def q_media_filter_docs(spark, sf_dir):
+    """Binary-column curation (multimodal.media_filter, r6): synthesized
+    real-header image blobs (same shared hex fragment as image_metadata,
+    keyed so every doc_id % 10 == 9 doc carries a byte-identical COPY of
+    doc_id-1's blob), gated on decodability + dimension bounds, then
+    exact-blob-deduped to the min-id representative. Returns the survivor
+    ids with parsed format; the oracle re-derives the survivor set from
+    the synthesis arithmetic — gates, NULL-dim INVALID policy, and the
+    duplicate collapse all value-checked."""
+    from cloud_data_quality_spark.functions.multimodal import media_filter
+    frag = _img_blob_hex_sql("hex")
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("real_id"),
+                    F.expr("case when doc_id % 10 = 9 then doc_id - 1 "
+                           "else doc_id end").alias("doc_id"))
+            .select("real_id",
+                    F.expr(f"unhex({frag})").alias("blob"))
+            .withColumnRenamed("real_id", "doc_id"))
+    out = media_filter(docs, blob_col="blob", id_col="doc_id",
+                       min_dim=_MEDIA_MIN_DIM, max_dim=_MEDIA_MAX_DIM)
+    from cloud_data_quality_spark.functions.multimodal import image_metadata
+    return (image_metadata(out, blob_col="blob", deterministic_fake=False)
+            .select("doc_id", "format", "width", "height"))
+
+
+def _oracle_media_filter() -> str:
+    """Survivors from the synthesis arithmetic: blob key k (doc 9 copies
+    doc 8), dims w=(k%613)+16 h=((k*7)%509)+16, INVALID when k%11=0,
+    format by k%3; gate 64<=dim<=512; dedup keeps min doc_id per blob key
+    among gate survivors."""
+    return f"""
+with keyed as (
+  select doc_id,
+         case when doc_id % 10 = 9 then doc_id - 1 else doc_id end as k
+  from documents),
+meta as (
+  select doc_id, k,
+         (k % 613) + 16 as w, ((k * 7) % 509) + 16 as h,
+         case when k % 11 = 0 then 'INVALID'
+              when k % 3 = 0 then 'PNG'
+              when k % 3 = 1 then 'GIF'
+              else 'JPEG' end as format
+  from keyed),
+gated as (
+  select * from meta
+  where format <> 'INVALID'
+    and w between {_MEDIA_MIN_DIM} and {_MEDIA_MAX_DIM}
+    and h between {_MEDIA_MIN_DIM} and {_MEDIA_MAX_DIM}),
+kept as (
+  select k, min(doc_id) as doc_id from gated group by k)
+select g.doc_id, g.format, g.w::INT as width, g.h::INT as height
+from gated g join kept using (k, doc_id)
+"""

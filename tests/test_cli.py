@@ -875,6 +875,42 @@ class TestRound5CorpusOps:
         [r] = got.where("url = 'u0'").collect()
         assert r["text"] == "\n".join([good, good + " extra"])
 
+    def test_curate_media_filter_stage(self, spark, tmp_path, capsys):
+        """--media-filter curates the binary column of a (text, media)
+        corpus: undecodable/tiny blobs drop, exact duplicate blobs
+        collapse to the min-id row, NULL-blob rows pass through."""
+        import json as _json
+
+        from cloud_data_quality_spark.functions.multimodal import (
+            make_gif, make_png)
+        good = ("this is a perfectly reasonable english sentence with "
+                "plenty of common stopwords in the mix and good length.")
+        rows = [("u1", good + " one", make_png(128, 128)),
+                ("u2", good + " two", make_png(128, 128)),  # dup blob
+                ("u3", good + " three", make_gif(4, 4)),    # tiny
+                ("u4", good + " four", b"junk"),            # undecodable
+                ("u5", good + " five", None)]               # text only
+        inp = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            rows, "url string, text string, media binary").write.parquet(inp)
+        work = str(tmp_path / "wm")
+        rc = main(["curate", "--input", inp, "--work-dir", work,
+                   "--run-id", "m", "--buckets", "4", "--id-col", "url",
+                   "--media-filter"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "media_filter" in [s["name"] for s in out["stages"]]
+        kept = {r["url"] for r in
+                spark.read.parquet(out["stages"][-1]["output"]).collect()}
+        assert kept == {"u1", "u5"}  # u2 dup, u3 tiny, u4 junk
+
+    def test_curate_media_filter_missing_col_fails_fast(
+            self, spark, pages_parquet, tmp_path):
+        with pytest.raises(SystemExit, match="media"):
+            main(["curate", "--input", pages_parquet,
+                  "--work-dir", str(tmp_path / "w"), "--run-id", "x",
+                  "--media-filter", "--media-col", "nope"])
+
     def test_curate_near_dedup_keep_best(self, spark, tmp_path, capsys):
         """--near-dedup composes after exact dedup; --keep-best keeps the
         longest cluster member."""

@@ -298,6 +298,82 @@ class TestMultimodal:
         assert {"frame_no", "frame_sha256"} <= set(out.columns)
 
 
+class TestMediaFilter:
+    """media_filter: binary-column gates + exact blob dedup (r6)."""
+
+    def _corpus(self, spark):
+        from cloud_data_quality_spark.functions.multimodal import (
+            make_gif, make_jpeg, make_png)
+        rows = [
+            (1, "keep me", make_png(100, 100)),
+            (2, "dup of 1", make_png(100, 100)),        # exact dup blob
+            (3, "tiny", make_gif(8, 8)),                # below min_dim
+            (4, "huge", make_jpeg(5000, 100)),          # above max_dim
+            (5, "garbage", b"\xde\xad\xbe\xef"),        # undecodable
+            (6, "text only", None),                     # NULL blob
+            (7, "fine gif", make_gif(64, 64)),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string, media binary")
+
+    def test_gates_dedup_and_null_passthrough(self, spark):
+        from cloud_data_quality_spark.functions.multimodal import (
+            media_filter)
+        out = media_filter(self._corpus(spark), blob_col="media",
+                           id_col="doc_id", min_dim=32, max_dim=4096)
+        kept = {r["doc_id"] for r in out.collect()}
+        assert kept == {1, 6, 7}  # min-id dup rep, text-only row, good gif
+        assert out.columns == ["doc_id", "text", "media"]
+
+    def test_keep_undecodable_mode(self, spark):
+        from cloud_data_quality_spark.functions.multimodal import (
+            media_filter)
+        out = media_filter(self._corpus(spark), blob_col="media",
+                           id_col="doc_id", min_dim=32, max_dim=4096,
+                           drop_undecodable=False)
+        kept = {r["doc_id"] for r in out.collect()}
+        assert 5 in kept  # INVALID passes when the policy allows
+
+    def test_format_allowlist(self, spark):
+        from cloud_data_quality_spark.functions.multimodal import (
+            media_filter)
+        out = media_filter(self._corpus(spark), blob_col="media",
+                           id_col="doc_id", min_dim=32, max_dim=4096,
+                           formats=["PNG"])
+        kept = {r["doc_id"] for r in out.collect()}
+        assert kept == {1, 6}  # gif dropped by allowlist; NULL passes
+
+    def test_crash_resume_as_pipeline_stage(self, spark, tmp_path):
+        """media_filter as a curate global stage: crash before its commit,
+        resume completes, survivors match the uninterrupted run."""
+        import pytest as _pytest
+
+        from cloud_data_quality_spark.engine.pipeline import (
+            PipelineStage, ResumableCurationPipeline)
+        from cloud_data_quality_spark.functions.multimodal import (
+            media_filter)
+        df = self._corpus(spark).withColumnRenamed("doc_id", "url")
+        stages = [
+            PipelineStage("ident", lambda d: d, kind="partition"),
+            PipelineStage("media_filter",
+                          lambda d: media_filter(
+                              d, blob_col="media", id_col="url",
+                              min_dim=32, max_dim=4096),
+                          kind="global"),
+        ]
+        pipe = ResumableCurationPipeline(spark, str(tmp_path / "w"),
+                                         n_buckets=2, id_col="url")
+        with _pytest.raises(RuntimeError, match="media_filter"):
+            pipe.run(df, stages, run_id="m",
+                     fail_at=("media_filter", None))
+        res = pipe.run(df, stages, run_id="m")
+        assert res.stages[0].resumed
+        kept = {r["url"] for r in
+                spark.read.parquet(res.stages[-1].output_path)
+                .select("url").collect()}
+        assert kept == {1, 6, 7}
+
+
 class TestAudioMetadata:
     def test_parse_audio_header_roundtrip(self):
         """WAV parser reads real RIFF bytes: fixture round-trip (verified
