@@ -492,8 +492,22 @@ def _curate(args) -> int:
         # dedup_exact, not a hand-rolled fingerprint window: it keeps the
         # min-id representative with the NULL-text sentinel guard (NULL
         # fingerprints would otherwise all share one window partition and
-        # silently collapse to a single row)
-        return dedup_exact(d, text_col=args.text_col, id_col=args.id_col)
+        # silently collapse to a single row). When near-dedup follows,
+        # the MinHash signature arrays are computed IN THIS SAME narrow
+        # pass and ride the stage's parquet output — the near-dedup stage
+        # then runs zero text scans and zero md5 (one shingle computation
+        # feeding both dedups; the materialization doubles as the cache
+        # barrier the pushdown pathology needs).
+        out = dedup_exact(d, text_col=args.text_col, id_col=args.id_col)
+        if args.near_dedup > 0:
+            from pyspark.sql import functions as F
+
+            from cloud_data_quality_spark.functions.dedup import (
+                minhash_columns)
+            hs, sig = minhash_columns(F.col(args.text_col))
+            out = out.select("*", hs.alias("__mh_hs"),
+                             sig.alias("__mh_sig"))
+        return out
 
     def mediafilter(d):
         from cloud_data_quality_spark.functions.multimodal import (
@@ -506,11 +520,22 @@ def _curate(args) -> int:
         from cloud_data_quality_spark.functions.dedup import (
             dedup_near_duplicates,
             minhash_lsh_pairs,
+            minhash_pairs_from_columns,
         )
-        pairs = minhash_lsh_pairs(
-            d, text_col=args.text_col, id_col=args.id_col,
-            jaccard_threshold=args.near_dedup,
-            broadcast_verify=True).select("id_a", "id_b")
+        helper = [c for c in ("__mh_hs", "__mh_sig") if c in d.columns]
+        if len(helper) == 2:
+            # signatures precomputed by the dedup stage (one shingle pass)
+            pairs = minhash_pairs_from_columns(
+                d, id_col=args.id_col, hs_col="__mh_hs",
+                sig_col="__mh_sig", jaccard_threshold=args.near_dedup,
+                broadcast_verify=True).select("id_a", "id_b")
+        else:
+            pairs = minhash_lsh_pairs(
+                d, text_col=args.text_col, id_col=args.id_col,
+                jaccard_threshold=args.near_dedup,
+                broadcast_verify=True).select("id_a", "id_b")
+        if helper:
+            d = d.drop(*helper)
         if args.keep_best:
             from pyspark.sql import functions as F
             scored = d.withColumn("__len",

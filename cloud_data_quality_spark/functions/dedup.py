@@ -196,19 +196,10 @@ def minhash_lsh_pairs(
     AQE underestimates cached array columns, so small corpora benefit (two
     shuffle exchanges saved); leave False at scale — the decision is the
     caller's (a plan-time count() here would trigger an extra job per call)."""
-    hashes = F.array_sort(F.transform(word_shingles(F.col(text_col), n),
-                                      F.md5))
     base = (
         ensure_min_partitions(df.where(F.col(text_col).isNotNull()))
         .select(F.col(id_col).alias("id"),
-                # verify payload: 60-bit md5 prefixes as longs — same
-                # Jaccard as the shingle strings (collision odds ~2^-60 per
-                # pair, and the oracle replays the identical truncation) at
-                # ~1/5 the bytes of 32-hex strings; smaller cache, smaller
-                # broadcast, long-vs-string array_intersect
-                F.transform(hashes, lambda h: F.conv(
-                    F.substring(h, 1, 15), 16, 10).cast("bigint")).alias("hs"),
-                F.slice(hashes, 1, k).alias("sig"))
+                *minhash_columns(F.col(text_col), n, k))
     )
     # shingling + md5 per doc is the expensive narrow stage and the plan
     # reads it from three subtrees (bucket explode + both verify sides) —
@@ -219,6 +210,50 @@ def minhash_lsh_pairs(
     # logging "already cached" warnings and re-pinning.
     if base.storageLevel == StorageLevel.NONE:
         base = base.persist()
+    return _lsh_pairs_from_base(base, jaccard_threshold, broadcast_verify)
+
+
+def minhash_columns(text: Column, n: int = 3, k: int = 8) -> list[Column]:
+    """The per-doc MinHash payload as two Columns — `hs` (every shingle's
+    60-bit md5 prefix as a long: the exact-Jaccard verify payload at ~1/5
+    the bytes of 32-hex strings) and `sig` (the bottom-k of the sorted
+    hashes: the LSH bucket keys). Exposed so a pipeline stage that already
+    scans the text (e.g. curate's exact dedup) can compute the near-dedup
+    signatures IN THE SAME narrow pass and materialize them for the
+    near-dedup stage — one shingle computation feeding both dedups."""
+    hashes = F.array_sort(F.transform(word_shingles(text, n), F.md5))
+    return [
+        F.transform(hashes, lambda h: F.conv(
+            F.substring(h, 1, 15), 16, 10).cast("bigint")).alias("hs"),
+        F.slice(hashes, 1, k).alias("sig"),
+    ]
+
+
+def minhash_pairs_from_columns(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hs_col: str = "hs",
+    sig_col: str = "sig",
+    jaccard_threshold: float = 0.5,
+    broadcast_verify: bool = False,
+) -> DataFrame:
+    """minhash_lsh_pairs over PRECOMPUTED signature columns (from
+    minhash_columns, typically materialized by an upstream stage): zero
+    text scans, zero md5 — the bucket join and the exact-Jaccard verify
+    run straight off the stored arrays. Identical results to
+    minhash_lsh_pairs by construction (same expressions, same 60-bit
+    truncation, same threshold contract)."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(hs_col).alias("hs"), F.col(sig_col).alias("sig"))
+    if base.storageLevel == StorageLevel.NONE:
+        base = base.persist()
+    return _lsh_pairs_from_base(base, jaccard_threshold, broadcast_verify)
+
+
+def _lsh_pairs_from_base(
+    base: DataFrame, jaccard_threshold: float, broadcast_verify: bool,
+) -> DataFrame:
+    """Bucket join + exact-Jaccard verify over a (id, hs, sig) base."""
     # empty-shingle filter sits ABOVE the cache barrier: written below the
     # projection, Catalyst pushes `size(hs) >= 1` into the parquet scan,
     # re-inlining the whole shingle tree into the pre-repartition

@@ -162,6 +162,49 @@ class TestShingleDedup:
         assert (1, 2) in pairs and pairs[(1, 2)] >= 0.3
 
 
+class TestSharedSignatureBase:
+    """minhash_pairs_from_columns (r6): near-dedup over signature columns
+    precomputed by an upstream stage — curate's exact-dedup stage computes
+    them in its own narrow pass, so the pipeline shingles each doc ONCE."""
+
+    def test_equals_text_path(self, spark):
+        from cloud_data_quality_spark.functions.dedup import (
+            minhash_columns,
+            minhash_lsh_pairs,
+            minhash_pairs_from_columns,
+        )
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet") \
+            .select("doc_id", "text")
+        hs, sig = minhash_columns(F.col("text"))
+        with_sigs = docs.select("*", hs, sig)
+        a = sorted(map(tuple, minhash_lsh_pairs(
+            docs, jaccard_threshold=0.5).collect()))
+        b = sorted(map(tuple, minhash_pairs_from_columns(
+            with_sigs, jaccard_threshold=0.5)
+            .select("id_a", "id_b", "jaccard").collect()))
+        assert a == b and len(a) > 0
+
+    def test_from_columns_plan_has_no_text_scan(self, spark, tmp_path):
+        """The consuming stage must not re-shingle: its plan reads the
+        stored arrays and contains zero md5 / shingle expressions."""
+        from cloud_data_quality_spark.functions.dedup import (
+            minhash_columns,
+            minhash_pairs_from_columns,
+        )
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e g")],
+            "doc_id bigint, text string")
+        hs, sig = minhash_columns(F.col("text"))
+        path = str(tmp_path / "sigs")
+        docs.select("*", hs, sig).write.parquet(path)
+        stored = spark.read.parquet(path)
+        plan = minhash_pairs_from_columns(stored) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+        assert "md5" not in plan
+        assert "text#" not in plan  # text column pruned entirely
+
+
 class TestEmbeddings:
     @pytest.fixture(scope="class")
     def emb(self, spark):
