@@ -103,9 +103,16 @@ def pack_documents(
         from cloud_data_quality_spark.functions.bpe_large_artifact import (
             BPE_MERGES_LARGE)
         n_tokens = bpe_token_count_column(text_col, merges=BPE_MERGES_LARGE)
+    elif tokenizer == "bpe_8k":
+        from cloud_data_quality_spark.functions.bpe_8k_artifact import (
+            BPE_MERGES_8K)
+        from cloud_data_quality_spark.functions.bpe_artifact import (
+            bpe_token_count_column)
+        n_tokens = bpe_token_count_column(text_col, merges=BPE_MERGES_8K)
     else:
         raise ValueError(f"unknown tokenizer {tokenizer!r} "
-                         "(expected 'words', 'bpe' or 'bpe_large')")
+                         "(expected 'words', 'bpe', 'bpe_large' or "
+                         "'bpe_8k')")
     base = (df.where(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("doc_id"),
                     _bucket_col(id_col, n_buckets).alias("bucket"),

@@ -432,22 +432,52 @@ def q_pack_documents_bpe_1k(spark, sf_dir):
 
 
 def _oracle_pack_bpe_large() -> str:
-    """Greedy-pack oracle with token counts from the 1024-merge table:
-    distinct words are sentinel-encoded once, the merge chain applies as a
-    recursive CTE joined to a 1024-row merge TABLE by step index, and
-    per-doc counts come back through a join on the stripped word."""
     from cloud_data_quality_spark.functions.bpe_large_artifact import (
         BPE_MERGES_LARGE,
-        N_MERGES_LARGE,
     )
+    return _oracle_pack_bpe_grouped(BPE_MERGES_LARGE)
+
+
+def _oracle_pack_bpe_grouped(merges: list[tuple[str, str]],
+                             group: int = 16) -> str:
+    """Greedy-pack oracle with token counts from an arbitrary merge table:
+    distinct words are sentinel-encoded once, then the merge chain applies
+    as a recursive CTE joined to a merge-GROUP table by step index — each
+    recursion round applies `group` consecutive merges as one nested
+    replace chain (in table order, so semantics are identical to the flat
+    one-merge-per-round replay; a flat 8192-round recursion costs ~13 min
+    in DuckDB at sf0.01, the 16-grouped one rounds/rows are 16× fewer).
+    Short final groups pad with a never-matching pattern (chr(3)chr(3):
+    the sentinel encoding makes \\x03\\x03 impossible — symbols contain no
+    sentinels). Per-doc counts come back through a join on the stripped
+    word."""
 
     def q(s: str) -> str:
         return s.replace("'", "''")
 
-    rows = ",\n".join(
-        f"({i + 1}, chr(2)||'{q(a)}'||chr(3)||chr(2)||'{q(b)}'||chr(3), "
-        f"chr(2)||'{q(a + b)}'||chr(3))"
-        for i, (a, b) in enumerate(BPE_MERGES_LARGE))
+    def pat(a: str, b: str) -> str:
+        return f"chr(2)||'{q(a)}'||chr(3)||chr(2)||'{q(b)}'||chr(3)"
+
+    def rep(a: str, b: str) -> str:
+        return f"chr(2)||'{q(a + b)}'||chr(3)"
+
+    n_groups = (len(merges) + group - 1) // group
+    cols = ", ".join(f"p{j}, r{j}" for j in range(group))
+    rows = []
+    for g in range(n_groups):
+        chunk = merges[g * group:(g + 1) * group]
+        vals = []
+        for a, b in chunk:
+            vals.append(pat(a, b))
+            vals.append(rep(a, b))
+        for _ in range(group - len(chunk)):      # pad short final group
+            vals.append("chr(3)||chr(3)")
+            vals.append("''")
+        rows.append(f"({g + 1}, {', '.join(vals)})")
+    values = ",\n".join(rows)
+    s_expr = "e.s"
+    for j in range(group):
+        s_expr = f"replace({s_expr}, m.p{j}, m.r{j})"
     return f"""
 with recursive
 dw_raw as (select doc_id, unnest({OF.sql_tokens('text')}) as w
@@ -455,19 +485,19 @@ dw_raw as (select doc_id, unnest({OF.sql_tokens('text')}) as w
 dw as (select doc_id,
               replace(replace(w, chr(2), ''), chr(3), '') as w from dw_raw),
 words as (select distinct w from dw),
-merges(step, pat, rep) as (select * from (values
-{rows}
-) t(step, pat, rep)),
+merges(step, {cols}) as (select * from (values
+{values}
+) t(step, {cols})),
 enc as (
   select w, 0 as step,
          array_to_string(list_transform(range(1, length(w) + 1),
            i -> chr(2) || substr(w, i, 1) || chr(3)), '') as s
   from words
   union all
-  select e.w, e.step + 1, replace(e.s, m.pat, m.rep)
+  select e.w, e.step + 1, {s_expr}
   from enc e join merges m on m.step = e.step + 1),
 wtok as (select w, (length(s) - length(replace(s, chr(2), '')))::BIGINT as n
-         from enc where step = {N_MERGES_LARGE}),
+         from enc where step = {n_groups}),
 dt as (select dw.doc_id, sum(wtok.n)::BIGINT as tok
        from dw join wtok using (w) group by dw.doc_id),
 d as (select documents.doc_id,
@@ -2523,3 +2553,22 @@ kept as (
 select g.doc_id, g.format, g.w::INT as width, g.h::INT as height
 from gated g join kept using (k, doc_id)
 """
+
+
+def q_pack_documents_bpe_8k(spark, sf_dir):
+    """Sequence packing budgeted by the 8192-merge tokenizer (functions/
+    bpe_8k_artifact — trained on 20k pages by the incremental trainer;
+    real subword vocabularies run 30-50k merges, and 8192 is this
+    fixture's justified cap: ~5k distinct words exhaust fresh pairs not
+    far beyond it). Spark side runs the same Arrow memoized encoder as
+    the 1024-merge query — its cost is O(distinct words), flat in merge
+    count (bench note in test_packing) — while the oracle replays the
+    table with the 16-grouped recursive CTE."""
+    return q_pack_documents(spark, sf_dir, tokenizer="bpe_8k")
+
+
+def _oracle_pack_bpe_8k() -> str:
+    from cloud_data_quality_spark.functions.bpe_8k_artifact import (
+        BPE_MERGES_8K,
+    )
+    return _oracle_pack_bpe_grouped(BPE_MERGES_8K)

@@ -180,6 +180,43 @@ class TestBpeArtifact:
         texts = generate_rows(np.arange(4000), seed=42)["text"].tolist()
         assert train_bpe(texts, 64) == BPE_MERGES_LARGE[:64]
 
+    def test_fast_trainer_equals_naive(self):
+        """train_bpe_fast (incremental pair counts + lazy heap, the only
+        way 8k-merge artifacts are trainable) produces the EXACT merge
+        sequence of the shipped naive trainer — including the naive
+        tie-break's prefix quirk (_neg_lex prefers the LONGER string among
+        prefix pairs: negating ords flips character order but not the
+        shorter-prefix-sorts-first rule)."""
+        import numpy as np
+
+        from cloud_data_quality_spark.functions.bpe_artifact import (
+            train_bpe, train_bpe_fast)
+        from cloud_data_quality_spark.sources.pages import generate_rows
+        texts = generate_rows(np.arange(1500), seed=42)["text"].tolist()
+        # 300 merges crosses the first observed prefix-tie divergence
+        # (round 258: ('this','ing') vs ('t','o') at equal count 803)
+        assert train_bpe_fast(texts, 300) == train_bpe(texts, 300)
+
+    def test_8k_artifact_fresh_and_reassembles(self):
+        """The 8192-merge table: prefix-pin against a fresh fast-trainer
+        run on the pinned fixture, byte-exact reassembly, and the
+        1024-merge table is NOT simply a prefix of it (different training
+        sample: 4k vs 20k pages)."""
+        import numpy as np
+
+        from cloud_data_quality_spark.functions.bpe_8k_artifact import (
+            BPE_MERGES_8K, N_MERGES_8K)
+        from cloud_data_quality_spark.functions.bpe_artifact import (
+            make_word_encoder, train_bpe_fast)
+        from cloud_data_quality_spark.sources.pages import generate_rows
+
+        assert len(BPE_MERGES_8K) == N_MERGES_8K == 8192
+        enc = make_word_encoder(tuple(BPE_MERGES_8K))
+        for w in ["stream", "internationalization", "x" * 40, "a", ""]:
+            assert "".join(enc(w)) == w
+        texts = generate_rows(np.arange(20000), seed=42)["text"].tolist()
+        assert train_bpe_fast(texts, 64) == BPE_MERGES_8K[:64]
+
     def test_pack_bpe_arrow_column_matches_python(self, spark):
         from cloud_data_quality_spark.functions.bpe_artifact import (
             bpe_token_count_column, doc_token_count)
