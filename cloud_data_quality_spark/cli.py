@@ -30,8 +30,10 @@ Subcommands:
                   [dedup-lines →] [c4-clean →] quality filter →
                   [span-dedup →] [decontaminate →] [host blocklist+cap →]
                   exact dedup → [minhash near-dedup (--keep-best) →]
+                  [media-filter →]
                   [stratified sample →] [top-fraction |
-                  token-budget selection →] [sequence packing]
+                  token-budget selection →] [sequence packing |
+                  shard writer] — stages fuse (--fuse narrow default)
                   (engine/pipeline.py)
 """
 
@@ -636,6 +638,32 @@ def _curate(args) -> int:
             out = out.withColumnRenamed("doc_id", args.id_col)
         return out
 
+    def shards(d):
+        from pyspark.sql import functions as F
+
+        from cloud_data_quality_spark.functions.corpus import sample_hash
+        from cloud_data_quality_spark.functions.selection import (
+            global_enumerate)
+        from cloud_data_quality_spark.functions.shards import write_shards
+        # terminal stage: the curated corpus in a deterministic global
+        # order (md5-shuffled by default — the reproducible training
+        # order; --shard-order id keeps the natural key order), cut into
+        # fixed-document parquet shards + manifest under the run's
+        # work dir. Output of the STAGE is the manifest (the commit log a
+        # trainer consumes); the shard data lives next to it. Resume is
+        # two-level: the pipeline skips the whole stage once committed,
+        # and write_shards itself heals half-written shards within a run.
+        if args.shard_order == "hash":
+            keyed = d.withColumn("__h", sample_hash(args.id_col, "shards"))
+            ordered = global_enumerate(keyed, ["__h", args.id_col])
+            ordered = ordered.drop("__h")
+        else:
+            ordered = global_enumerate(d, [args.id_col])
+        out_dir = (f"{args.work_dir.rstrip('/')}/{args.run_id}"
+                   f"/shards_data")
+        return write_shards(ordered, out_dir, args.shard_docs,
+                            id_col=args.id_col, text_col=args.text_col)
+
     def select_budget(d):
         from pyspark.sql import functions as F
 
@@ -714,8 +742,14 @@ def _curate(args) -> int:
     if args.token_budget > 0:
         stages.append(PipelineStage("select_budget", select_budget,
                                     kind="global"))
+    if args.pack_budget > 0 and args.shard_docs > 0:
+        raise SystemExit(
+            "--pack-budget and --shard-docs are both terminal stages; "
+            "pass at most one")
     if args.pack_budget > 0:
         stages.append(PipelineStage("pack", pack, kind="global"))
+    if args.shard_docs > 0:
+        stages.append(PipelineStage("shards", shards, kind="global"))
 
     marks = {m.strip() for m in args.fuse_marks.split(",") if m.strip()}
     known = {s.name for s in stages}
@@ -880,8 +914,8 @@ def main(argv: list[str] | None = None) -> int:
                        "[span-dedup →] [decontaminate →] [host "
                        "blocklist+cap →] exact dedup → [media-filter →] "
                        "[near-dedup →] [sample →] "
-                       "[top-fraction | token-budget →] [pack] (staged, "
-                       "per-partition lineage, restart-safe)")
+                       "[top-fraction | token-budget →] [pack | shards] "
+                       "(staged, per-partition lineage, restart-safe)")
     cu.add_argument("--input", required=True)
     cu.add_argument("--work-dir", required=True,
                     help="stage outputs + shared lineage live here; rerun "
@@ -955,7 +989,19 @@ def main(argv: list[str] | None = None) -> int:
                          "token budget; output is the packing manifest "
                          "(doc -> pack assignment), 0 = disabled")
     cu.add_argument("--pack-tokenizer", default="words",
-                    choices=["words", "bpe"])
+                    choices=["words", "bpe", "bpe_large", "bpe_8k"])
+    cu.add_argument("--shard-docs", type=int, default=0,
+                    help="terminal stage (exclusive with --pack-budget): "
+                         "write the curated corpus as order-preserving "
+                         "parquet shards of this many documents + a "
+                         "manifest (row span, count, bytes, checksum) "
+                         "under the run's work dir; stage output is the "
+                         "manifest")
+    cu.add_argument("--shard-order", default="hash",
+                    choices=["hash", "id"],
+                    help="global order for --shard-docs: 'hash' = "
+                         "deterministic md5 shuffle (the reproducible "
+                         "training order), 'id' = natural key order")
     cu.add_argument("--partitions-per-commit", type=int, default=None)
     cu.add_argument("--media-filter", action="store_true",
                     help="after exact dedup: curate the binary media "

@@ -911,6 +911,46 @@ class TestRound5CorpusOps:
                   "--work-dir", str(tmp_path / "w"), "--run-id", "x",
                   "--media-filter", "--media-col", "nope"])
 
+    def test_curate_shard_docs_terminal_stage(self, spark, tmp_path,
+                                              capsys):
+        """--shard-docs ships the curated corpus as order-preserving
+        shards + manifest; the stage output IS the manifest, shard files
+        live under the run dir, and a rerun resumes everything."""
+        import glob
+        import json as _json
+        good = ("this is a perfectly reasonable english sentence with "
+                "plenty of common stopwords in the mix and good length.")
+        inp = str(tmp_path / "docs.parquet")
+        rows = [(f"u{i:03d}", f"{good} tail {i}") for i in range(200)]
+        spark.createDataFrame(rows, "url string, text string") \
+            .write.parquet(inp)
+        work = str(tmp_path / "ws")
+        argv = ["curate", "--input", inp, "--work-dir", work,
+                "--run-id", "sh", "--buckets", "4", "--id-col", "url",
+                "--shard-docs", "64"]
+        rc = main(argv)
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["stages"][-1]["name"] == "shards"
+        manifest = spark.read.parquet(out["stages"][-1]["output"])
+        m = {r["shard_id"]: r for r in manifest.collect()}
+        assert sorted(m) == [0, 1, 2, 3]  # 200 docs / 64 per shard
+        assert sum(r["n_rows"] for r in m.values()) == 200
+        files = glob.glob(f"{work}/sh/shards_data/data/shard_id=*/"
+                          "*.parquet")
+        assert len(files) == 4
+        # rerun fully resumes (pipeline stage committed)
+        rc = main(argv)
+        out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert all(s["resumed"] for s in out2["stages"])
+
+    def test_curate_pack_and_shards_exclusive(self, spark, pages_parquet,
+                                              tmp_path):
+        with pytest.raises(SystemExit, match="terminal"):
+            main(["curate", "--input", pages_parquet,
+                  "--work-dir", str(tmp_path / "w"), "--run-id", "x",
+                  "--pack-budget", "128", "--shard-docs", "64"])
+
     def test_curate_near_dedup_keep_best(self, spark, tmp_path, capsys):
         """--near-dedup composes after exact dedup; --keep-best keeps the
         longest cluster member."""
