@@ -2572,3 +2572,87 @@ def _oracle_pack_bpe_8k() -> str:
         BPE_MERGES_8K,
     )
     return _oracle_pack_bpe_grouped(BPE_MERGES_8K)
+
+
+def _warc_synth_sql() -> str:
+    """Per-doc 2-record WARC blob synthesis — one SQL fragment evaluated
+    by Spark (then cast to binary and fed to the real byte parser).
+    Record 1 is always a response; record 2 is a request (parser-filtered)
+    on doc_id % 3 = 0 and TRUNCATED mid-header on doc_id % 11 = 0 (the
+    parser must return the clean prefix and stop). chr(13)||chr(10)
+    literals, never '\\r\\n' (DuckDB string literals don't interpret
+    backslash escapes; chr() is identical in both engines)."""
+    crlf = "chr(13) || chr(10)"
+    uri1 = "'https://h' || (doc_id % 7) || '.example/' || doc_id"
+    date1 = ("'2026-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')"
+             " || 'T00:00:00Z'")
+    pay1 = "'<html>' || repeat('x', doc_id % 40) || doc_id || '</html>'"
+    uri2 = uri1 + " || '/p2'"
+    date2 = "'2026-02-01T00:00:00Z'"
+    pay2 = "'p2-' || doc_id"
+    typ2 = "case when doc_id % 3 = 0 then 'request' else 'response' end"
+
+    def rec(typ, uri, date, pay):
+        return (f"'WARC/1.0' || {crlf} || "
+                f"'WARC-Type: ' || {typ} || {crlf} || "
+                f"'WARC-Target-URI: ' || {uri} || {crlf} || "
+                f"'WARC-Date: ' || {date} || {crlf} || "
+                f"'Content-Length: ' || length({pay})::VARCHAR || {crlf} "
+                f"|| {crlf} || {pay} || {crlf} || {crlf}")
+
+    r1 = rec("'response'", uri1, date1, pay1)
+    r2 = rec(typ2, uri2, date2, pay2)
+    return (f"({r1}) || (case when doc_id % 11 = 0 "
+            f"then substr({r2}, 1, 20) else ({r2}) end)")
+
+
+# DuckDB ::VARCHAR casts spelled cross-engine: Spark accepts ::VARCHAR?
+# No — the Spark side rewrites them to cast(... as string) below.
+
+
+def q_warc_extract_docs(spark, sf_dir):
+    """WARC container parsing (functions/warc.warc_records): per-doc
+    2-record WARC/1.0 blobs synthesized JVM-side from shared arithmetic
+    (record 2 is a request on doc_id%3=0 — type-filtered — and truncated
+    mid-header on doc_id%11=0 — the parser must stop cleanly after
+    record 1), then parsed from the ACTUAL bytes in the Arrow stage. The
+    oracle re-derives every field (uri, date, content length, payload
+    sha256) from the synthesis arithmetic, so any parser drift — header
+    walk, Content-Length handling, record framing — value-mismatches."""
+    from cloud_data_quality_spark.functions.warc import warc_records
+    synth = _warc_synth_sql().replace("::VARCHAR", "")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"cast(({synth}) as binary)").alias("warc"))
+    recs = warc_records(docs, blob_col="warc", id_col="doc_id",
+                        types=("response",))
+    return recs.select(
+        "doc_id", F.col("record_idx").cast("int").alias("record_idx"),
+        "target_uri", "warc_date", "content_length",
+        F.sha2(F.col("payload"), 256).alias("payload_sha256"))
+
+
+def _oracle_warc_extract() -> str:
+    return """
+with r1 as (
+  select doc_id, 0 as record_idx,
+         'https://h' || (doc_id % 7) || '.example/' || doc_id as target_uri,
+         '2026-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+           || 'T00:00:00Z' as warc_date,
+         '<html>' || repeat('x', doc_id % 40) || doc_id || '</html>' as p
+  from documents),
+r2 as (
+  select doc_id, 1 as record_idx,
+         'https://h' || (doc_id % 7) || '.example/' || doc_id || '/p2'
+           as target_uri,
+         '2026-02-01T00:00:00Z' as warc_date,
+         'p2-' || doc_id as p
+  from documents
+  where doc_id % 11 <> 0    -- truncated record never parses
+    and doc_id % 3 <> 0),   -- request records are type-filtered
+u as (select * from r1 union all select * from r2)
+select doc_id, record_idx::INT as record_idx, target_uri, warc_date,
+       length(p)::BIGINT as content_length,
+       sha256(p) as payload_sha256
+from u
+"""
