@@ -106,7 +106,28 @@ def _quality_filter(args) -> int:
         spark, output_path=args.output, lineage_path=args.lineage,
         n_buckets=args.buckets,
         partitions_per_commit=args.partitions_per_commit)
-    if args.from_html:
+    if getattr(args, "from_warc", False):
+        # crawl-archive mode: each input row is ONE WARC blob (id = url
+        # column, e.g. the archive path); explode response records, derive
+        # url/text per record, annotate. part_key passes through the
+        # explode so the wave lineage stays per input blob.
+        from cloud_data_quality_spark.functions.html_extract import (
+            extract_text)
+        from cloud_data_quality_spark.functions.warc import warc_records
+
+        def transform(d):
+            recs = warc_records(
+                d, blob_col=args.warc_col, id_col="url",
+                types=("response",), passthrough=["part_key"])
+            pages = recs.select(
+                "part_key",
+                F.col("url").alias("warc_source"),
+                "record_idx",
+                F.col("target_uri").alias("url"),
+                F.col("warc_date").alias("warc_fetch_time"),
+                extract_text(F.col("payload")).alias("text"))
+            return annotate_quality_arrow(pages).where(F.col("keep"))
+    elif args.from_html:
         # raw-capture mode: derive text from the html bytes first (JVM-side
         # deterministic extraction — the byte-identical-per-url stage), then
         # annotate the extracted text
@@ -810,6 +831,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--from-html", action="store_true",
                    help="derive text from the html column (deterministic "
                         "JVM-side extraction) before quality annotation")
+    q.add_argument("--from-warc", action="store_true",
+                   help="crawl-archive mode: each input row is one WARC "
+                        "blob (id in the url column); explode response "
+                        "records, extract text from each payload, "
+                        "annotate — the full Common-Crawl ingestion path")
+    q.add_argument("--warc-col", default="warc",
+                   help="binary column holding the WARC bytes for "
+                        "--from-warc")
     q.add_argument("--partitions-per-commit", type=int, default=None,
                    help="buckets per lineage commit; default = all remaining "
                         "in one single-scan wave (extra waves re-scan unless "

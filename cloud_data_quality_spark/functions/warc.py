@@ -112,29 +112,36 @@ def warc_records(
     blob_col: str = "warc",
     id_col: str = "doc_id",
     types: tuple[str, ...] = ("response",),
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """One output row per WARC record of the requested types: (id_col,
     record_idx within the blob, warc_type, target_uri, warc_date,
-    content_length, payload binary). NULL blobs contribute nothing;
-    damaged blobs contribute their parseable prefix. record_idx counts
-    ALL records in the blob (so 'the 3rd record was a request' stays
-    visible downstream even when filtered to responses)."""
+    content_length, payload binary, *passthrough). NULL blobs contribute
+    nothing; damaged blobs contribute their parseable prefix. record_idx
+    counts ALL records in the blob (so 'the 3rd record was a request'
+    stays visible downstream even when filtered to responses).
+    `passthrough` names input columns copied verbatim onto every record
+    row — e.g. the wave machinery's part_key, so the explode composes
+    with ResumableQualityRun's per-bucket lineage."""
+    extra = list(passthrough or [])
     id_field = df.schema[id_col]
-    schema = StructType([
-        StructField(id_col, id_field.dataType, id_field.nullable),
-        StructField("record_idx", IntegerType(), False),
-        StructField("warc_type", StringType(), True),
-        StructField("target_uri", StringType(), True),
-        StructField("warc_date", StringType(), True),
-        StructField("content_length", LongType(), False),
-        StructField("payload", BinaryType(), True),
-    ])
+    schema = StructType(
+        [StructField(id_col, id_field.dataType, id_field.nullable),
+         StructField("record_idx", IntegerType(), False),
+         StructField("warc_type", StringType(), True),
+         StructField("target_uri", StringType(), True),
+         StructField("warc_date", StringType(), True),
+         StructField("content_length", LongType(), False),
+         StructField("payload", BinaryType(), True)]
+        + [StructField(c, df.schema[c].dataType, df.schema[c].nullable)
+           for c in extra])
     want = set(types) if types else None
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {f.name: [] for f in schema.fields}
-            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+            rows: dict[str, list] = {f.name: [] for f in schema.fields}
+            for i, (rid, blob) in enumerate(zip(pdf[id_col],
+                                                pdf[blob_col])):
                 if blob is None:
                     continue
                 for idx, rec in enumerate(parse_warc_records(bytes(blob))):
@@ -147,6 +154,8 @@ def warc_records(
                     rows["warc_date"].append(rec["warc_date"])
                     rows["content_length"].append(rec["content_length"])
                     rows["payload"].append(rec["payload"])
+                    for c in extra:
+                        rows[c].append(pdf[c].iloc[i])
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, blob_col).mapInPandas(stage, schema)
+    return df.select(id_col, blob_col, *extra).mapInPandas(stage, schema)

@@ -134,6 +134,52 @@ class TestQualityFilterCommand:
         assert kept_html.select("url").exceptAll(plain).count() == 0
         assert plain.exceptAll(kept_html.select("url")).count() == 0
 
+    def test_quality_filter_from_warc_matches_html_path(
+            self, spark, pages_parquet, tmp_path, capsys):
+        """--from-warc: pages' html bytes wrapped into multi-record WARC
+        blobs (4 pages per archive + one request record) must yield the
+        SAME kept url set as the plain-text path — the full Common-Crawl
+        ingestion chain (record walk → extract_text → annotate) end to
+        end, with per-archive wave lineage."""
+        from pyspark.sql import functions as F
+
+        from cloud_data_quality_spark.functions.warc import make_warc_record
+        from cloud_data_quality_spark.operators.quality_filter import (
+            annotate_quality_arrow,
+        )
+        pages = spark.read.parquet(pages_parquet).limit(200) \
+            .select("url", "html").collect()
+        blobs = []
+        for i in range(0, len(pages), 4):
+            chunk = pages[i:i + 4]
+            blob = make_warc_record("https://crawler/req",
+                                    "2026-01-01T00:00:00Z",
+                                    b"GET /", warc_type="request")
+            for r in chunk:
+                blob += make_warc_record(r["url"],
+                                         "2026-01-01T00:00:00Z",
+                                         bytes(r["html"]))
+            blobs.append((f"archive-{i // 4:04d}.warc", blob))
+        inp = str(tmp_path / "warcs.parquet")
+        spark.createDataFrame(blobs, "url string, warc binary") \
+            .write.parquet(inp)
+        rc = main(["quality-filter", "--input", inp,
+                   "--output", str(tmp_path / "out_warc"),
+                   "--lineage", str(tmp_path / "lin_warc"),
+                   "--run-id", "t3", "--buckets", "4", "--from-warc"])
+        assert rc == 0
+        kept = spark.read.parquet(str(tmp_path / "out_warc"))
+        assert "warc_source" in kept.columns
+        from cloud_data_quality_spark.functions.html_extract import (
+            extract_text,
+        )
+        src = (spark.createDataFrame(pages, "url string, html binary")
+               .withColumn("text", extract_text(F.col("html"))))
+        want = {r["url"] for r in annotate_quality_arrow(src)
+                .where(F.col("keep")).select("url").collect()}
+        got = {r["url"] for r in kept.select("url").collect()}
+        assert got == want and len(got) > 0
+
 
 class TestCorpus:
     def test_span_dedup_and_sample_ops(self, spark, tmp_path, capsys):
