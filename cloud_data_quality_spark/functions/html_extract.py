@@ -80,3 +80,51 @@ def escape_text(text_col: Column) -> Column:
     for ent, ch in reversed(HTML_ENTITIES):
         s = F.replace(s, F.lit(ch), F.lit(ent))
     return s
+
+
+# robots/canonical metadata — same cross-engine contract as the strip
+# patterns: (?i) + explicit [ \t\n\r] whitespace (NEVER \s — Java \s
+# includes \x0b, RE2 \s excludes it), no lookaround, one capture group.
+# Attribute-order contract is documented: name before content in the
+# robots meta tag, and both rel-first and href-first canonical links are
+# matched via the alternation.
+ROBOTS_META_RE = (
+    "(?i)<meta[ \\t\\n\\r][^>]*name[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']robots[\"'][^>]*content[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"']")
+CANONICAL_RE_REL_FIRST = (
+    "(?i)<link[ \\t\\n\\r][^>]*rel[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']canonical[\"'][^>]*href[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"']")
+CANONICAL_RE_HREF_FIRST = (
+    "(?i)<link[ \\t\\n\\r][^>]*href[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']([^\"']*)[\"'][^>]*rel[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+    "[\"']canonical[\"']")
+
+
+def html_meta(html_col: Column) -> list[Column]:
+    """Robots/canonical page metadata as three pure Columns (zero shuffle,
+    zero Python — the same codegen'd posture as extract_text):
+
+    * ``robots_noindex`` / ``robots_nofollow``: the crawl-hygiene gates a
+      corpus builder must respect — a page that says noindex asked to be
+      left out of derived datasets;
+    * ``canonical_url``: the page's self-declared canonical location
+      (first matching <link rel=canonical>), the strongest dedup key
+      there is — stronger than hosts.canonicalize_url's syntactic
+      normalization, and the natural join input for latest_revision.
+
+    NULL html → NULL flags/url; pages without the tags → false / NULL.
+    Patterns are shared constants replayed verbatim by the DuckDB oracle
+    (regexp_extract group 1 in both engines)."""
+    s = F.decode(html_col, "UTF-8")
+    robots = F.lower(F.regexp_extract(s, ROBOTS_META_RE, 1))
+    canon = F.regexp_extract(s, CANONICAL_RE_REL_FIRST, 1)
+    canon2 = F.regexp_extract(s, CANONICAL_RE_HREF_FIRST, 1)
+    pick = F.when(F.length(canon) > 0, canon) \
+        .when(F.length(canon2) > 0, canon2)
+    return [
+        robots.contains("noindex").alias("robots_noindex"),
+        robots.contains("nofollow").alias("robots_nofollow"),
+        pick.alias("canonical_url"),
+    ]

@@ -2656,3 +2656,68 @@ select doc_id, record_idx::INT as record_idx, target_uri, warc_date,
        sha256(p) as payload_sha256
 from u
 """
+
+
+_HTML_META_SYNTH = """
+case when doc_id % 13 = 0 then null else
+  '<html><head>'
+  || case when doc_id % 4 = 0
+          then '<meta name="robots" content="noindex, follow">'
+          when doc_id % 4 = 1
+          then '<META NAME="robots" CONTENT="NOFOLLOW">'
+          else '' end
+  || case when doc_id % 5 = 0
+          then '<link rel="canonical" href="https://c.example/'
+               || doc_id || '">'
+          when doc_id % 5 = 1
+          then '<link href="https://c2.example/' || doc_id
+               || '" rel="canonical">'
+          else '' end
+  || '</head><body>ok</body></html>' end
+"""
+
+
+def q_html_meta_docs(spark, sf_dir):
+    """Robots/canonical page metadata (html_extract.html_meta): noindex /
+    nofollow crawl-hygiene flags + the self-declared canonical URL, as
+    pure codegen'd Columns over deterministically synthesized html
+    (case-mixed robots tags, both canonical attribute orders, NULL html
+    rows). The oracle runs the IDENTICAL shared regex constants in
+    DuckDB over the identical synthesis — regex-engine parity is the
+    thing under test, exactly the extract_text contract."""
+    from cloud_data_quality_spark.functions.html_extract import html_meta
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"cast(({_HTML_META_SYNTH}) as binary)").alias("html"))
+    return docs.select("doc_id", *html_meta(F.col("html")))
+
+
+def _oracle_html_meta() -> str:
+    from cloud_data_quality_spark.functions.html_extract import (
+        CANONICAL_RE_HREF_FIRST,
+        CANONICAL_RE_REL_FIRST,
+        ROBOTS_META_RE,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    return f"""
+with s as (select doc_id, ({_HTML_META_SYNTH}) as html from documents),
+m as (select doc_id, html,
+             lower(coalesce(regexp_extract(html,
+                 '{q(ROBOTS_META_RE)}', 1), '')) as robots,
+             coalesce(regexp_extract(html,
+                 '{q(CANONICAL_RE_REL_FIRST)}', 1), '') as c1,
+             coalesce(regexp_extract(html,
+                 '{q(CANONICAL_RE_HREF_FIRST)}', 1), '') as c2
+      from s)
+select doc_id,
+       case when html is null then null
+            else contains(robots, 'noindex') end as robots_noindex,
+       case when html is null then null
+            else contains(robots, 'nofollow') end as robots_nofollow,
+       case when length(c1) > 0 then c1
+            when length(c2) > 0 then c2 end as canonical_url
+from m
+"""

@@ -75,3 +75,47 @@ class TestWarcRecordsStage:
                                    b"q", warc_type="request"))
         df = spark.createDataFrame([(1, blob)], "doc_id bigint, warc binary")
         assert warc_records(df, types=()).count() == 2
+
+
+class TestHtmlMeta:
+    def test_flags_canonical_and_nulls(self, spark):
+        from pyspark.sql import functions as F
+
+        from cloud_data_quality_spark.functions.html_extract import html_meta
+        rows = [
+            (1, b'<head><meta name="robots" content="noindex,nofollow">'
+                b'</head>'),
+            (2, b'<head><META NAME="robots" CONTENT="NOFOLLOW"></head>'),
+            (3, b'<link rel="canonical" href="https://a/x">'),
+            (4, b'<link href="https://b/y" rel="canonical">'),
+            (5, b'<p>no tags at all</p>'),
+            (6, None),
+            # content attr before name: outside the documented attribute-
+            # order contract -> not detected (order contract, not a bug)
+            (7, b'<meta content="noindex" name="robots">'),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, html binary")
+        got = {r["doc_id"]: r for r in
+               df.select("doc_id", *html_meta(F.col("html"))).collect()}
+        assert (got[1]["robots_noindex"], got[1]["robots_nofollow"]) \
+            == (True, True)
+        assert (got[2]["robots_noindex"], got[2]["robots_nofollow"]) \
+            == (False, True)
+        assert got[3]["canonical_url"] == "https://a/x"
+        assert got[4]["canonical_url"] == "https://b/y"
+        assert got[5]["canonical_url"] is None
+        assert got[5]["robots_noindex"] is False
+        assert got[6]["robots_noindex"] is None
+        assert got[6]["canonical_url"] is None
+        assert got[7]["robots_noindex"] is False
+
+    def test_pure_column_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from cloud_data_quality_spark.functions.html_extract import html_meta
+        df = spark.createDataFrame([(1, b"<p>x</p>")],
+                                   "doc_id bigint, html binary")
+        plan = df.select(*html_meta(F.col("html"))) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
