@@ -467,6 +467,10 @@ def _curate(args) -> int:
         raise SystemExit(
             f"curate: no column {args.media_col!r} in input for "
             f"--media-filter (pass --media-col)")
+    if args.drop_noindex and args.html_col_curate not in df.columns:
+        raise SystemExit(
+            f"curate: no column {args.html_col_curate!r} in input for "
+            f"--drop-noindex (pass --html-col-curate)")
 
     def normalize(d):
         from pyspark.sql import functions as F
@@ -531,6 +535,19 @@ def _curate(args) -> int:
             out = out.select("*", hs.alias("__mh_hs"),
                              sig.alias("__mh_sig"))
         return out
+
+    def dropnoindex(d):
+        from pyspark.sql import functions as F
+
+        from cloud_data_quality_spark.functions.html_extract import (
+            html_meta)
+        # crawl etiquette: pages whose robots meta says noindex asked to
+        # be left out of derived datasets — honor it before any content
+        # processing. Narrow Column filter, rows with NULL html pass.
+        noindex = html_meta(F.col(args.html_col_curate))[0]
+        return (d.withColumn("__ni", noindex)
+                .where(~F.coalesce(F.col("__ni"), F.lit(False)))
+                .drop("__ni"))
 
     def mediafilter(d):
         from cloud_data_quality_spark.functions.multimodal import (
@@ -712,6 +729,10 @@ def _curate(args) -> int:
     # order: normalization first (every downstream fingerprint/stat sees
     # canonical text), then host-template stripping (boilerplate lines
     # would pollute C4/quality statistics), then the content stages
+    if args.drop_noindex:
+        # first: honoring robots noindex precedes any content processing
+        stages.append(PipelineStage("drop_noindex", dropnoindex,
+                                    kind="partition"))
     if args.normalize:
         stages.append(PipelineStage("normalize", normalize,
                                     kind="partition"))
@@ -1032,6 +1053,13 @@ def main(argv: list[str] | None = None) -> int:
                          "deterministic md5 shuffle (the reproducible "
                          "training order), 'id' = natural key order")
     cu.add_argument("--partitions-per-commit", type=int, default=None)
+    cu.add_argument("--drop-noindex", action="store_true",
+                    help="first stage: drop pages whose <meta name=robots> "
+                         "declares noindex (crawl etiquette — those pages "
+                         "asked to be left out of derived datasets); "
+                         "needs the raw html column")
+    cu.add_argument("--html-col-curate", default="html",
+                    help="binary html column for --drop-noindex")
     cu.add_argument("--media-filter", action="store_true",
                     help="after exact dedup: curate the binary media "
                          "column — drop rows whose blob is undecodable "

@@ -950,6 +950,33 @@ class TestRound5CorpusOps:
                 spark.read.parquet(out["stages"][-1]["output"]).collect()}
         assert kept == {"u1", "u5"}  # u2 dup, u3 tiny, u4 junk
 
+    def test_curate_drop_noindex_stage(self, spark, tmp_path, capsys):
+        """--drop-noindex honors the robots meta before any content
+        stage; NULL-html rows pass through."""
+        import json as _json
+        good = ("this is a perfectly reasonable english sentence with "
+                "plenty of common stopwords in the mix and good length.")
+        rows = [
+            ("u1", good + " one",
+             b'<head><meta name="robots" content="noindex"></head>'),
+            ("u2", good + " two", b"<p>plain page</p>"),
+            ("u3", good + " three", None),
+        ]
+        inp = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            rows, "url string, text string, html binary").write.parquet(inp)
+        work = str(tmp_path / "wni")
+        rc = main(["curate", "--input", inp, "--work-dir", work,
+                   "--run-id", "ni", "--buckets", "4", "--id-col", "url",
+                   "--drop-noindex"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # narrow chain: drop_noindex fuses with quality under --fuse narrow
+        assert out["stages"][0]["members"] == ["drop_noindex", "quality"]
+        kept = {r["url"] for r in
+                spark.read.parquet(out["stages"][-1]["output"]).collect()}
+        assert kept == {"u2", "u3"}
+
     def test_curate_media_filter_missing_col_fails_fast(
             self, spark, pages_parquet, tmp_path):
         with pytest.raises(SystemExit, match="media"):
