@@ -22,7 +22,8 @@ Subcommands:
                   canonicalize-urls | classify | containment | normalize |
                   url-dedup | boilerplate | tfidf | pagerank | profile |
                   dedup-lines | temperature-mix | bm25 | encoding-stats |
-                  inverted-index | readability | near-dedup | script-stats
+                  inverted-index | readability | near-dedup | script-stats |
+                  robots-filter
                   (functions/corpus.py, functions/hosts.py,
                   functions/classifier.py, functions/linkgraph.py)
   curate          composed resumable pipeline, every stage optional except
@@ -333,6 +334,16 @@ def _corpus(args) -> int:
         from cloud_data_quality_spark.functions.text import normalize_text
         out = df.withColumn(args.text_col,
                             normalize_text(F.col(args.text_col)))
+    elif args.op == "robots-filter":
+        from cloud_data_quality_spark.functions.robots import (
+            robots_filter,
+            robots_rules,
+        )
+        if not args.robots:
+            raise SystemExit("robots-filter needs --robots "
+                             "(parquet of host, robots_txt)")
+        rules = robots_rules(spark.read.parquet(args.robots))
+        out = robots_filter(df, rules, url_col=args.url_col or "url")
     elif args.op == "url-dedup":
         from cloud_data_quality_spark.functions.hosts import latest_revision
         for col, flag in ((args.url_col, "--url-col"),
@@ -878,9 +889,11 @@ def main(argv: list[str] | None = None) -> int:
                             "tfidf", "pagerank", "profile",
                             "dedup-lines", "temperature-mix", "bm25",
                             "encoding-stats", "inverted-index", "readability",
-                            "near-dedup", "script-stats"])
+                            "near-dedup", "script-stats", "robots-filter"])
     c.add_argument("--input", default=None,
                    help="required for all ops except compact-*")
+    c.add_argument("--robots", default=None,
+                   help="robots-filter: parquet of (host, robots_txt)")
     c.add_argument("--output", default=None,
                    help="required for all ops except compact-*")
     c.add_argument("--text-col", default="text")

@@ -2721,3 +2721,58 @@ select doc_id,
             when length(c2) > 0 then c2 end as canonical_url
 from m
 """
+
+
+def q_robots_filter_docs(spark, sf_dir):
+    """robots.txt admission (functions/robots): per-host robots payloads
+    synthesized from shared arithmetic — a foreign-agent group (ignored),
+    a wildcard rule (documented skip), Disallow /private/ with a LONGER
+    Allow /private/open/ override, an even-host-only Disallow /tmp, and
+    one host with no robots at all — parsed by the real text parser, then
+    the corpus filtered with longest-prefix / Allow-wins-ties semantics.
+    The oracle re-derives the admitted set from the arithmetic, so parser
+    drift (group structure, comment handling, tie-break) mismatches."""
+    from cloud_data_quality_spark.functions.robots import (
+        robots_filter,
+        robots_rules,
+    )
+    nl = "chr(10)"
+    path = ("case when doc_id % 5 = 0 then '/private/' || doc_id "
+            "when doc_id % 5 = 1 then '/public/' || doc_id "
+            "when doc_id % 5 = 2 then '/private/open/' || doc_id "
+            "when doc_id % 5 = 3 then '/tmp/' || doc_id "
+            "else '/' end")
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"'https://h' || (doc_id % 7) || '.example' || ({path})")
+        .alias("url"))
+    txt = (f"'User-agent: evilbot' || {nl} || 'Disallow: /' || {nl} || "
+           f"'# generic crawlers:' || {nl} || "
+           f"'User-agent: *' || {nl} || "
+           f"'Disallow: /private/' || {nl} || "
+           f"'Allow: /private/open/' || {nl} || "
+           f"'Disallow: /no*tch' || {nl} || "
+           f"(case when i % 2 = 0 then 'Disallow: /tmp' else '' end)")
+    robots = (_t(spark, sf_dir, "documents")
+              .select((F.col("doc_id") % 7).alias("i")).distinct()
+              .where("i < 6")
+              .select(F.expr("'h' || i || '.example'").alias("host"),
+                      F.expr(txt).alias("robots_txt")))
+    rules = robots_rules(robots)
+    return robots_filter(pages, rules).select("doc_id", "url")
+
+
+def _oracle_robots_filter() -> str:
+    return """
+with p as (
+  select doc_id, doc_id % 7 as h, doc_id % 5 as c,
+         'https://h' || (doc_id % 7) || '.example' ||
+         (case when doc_id % 5 = 0 then '/private/' || doc_id
+               when doc_id % 5 = 1 then '/public/' || doc_id
+               when doc_id % 5 = 2 then '/private/open/' || doc_id
+               when doc_id % 5 = 3 then '/tmp/' || doc_id
+               else '/' end) as url
+  from documents)
+select doc_id, url from p
+where not (h < 6 and (c = 0 or (h % 2 = 0 and c = 3)))
+"""
