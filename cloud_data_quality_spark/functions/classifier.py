@@ -54,32 +54,72 @@ def _cached_bucket(feat: str) -> int:
     return b
 
 
+def batch_feature_sums(texts: pd.Series,
+                       weights_micro: np.ndarray) -> tuple[np.ndarray,
+                                                           np.ndarray]:
+    """(per-doc int64 weight sums, per-doc feature counts) over the
+    unigram+bigram feature stream of a text batch — the shared vectorized
+    core of classifier_scores_batch and dsir_scores_batch.
+
+    Fully batch-vectorized: one pandas whitespace split (Java-\\s parity
+    via _java_ws_token_lists), bigrams built by shifting the flat token
+    stream against itself inside row boundaries, ONE factorize over the
+    combined feature stream, md5 only per cache-MISS **unique** feature
+    (the per-OCCURRENCE dict lookups of the old loop were ~80% of batch
+    time), then a single float64 bincount per doc (weight magnitudes keep
+    partial sums < 2^53, so the float accumulate is exact and the int64
+    cast lossless). Feature strings and their md5 buckets are identical
+    to qc_artifact.iter_features + feature_bucket — pytest pins this path
+    element-wise equal to predict_micro."""
+    from cloud_data_quality_spark.functions.webtext_rules import (
+        _java_ws_token_lists,
+    )
+    import itertools
+    n = len(texts)
+    # missing text may arrive as None (Arrow path) or float NaN (plain
+    # pandas frames) — both mean "no tokens", like the sibling batch rules
+    s = texts.fillna("")
+    tok_lists = _java_ws_token_lists(s)
+    lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    if not total:
+        return (np.zeros(n, dtype=np.int64), np.zeros(n, dtype=np.int64))
+    flat = np.fromiter(itertools.chain.from_iterable(tok_lists.to_numpy()),
+                       dtype=object, count=total)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    same = rows[:-1] == rows[1:]
+    left, right = flat[:-1][same], flat[1:][same]
+    bigrams = left + " " + right  # object array: per-element str concat
+    feats = np.concatenate([flat, bigrams])
+    feat_rows = np.concatenate([rows, rows[:-1][same]])
+    codes, uniq = pd.factorize(feats)
+    uniq_arr = np.asarray(uniq, dtype=object)
+    bkt = np.empty(len(uniq_arr), dtype=np.int64)
+    cache_get, cache = _BUCKET_CACHE.get, _BUCKET_CACHE
+    for i, f in enumerate(uniq_arr):
+        b = cache_get(f)
+        if b is None:
+            b = feature_bucket(f)
+            if len(cache) < 1_000_000:  # bound executor memory
+                cache[f] = b
+        bkt[i] = b
+    w_uniq = weights_micro[bkt].astype(np.float64)
+    sums = np.bincount(feat_rows, weights=w_uniq[codes], minlength=n)
+    n_feats = np.bincount(feat_rows, minlength=n).astype(np.int64)
+    return sums.astype(np.int64), n_feats
+
+
 def classifier_scores_batch(texts: pd.Series) -> np.ndarray:
     """Arrow-batch twin of the JVM scoring plan: exact int64 scores.
 
-    Vectorized the repo's usual way — one Python tokenize pass, md5 only on
-    cache-miss features, then a single float64 bincount over doc indexes
-    (score magnitudes stay < 2^53, so the float accumulate is exact and the
-    int64 cast lossless). Used by the CLASSIFIER_KEEP batch rule so the
-    learned filter can sit inside a fused multi-rule Arrow stage next to
-    the heuristic gates; the standalone query path uses classifier_scores
-    (pure JVM) instead. pytest pins the two paths element-wise equal."""
-    from cloud_data_quality_spark.functions.qc_artifact import iter_features
-
-    # missing text may arrive as None (Arrow path) or float NaN (plain
-    # pandas frames) — both mean "no tokens", like the sibling batch rules
-    tok_lists = [py_tokens(t if isinstance(t, str) else None) for t in texts]
-    doc_idx: list[int] = []
-    weights: list[int] = []
-    for k, toks in enumerate(tok_lists):
-        for f in iter_features(toks):
-            doc_idx.append(k)
-            weights.append(QC_WEIGHTS_MICRO[_cached_bucket(f)])
-    sums = np.bincount(
-        np.asarray(doc_idx, dtype=np.int64),
-        weights=np.asarray(weights, dtype=np.float64),
-        minlength=len(texts))
-    return sums.astype(np.int64) + np.int64(QC_BIAS_MICRO)
+    Vectorization lives in batch_feature_sums (one factorize over the
+    feature stream, md5 per unique cache miss, exact float64 bincount).
+    Used by the CLASSIFIER_KEEP batch rule so the learned filter can sit
+    inside a fused multi-rule Arrow stage next to the heuristic gates; the
+    standalone query path uses classifier_scores (pure JVM) instead.
+    pytest pins the two paths element-wise equal."""
+    sums, _ = batch_feature_sums(texts, QC_WEIGHTS_MICRO)
+    return sums + np.int64(QC_BIAS_MICRO)
 
 
 def feature_bucket_col(feat: Column) -> Column:

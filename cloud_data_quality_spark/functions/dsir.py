@@ -72,24 +72,10 @@ def dsir_scores_batch(texts) -> "tuple":
     md5 only on bucket-cache misses (the cache is SHARED with the
     classifier: identical feature strings hash identically), float64
     bincount (score magnitudes < 2^53 ⇒ exact), int64 cast."""
-    import numpy as np
-
-    from cloud_data_quality_spark.functions.classifier import _cached_bucket
-    from cloud_data_quality_spark.functions.qc_artifact import iter_features
-    from cloud_data_quality_spark.functions.text import py_tokens
-    tok_lists = [py_tokens(t if isinstance(t, str) else None) for t in texts]
-    doc_idx, weights = [], []
-    n_feats = np.zeros(len(tok_lists), dtype=np.int64)
-    for k, toks in enumerate(tok_lists):
-        for f in iter_features(toks):
-            doc_idx.append(k)
-            weights.append(DSIR_WEIGHTS_MICRO[_cached_bucket(f)])
-            n_feats[k] += 1
-    sums = np.bincount(
-        np.asarray(doc_idx, dtype=np.int64),
-        weights=np.asarray(weights, dtype=np.float64),
-        minlength=len(tok_lists))
-    return sums.astype(np.int64), n_feats
+    from cloud_data_quality_spark.functions.classifier import (
+        batch_feature_sums,
+    )
+    return batch_feature_sums(texts, DSIR_WEIGHTS_MICRO)
 
 
 def dsir_scores_arrow(df: DataFrame, text_col: str = "text",

@@ -51,17 +51,48 @@ _CJK_RE = re.compile("[一-鿿]")
 _LANG_PRIORITY = ["en", "es", "fr", "de"]  # deterministic tie-break
 
 
-def _java_ws_token_lists(s: pd.Series) -> pd.Series:
+def _java_ws_token_lists(s: pd.Series,
+                         py_ws_mask: pd.Series | None = None) -> pd.Series:
     """Vectorized str.split() with per-row correction on the (rare) rows
     where Python's Unicode whitespace diverges from Java \\s — keeps the
     fast path for ASCII web text while staying byte-parity with
-    functions/text.tokens (the Column path) and sql_tokens (the oracle)."""
+    functions/text.tokens (the Column path) and sql_tokens (the oracle).
+
+    py_ws_mask: optional precomputed per-row "contains Python-only
+    whitespace" mask (quality_annotations_batch derives it from the
+    codepoint stream it already decodes — one int8 LUT gather instead of a
+    20k-row regex scan)."""
     tok_lists = s.str.split()
-    mask = s.str.contains(PY_ONLY_WS_RE, na=False)
+    mask = (py_ws_mask if py_ws_mask is not None
+            else s.str.contains(PY_ONLY_WS_RE, na=False))
     if mask.any():
         tok_lists = tok_lists.copy()
         tok_lists[mask] = s[mask].map(py_tokens)
     return tok_lists
+
+
+#: bool LUTs over the full codepoint plane, for the two per-row regex
+#: detectors the batch path replaces with one gather over its decoded
+#: stream: Python-only whitespace (see PY_ONLY_WS_RE) and the scrub/PII
+#: candidate chars ('@' or a digit — every scrub pattern needs one; the
+#: 'badword'/'slur' literals are checked separately with C substring scans)
+def _lut_from_ranges(ranges: list[tuple[int, int]]) -> np.ndarray:
+    lut = np.zeros(0x110000, dtype=bool)
+    for lo, hi in ranges:
+        lut[lo:hi + 1] = True
+    return lut
+
+
+_PY_WS_LUT = _lut_from_ranges([
+    (0x1C, 0x1F), (0x85, 0x85), (0xA0, 0xA0), (0x1680, 0x1680),
+    (0x2000, 0x200A), (0x2028, 0x2029), (0x202F, 0x202F),
+    (0x205F, 0x205F), (0x3000, 0x3000)])
+# import-time parity pin: the LUT char set must equal PY_ONLY_WS_RE's set
+# (same count, every member matches) so the two detectors cannot drift
+assert int(_PY_WS_LUT.sum()) == sum(
+    1 for c in np.flatnonzero(_PY_WS_LUT)
+    if PY_ONLY_WS_RE.search(chr(int(c)))) == 23, "_PY_WS_LUT drift"
+_SCRUB_CHAR_LUT = _lut_from_ranges([(0x30, 0x39), (0x40, 0x40)])
 
 
 def _tokenized_marker_scores(s: pd.Series) -> dict[str, np.ndarray]:
@@ -281,6 +312,16 @@ for _c, _i in _CHAR_IDX.items():
         _CHAR_LUT_FULL[ord(_c.upper())] = _i
 _BIGRAM_LP_FLAT = _BIGRAM_LOGPROB.ravel()
 
+# char-CLASS LUT: the perplexity alphabet (0-25 letters case-folded, 26
+# space) PLUS class 27 for the CJK Unified Ideographs block — one int8
+# gather over the codepoint stream replaces the four uint32 range compares
+# (alpha) + two (cjk) + the perplexity LUT's second gather, and int8 masks
+# quarter the memory traffic of uint32 compares (these passes are
+# bandwidth-bound; see quality_annotations_batch)
+_CLS_CJK = np.int8(27)
+_CLASS_LUT = _CHAR_LUT_FULL.copy()
+_CLASS_LUT[0x4E00:0xA000] = _CLS_CJK
+
 
 def _codepoints(vals: list[str], n: int):
     """(codes uint32, doc int32, lens int64) for a list of strings — one
@@ -292,32 +333,37 @@ def _codepoints(vals: list[str], n: int):
     return codes, doc, lens
 
 
-def _perplexity_from_codes(codes: np.ndarray, doc: np.ndarray,
-                           lens: np.ndarray, n: int) -> np.ndarray:
-    """Core scorer over a pre-decoded codepoint stream (shared with
-    quality_annotations_batch so the batch pipeline decodes the text ONCE).
-    Truncation to the first _MAX_PPL_CHARS chars per doc is applied as a
-    position mask — identical to slicing the string first."""
+def _truncate_idx(idx: np.ndarray, lens: np.ndarray, n: int,
+                  inplace: bool = False) -> np.ndarray:
+    """Invalidate (-1) every char past the per-doc _MAX_PPL_CHARS cap —
+    touches ONLY the long docs (a slice assignment each) instead of
+    building a full-stream position array (arange + repeat over every char
+    was the hottest line in profiles). Marking -1 before the single valid
+    filter is exactly equivalent to slicing the string first: the
+    projection drops non-alphabet chars either way, and pair adjacency is
+    formed on the filtered stream."""
+    if lens.max(initial=0) <= _MAX_PPL_CHARS:
+        return idx
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    if not inplace:
+        idx = idx.copy()
+    for d in np.flatnonzero(lens > _MAX_PPL_CHARS):
+        idx[starts[d] + _MAX_PPL_CHARS:starts[d] + lens[d]] = -1
+    return idx
+
+
+def _perplexity_from_idx(idx: np.ndarray, doc: np.ndarray,
+                         n: int) -> np.ndarray:
+    """Scorer over a pre-classified int8 alphabet-index stream (truncation
+    already applied; any value outside [0, 26] is invalid)."""
     out = np.full(n, np.nan)
-    if len(codes) == 0:
-        return out
-    if lens.max(initial=0) > _MAX_PPL_CHARS:
-        # mask out chars past the cap — touch ONLY the long docs (a slice
-        # assignment each) instead of building a full-stream position array
-        # (arange + repeat over every char was the hottest line in profiles)
-        starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        keep = np.ones(len(codes), dtype=bool)
-        for d in np.flatnonzero(lens > _MAX_PPL_CHARS):
-            keep[starts[d] + _MAX_PPL_CHARS:starts[d] + lens[d]] = False
-        codes, doc = codes[keep], doc[keep]
-    idx = _CHAR_LUT_FULL[codes]
-    valid = idx >= 0
+    valid = (idx >= 0) & (idx < _A)
     idx, doc = idx[valid], doc[valid]
     if len(idx) < 2:
         return out
     same_doc = doc[:-1] == doc[1:]
-    pair = idx[:-1].astype(np.int32) * _A + idx[1:]
+    pair = idx[:-1].astype(np.int16) * _A + idx[1:]
     pair_doc = doc[:-1][same_doc]
     lps = _BIGRAM_LP_FLAT[pair[same_doc]]
     sums = np.bincount(pair_doc, weights=lps, minlength=n)
@@ -325,6 +371,18 @@ def _perplexity_from_codes(codes: np.ndarray, doc: np.ndarray,
     scorable = counts >= 1
     out[scorable] = np.exp(-(sums[scorable] / counts[scorable]))
     return out
+
+
+def _perplexity_from_codes(codes: np.ndarray, doc: np.ndarray,
+                           lens: np.ndarray, n: int) -> np.ndarray:
+    """Core scorer over a pre-decoded codepoint stream (shared with
+    quality_annotations_batch so the batch pipeline decodes the text ONCE).
+    Truncation to the first _MAX_PPL_CHARS chars per doc is applied as a
+    position mask — identical to slicing the string first."""
+    if len(codes) == 0:
+        return np.full(n, np.nan)
+    idx = _truncate_idx(_CHAR_LUT_FULL[codes], lens, n, inplace=True)
+    return _perplexity_from_idx(idx, doc, n)
 
 
 def perplexity_batch(texts: pd.Series, params: dict | None = None) -> pd.Series:
@@ -426,14 +484,29 @@ def quality_annotations_batch(texts: pd.Series, thresholds=None,
     s = texts.fillna("")
     n = len(s)
     idx = s.index
-    n_chars = s.str.len().astype("int64")
+
+    # decode the codepoint stream FIRST: it feeds the char-class ratios and
+    # perplexity below, n_chars (len == codepoint count), and the two
+    # per-row regex detectors this path used to pay for — the Python-only-
+    # whitespace tokenizer correction and the scrub-candidate prefilter —
+    # both now one bool-LUT gather + scatter over the stream
+    codes_full, doc_full, lens_chars = _codepoints(list(s.array), n)
+    n_chars = pd.Series(lens_chars, index=idx).astype("int64")
+    py_ws_rows = np.zeros(n, dtype=bool)
+    scrub_char_rows = np.zeros(n, dtype=bool)
+    if len(codes_full):
+        hits = _PY_WS_LUT[codes_full]
+        if hits.any():
+            py_ws_rows[doc_full[hits]] = True
+        scrub_char_rows[doc_full[_SCRUB_CHAR_LUT[codes_full]]] = True
 
     # ---- token factorization core: ONE split, then every token-derived
     # feature (counts, lengths, marker hits, distinct) via integer bincounts
     # over the factorized token stream — replaces five regex passes that
     # dominated the profile (langid alone was ~35% of batch time)
     import itertools
-    tok_lists = _java_ws_token_lists(s)
+    tok_lists = _java_ws_token_lists(s, py_ws_mask=pd.Series(py_ws_rows,
+                                                            index=idx))
     lens = tok_lists.map(len).to_numpy(dtype=np.int64)
     total = int(lens.sum())
     n_words = pd.Series(lens, index=idx)
@@ -467,17 +540,20 @@ def quality_annotations_batch(texts: pd.Series, thresholds=None,
     mean_word_len = pd.Series(tok_chars / lens_nan, index=idx)
     dup_token_frac = pd.Series(1.0 - distinct / lens_nan, index=idx)
 
-    # char-class ratios from ONE codepoint pass (replaces two per-row regex
-    # scans — [A-Za-z] count alone was ~12% of batch time)
-    codes_full, doc_full, _ = _codepoints(list(s.array), n)
+    # char-class ratios from ONE int8 class-LUT gather over the stream
+    # (replaces two per-row regex scans, and the six uint32 range compares
+    # this pass used before — these passes are memory-bandwidth bound, so
+    # int8 class masks are the cheap form; the same class stream feeds
+    # perplexity below, saving its second LUT gather)
     nchars_nan = n_chars.replace(0, np.nan).to_numpy(dtype=np.float64)
     if len(codes_full):
-        alpha_flag = (((codes_full >= 65) & (codes_full <= 90))
-                      | ((codes_full >= 97) & (codes_full <= 122)))
-        cjk_flag = (codes_full >= 0x4E00) & (codes_full <= 0x9FFF)
-        alpha_cnt = np.bincount(doc_full[alpha_flag], minlength=n)
-        cjk_cnt = np.bincount(doc_full[cjk_flag], minlength=n)
+        cls = _CLASS_LUT[codes_full]
+        # letters are classes 0-25 (case folded); space is 26, CJK 27
+        alpha_cnt = np.bincount(doc_full[(cls >= 0) & (cls < 26)],
+                                minlength=n)
+        cjk_cnt = np.bincount(doc_full[cls == _CLS_CJK], minlength=n)
     else:
+        cls = np.empty(0, dtype=np.int8)
         alpha_cnt = np.zeros(n)
         cjk_cnt = np.zeros(n)
     alpha = pd.Series(alpha_cnt / nchars_nan, index=idx)
@@ -526,10 +602,12 @@ def quality_annotations_batch(texts: pd.Series, thresholds=None,
         "dup_line_frac": dup_line_frac, "has_toxicity": tox,
     }
     if with_perplexity:
-        # reuse the codepoint stream already decoded above — the second
-        # utf-32 encode + per-row slice/lower was ~25% of batch time
-        ppl = pd.Series(_perplexity_from_codes(
-            codes_full, doc_full, n_chars.to_numpy(), n), index=idx)
+        # reuse the class stream already gathered above — CJK (27) is
+        # outside the scoring alphabet, so _perplexity_from_idx's
+        # [0, 26] validity mask treats it exactly like the old LUT's -1
+        ppl_idx = _truncate_idx(cls, n_chars.to_numpy(), n)
+        ppl = pd.Series(_perplexity_from_idx(ppl_idx, doc_full, n)
+                        if len(cls) else np.full(n, np.nan), index=idx)
         ppl[texts.isna()] = np.nan
         out["perplexity"] = ppl
         gates.append(("perplexity",
@@ -544,7 +622,9 @@ def quality_annotations_batch(texts: pd.Series, thresholds=None,
         decided = decided | fail_here
     out["drop_reason"] = reason
     out["keep"] = ~decided
-    out["scrubbed_text"] = scrub_batch(texts)
+    out["scrubbed_text"] = scrub_batch(
+        texts, candidates=pd.Series(scrub_char_rows | tox_cand.to_numpy(),
+                                    index=idx))
     return pd.DataFrame(out, index=texts.index)
 
 
@@ -587,12 +667,18 @@ def no_pii(texts: pd.Series, params: dict) -> pd.Series:
 _SCRUB_DETECT = re.compile(r"[@0-9]|badword|slur")
 
 
-def scrub_batch(texts: pd.Series, params: dict | None = None) -> pd.Series:
+def scrub_batch(texts: pd.Series, params: dict | None = None,
+                candidates: pd.Series | None = None) -> pd.Series:
     """Canonical scrub chain (same order as functions.scrub.scrub_text — the
-    two paths are asserted byte-identical in tests)."""
+    two paths are asserted byte-identical in tests).
+
+    candidates: optional precomputed _SCRUB_DETECT row mask (must be an
+    exact superset of rows any pattern can change); quality_annotations_
+    batch derives it from its codepoint stream instead of the regex scan."""
     out = texts.copy()
-    candidates = out.notna() & out.fillna("").str.contains(_SCRUB_DETECT,
-                                                           regex=True)
+    if candidates is None:
+        candidates = out.fillna("").str.contains(_SCRUB_DETECT, regex=True)
+    candidates = out.notna() & candidates
     s = out[candidates]
     for rx, repl in _SCRUB_STEPS:
         s = s.str.replace(rx, repl, regex=True)
