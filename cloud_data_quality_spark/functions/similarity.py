@@ -288,6 +288,34 @@ def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
     return F.array_min(_cell_scores(vec, centroids))["i"]
 
 
+def ivf_assign_np_exact(X: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Bit-exact numpy twin of the ivf_assign JVM expression, vectorized
+    across rows instead of across dims: per centroid the dot is a
+    0.0-seeded LEFT-TO-RIGHT fold (acc += x_j * c_j — the identical IEEE
+    op sequence as F.aggregate's ((0.0 + p0) + p1) + …), the score is the
+    same `c2 − 2.0·dot` with c2 the same plan-time float(np.dot(c, c))
+    literal, and the strict-less scan keeps the smallest index on exact
+    ties like array_min's (d, i) struct ordering. NaN scores never win a
+    strict-less compare, matching Java's NaN-sorts-last double ordering;
+    a row whose every score is NaN lands in cell 0 on both paths.
+
+    X must be float64 (cast from the stored float32 exactly like the
+    JVM's element cast). ~30× the interpreted per-row fold at 64×64."""
+    n = X.shape[0]
+    best = np.full(n, np.inf)
+    cell = np.zeros(n, dtype=np.int32)
+    for i, c in enumerate(np.asarray(centroids)):
+        dot = np.zeros(n)
+        for j in range(X.shape[1]):
+            dot += X[:, j] * float(c[j])
+        d = float(np.dot(c, c)) - 2.0 * dot
+        take = d < best
+        if take.any():
+            cell[take] = i
+            best[take] = d[take]
+    return cell
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -484,10 +512,15 @@ def semantic_dedup_np(
     interpreted fold bites (the repo measured higher-order folds 7-9×
     slower than BLAS on the IVF path).
 
-    Cell assignment runs in SPARK with the identical ivf_assign
-    expression (so the grouping — and therefore which pairs are compared
-    — is bit-identical to the JVM path); only the intra-cell cosine moves
-    to numpy. Raw dots come from one symmetric dgemm; the denominator is
+    Cell assignment is the NUMPY FOLD TWIN of the ivf_assign expression
+    (ivf_assign_np_exact: same 0.0-seeded left-to-right product fold per
+    centroid, same c2 − 2.0·dot score, strict-less scan ⇒ smallest index
+    on ties — every float op in the same order, so the grouping — and
+    therefore which pairs are compared — stays bit-identical to the JVM
+    path; pytest pins assignment equality on fixtures and adversarial
+    vectors). The interpreted per-row 64×64 JVM fold was ~half this
+    operator's wall time. Raw dots come from one symmetric dgemm; the
+    denominator is
     the same single-multiply norm product as the JVM's `anrm * bnrm`
     (never normalize-first, which would change the float op order); zero
     norms are masked to -inf exactly where the JVM's nullif yields NULL
@@ -501,18 +534,40 @@ def semantic_dedup_np(
     pair."""
     import pandas as pd
 
-    from pyspark.sql.types import (BooleanType, IntegerType, StructField,
-                                   StructType)
+    from pyspark.sql.types import (ArrayType, BooleanType, DoubleType,
+                                   IntegerType, StructField, StructType)
     id_field = corpus.schema[id_col]
     out_schema = StructType([
         StructField(id_col, id_field.dataType, id_field.nullable),
         StructField("cell", IntegerType(), True),
         StructField("keep", BooleanType(), False),
     ])
-    cells = corpus.select(
-        F.col(id_col),
-        ivf_assign(F.col(vec_col), centroids).alias("cell"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"))
+    mid_schema = StructType([
+        StructField(id_col, id_field.dataType, id_field.nullable),
+        StructField("cell", IntegerType(), True),
+        StructField("__v", ArrayType(DoubleType()), True),
+    ])
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vs = pdf[vec_col]
+            null_v = vs.isna().to_numpy()
+            # NULL vector ⇒ every (d, i) struct has a NULL score, so the
+            # JVM's array_min tie-breaks to index 0 — cell 0 (verified)
+            cell = np.zeros(len(pdf), dtype=object)
+            vout = [None if m else np.asarray(v, dtype=np.float64)
+                    for v, m in zip(vs, null_v)]
+            if not null_v.all():
+                X = np.vstack([v for v in vout if v is not None])
+                cell[~null_v] = [int(c) for c in
+                                 ivf_assign_np_exact(X, centroids)]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "cell": cell, "__v": vout})
+
+    cells = corpus.select(F.col(id_col), F.col(vec_col)) \
+        .mapInPandas(assign, mid_schema)
 
     def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)

@@ -167,6 +167,37 @@ class TestSharedSignatureBase:
     precomputed by an upstream stage — curate's exact-dedup stage computes
     them in its own narrow pass, so the pipeline shingles each doc ONCE."""
 
+    def test_arrow_twin_equals_jvm_expressions(self, spark):
+        """The Arrow-backed minhash_columns / minhash_sig_longs (r7) must
+        be element-wise identical to their pure-expression JVM anchors on
+        the corpus plus NULL / empty / sub-n-token texts."""
+        from cloud_data_quality_spark.functions.dedup import (
+            minhash_columns,
+            minhash_columns_jvm,
+            minhash_sig_longs,
+            minhash_sig_longs_jvm,
+        )
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet") \
+            .select("doc_id", "text")
+        edge = spark.createDataFrame(
+            [(99999, None), (99998, ""), (99997, "one two"),
+             (99996, "a　b  c\td")],
+            "doc_id bigint, text string")
+        src = docs.union(edge)
+        a = {r["doc_id"]: (tuple(r["hs"]), tuple(r["sig"])) for r in
+             src.select("doc_id", *minhash_columns(F.col("text"))).collect()}
+        b = {r["doc_id"]: (tuple(r["hs"]), tuple(r["sig"])) for r in
+             src.select("doc_id",
+                        *minhash_columns_jvm(F.col("text"))).collect()}
+        assert a == b
+        c = {r["doc_id"]: tuple(r["s"]) for r in src.select(
+            "doc_id", minhash_sig_longs(F.col("text")).alias("s")).collect()}
+        d = {r["doc_id"]: tuple(r["s"]) for r in src.select(
+            "doc_id",
+            minhash_sig_longs_jvm(F.col("text")).alias("s")).collect()}
+        assert c == d
+
     def test_equals_text_path(self, spark):
         from cloud_data_quality_spark.functions.dedup import (
             minhash_columns,
@@ -654,6 +685,46 @@ class TestSemanticDedup:
         assert jvm == gemm
         keep = {r[0]: r[2] for r in gemm}
         assert keep == {1: True, 2: False, 3: True, 4: True, 5: True}
+
+    def test_np_assign_bit_identical_to_jvm_fold(self, spark):
+        """ivf_assign_np_exact (the vectorized sequential-fold twin the np
+        dedup path now groups by) must agree with the ivf_assign JVM
+        expression on the natural corpus, adversarial random vectors, a
+        zero vector, and a NULL embedding (JVM: NULL scores tie-break to
+        cell 0)."""
+        import numpy as np
+
+        from cloud_data_quality_spark.functions.ivf_artifact import (
+            IVF_CENTROIDS_64)
+        from cloud_data_quality_spark.functions.similarity import (
+            ivf_assign,
+            ivf_assign_np_exact,
+        )
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet") \
+            .select("vec_id", "embedding")
+        rng = np.random.default_rng(11)
+        Xa = rng.standard_normal((200, 64)).astype(np.float32)
+        Xa[0] = 0.0
+        extra = spark.createDataFrame(
+            [(10_000 + i, [float(x) for x in Xa[i]])
+             for i in range(len(Xa))] + [(99_999, None)],
+            "vec_id bigint, embedding array<float>")
+        src = emb.unionAll(extra)
+        jvm = {r["vec_id"]: r["cell"] for r in src.select(
+            "vec_id", ivf_assign(F.col("embedding"),
+                                 IVF_CENTROIDS_64).alias("cell")).collect()}
+        rows = src.collect()
+        X = np.array([list(r["embedding"]) for r in rows
+                      if r["embedding"] is not None], dtype=np.float64)
+        got = ivf_assign_np_exact(X, IVF_CENTROIDS_64)
+        k = 0
+        for r in rows:
+            if r["embedding"] is None:
+                assert jvm[r["vec_id"]] == 0
+            else:
+                assert jvm[r["vec_id"]] == int(got[k])
+                k += 1
 
 
 class TestQuantizedAnn:
