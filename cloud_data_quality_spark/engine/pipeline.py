@@ -217,7 +217,16 @@ class ResumableCurationPipeline:
         with preserve_observations(self.spark):
             out = stage.transform(keyed).observe(
                 obs_out, F.count(F.lit(1)).alias("n"))
-            writer = out.write.mode("overwrite")
+            writer_df = out
+            if "part_key" in out.columns:
+                # cluster rows by bucket before the partitioned write —
+                # same rationale as ResumableQualityRun's compact_output:
+                # without it every write task opens a file in every bucket
+                # dir (tasks × buckets small files that tax every
+                # downstream stage read) and the dynamic-partition writer
+                # sorts each task's rows by part_key first
+                writer_df = out.repartition(self.n_buckets, "part_key")
+            writer = writer_df.write.mode("overwrite")
             if "part_key" in out.columns:
                 writer = writer.partitionBy("part_key")
             writer.parquet(out_path)

@@ -123,7 +123,11 @@ def _run_dq(spark: SparkSession, sf_dir: str, binding_ids: list[str],
             registry: ConfigRegistry | None = None) -> DataFrame:
     eng = DqEngine(spark, registry or _dq_registry(),
                    table_name_vars={"sf_dir": sf_dir})
-    res = eng.run(binding_ids, execution_ts=TS, write_summary=False)
+    # overlap entity groups on driver threads (guide: fill the scheduler
+    # between scalar-sized jobs); summary rows are identical to the
+    # sequential run — concurrent==sequential is pytest-pinned
+    res = eng.run(binding_ids, execution_ts=TS, write_summary=False,
+                  max_concurrency=4)
     return res.summary.select(
         "rule_binding_id", "rule_id",
         F.col("rows_validated").cast("bigint").alias("rows_validated"),
