@@ -28,6 +28,8 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    arrow_batch_rows = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH",
+                                          arrow_batch_rows))
     b = (
         SparkSession.builder.master(master).appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
