@@ -61,39 +61,44 @@ def batch_feature_sums(texts: pd.Series,
     unigram+bigram feature stream of a text batch — the shared vectorized
     core of classifier_scores_batch and dsir_scores_batch.
 
-    Fully batch-vectorized: one pandas whitespace split (Java-\\s parity
-    via _java_ws_token_lists), bigrams built by shifting the flat token
-    stream against itself inside row boundaries, ONE factorize over the
-    combined feature stream, md5 only per cache-MISS **unique** feature
-    (the per-OCCURRENCE dict lookups of the old loop were ~80% of batch
-    time), then a single float64 bincount per doc (weight magnitudes keep
-    partial sums < 2^53, so the float accumulate is exact and the int64
-    cast lossless). Feature strings and their md5 buckets are identical
-    to qc_artifact.iter_features + feature_bucket — pytest pins this path
+    Fully batch-vectorized, tokens never materialized as Python strings:
+    one Arrow ascii-whitespace split (exact Java-\\s parity —
+    webtext_rules._arrow_token_core), bigrams via
+    `binary_join_element_wise` over the flat token stream shifted against
+    itself inside row boundaries, ONE dictionary-encode over the combined
+    feature stream, md5 only per cache-MISS **unique** feature (the
+    per-OCCURRENCE dict lookups of the original loop were ~80% of batch
+    time; only the ~unique features cross into Python at all), then a
+    single float64 bincount per doc (weight magnitudes keep partial sums
+    < 2^53, so the float accumulate is exact and the int64 cast
+    lossless). Feature strings and their md5 buckets are identical to
+    qc_artifact.iter_features + feature_bucket — pytest pins this path
     element-wise equal to predict_micro."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from cloud_data_quality_spark.functions.webtext_rules import (
-        _java_ws_token_lists,
+        _arrow_token_core,
     )
-    import itertools
     n = len(texts)
     # missing text may arrive as None (Arrow path) or float NaN (plain
     # pandas frames) — both mean "no tokens", like the sibling batch rules
     s = texts.fillna("")
-    tok_lists = _java_ws_token_lists(s)
-    lens = tok_lists.map(len).to_numpy(dtype=np.int64)
-    total = int(lens.sum())
+    rows, _codes, flat, _vocab, _lens = _arrow_token_core(
+        pa.Array.from_pandas(s))
+    total = len(rows)
     if not total:
         return (np.zeros(n, dtype=np.int64), np.zeros(n, dtype=np.int64))
-    flat = np.fromiter(itertools.chain.from_iterable(tok_lists.to_numpy()),
-                       dtype=object, count=total)
-    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
     same = rows[:-1] == rows[1:]
-    left, right = flat[:-1][same], flat[1:][same]
-    bigrams = left + " " + right  # object array: per-element str concat
-    feats = np.concatenate([flat, bigrams])
+    same_pa = pa.array(same)
+    bigrams = pc.binary_join_element_wise(
+        flat.slice(0, total - 1).filter(same_pa),
+        flat.slice(1, total - 1).filter(same_pa), " ")
+    feats = pa.concat_arrays([flat, bigrams.cast(flat.type)])
     feat_rows = np.concatenate([rows, rows[:-1][same]])
-    codes, uniq = pd.factorize(feats)
-    uniq_arr = np.asarray(uniq, dtype=object)
+    enc = feats.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_arr = enc.dictionary.to_pylist()
     bkt = np.empty(len(uniq_arr), dtype=np.int64)
     cache_get, cache = _BUCKET_CACHE.get, _BUCKET_CACHE
     for i, f in enumerate(uniq_arr):

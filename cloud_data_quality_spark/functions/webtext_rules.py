@@ -23,6 +23,8 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from cloud_data_quality_spark.functions.batch_registry import register_batch_function
 from cloud_data_quality_spark.functions.text import (
@@ -51,30 +53,24 @@ _CJK_RE = re.compile("[一-鿿]")
 _LANG_PRIORITY = ["en", "es", "fr", "de"]  # deterministic tie-break
 
 
-def _java_ws_token_lists(s: pd.Series,
-                         py_ws_mask: pd.Series | None = None) -> pd.Series:
+def _java_ws_token_lists(s: pd.Series) -> pd.Series:
     """Vectorized str.split() with per-row correction on the (rare) rows
     where Python's Unicode whitespace diverges from Java \\s — keeps the
     fast path for ASCII web text while staying byte-parity with
     functions/text.tokens (the Column path) and sql_tokens (the oracle).
-
-    py_ws_mask: optional precomputed per-row "contains Python-only
-    whitespace" mask (quality_annotations_batch derives it from the
-    codepoint stream it already decodes — one int8 LUT gather instead of a
-    20k-row regex scan)."""
+    (The quality/classifier hot paths use _arrow_token_core instead —
+    Arrow's ascii split IS the Java class, no correction pass needed.)"""
     tok_lists = s.str.split()
-    mask = (py_ws_mask if py_ws_mask is not None
-            else s.str.contains(PY_ONLY_WS_RE, na=False))
+    mask = s.str.contains(PY_ONLY_WS_RE, na=False)
     if mask.any():
         tok_lists = tok_lists.copy()
         tok_lists[mask] = s[mask].map(py_tokens)
     return tok_lists
 
 
-#: bool LUTs over the full codepoint plane, for the two per-row regex
-#: detectors the batch path replaces with one gather over its decoded
-#: stream: Python-only whitespace (see PY_ONLY_WS_RE) and the scrub/PII
-#: candidate chars ('@' or a digit — every scrub pattern needs one; the
+#: bool LUT over the full codepoint plane for the scrub/PII candidate
+#: detector the batch path replaces with one gather over its decoded
+#: stream ('@' or a digit — every scrub pattern needs one; the
 #: 'badword'/'slur' literals are checked separately with C substring scans)
 def _lut_from_ranges(ranges: list[tuple[int, int]]) -> np.ndarray:
     lut = np.zeros(0x110000, dtype=bool)
@@ -83,16 +79,46 @@ def _lut_from_ranges(ranges: list[tuple[int, int]]) -> np.ndarray:
     return lut
 
 
-_PY_WS_LUT = _lut_from_ranges([
-    (0x1C, 0x1F), (0x85, 0x85), (0xA0, 0xA0), (0x1680, 0x1680),
-    (0x2000, 0x200A), (0x2028, 0x2029), (0x202F, 0x202F),
-    (0x205F, 0x205F), (0x3000, 0x3000)])
-# import-time parity pin: the LUT char set must equal PY_ONLY_WS_RE's set
-# (same count, every member matches) so the two detectors cannot drift
-assert int(_PY_WS_LUT.sum()) == sum(
-    1 for c in np.flatnonzero(_PY_WS_LUT)
-    if PY_ONLY_WS_RE.search(chr(int(c)))) == 23, "_PY_WS_LUT drift"
 _SCRUB_CHAR_LUT = _lut_from_ranges([(0x30, 0x39), (0x40, 0x40)])
+
+
+def _arrow_token_core(arr: "pa.Array"):
+    """Whitespace-tokenize a null-free Arrow string batch entirely in C++.
+
+    `pc.ascii_split_whitespace` splits on exactly the ASCII class Java \\s
+    uses ([ \\t\\n\\x0B\\f\\r]) and collapses interior runs, emitting empty
+    tokens only at row boundaries; after filtering zero-length tokens the
+    token lists are EXACTLY py_tokens / functions.text.tokens — pinned by
+    tests over adversarial whitespace (incl. \\x0b, \\x1c, NBSP, U+2028,
+    U+3000, which Python's str.split treats differently).
+
+    Returns (rows int64[], codes int64[], flat pa.StringArray,
+    dictionary pa.StringArray, n_tokens int64[n]): `flat` is the filtered
+    in-order token stream, `codes` its dictionary indices — every
+    token-derived feature then reduces to bincounts over ints, and string
+    work (marker membership, lengths) happens once per DICTIONARY entry
+    in Arrow, never per occurrence in Python."""
+    n = len(arr)
+    tok = pc.ascii_split_whitespace(arr)
+    nl = pc.list_value_length(tok).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(tok)
+    empty = pa.array([], type=pa.string())
+    if len(flat) == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64), empty,
+                empty, np.zeros(n, np.int64))
+    rows = np.repeat(np.arange(n, dtype=np.int64), nl)
+    ne = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    if not ne.all():
+        rows = rows[ne]
+        flat = flat.filter(pa.array(ne))
+        if len(flat) == 0:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64), empty,
+                    empty, np.zeros(n, np.int64))
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return (rows, codes, flat, enc.dictionary,
+            np.bincount(rows, minlength=n).astype(np.int64))
 
 
 def _tokenized_marker_scores(s: pd.Series) -> dict[str, np.ndarray]:
@@ -486,48 +512,39 @@ def quality_annotations_batch(texts: pd.Series, thresholds=None,
     idx = s.index
 
     # decode the codepoint stream FIRST: it feeds the char-class ratios and
-    # perplexity below, n_chars (len == codepoint count), and the two
-    # per-row regex detectors this path used to pay for — the Python-only-
-    # whitespace tokenizer correction and the scrub-candidate prefilter —
-    # both now one bool-LUT gather + scatter over the stream
+    # perplexity below, n_chars (len == codepoint count), and the
+    # scrub-candidate prefilter (one bool-LUT gather + scatter instead of
+    # a per-row regex scan)
     codes_full, doc_full, lens_chars = _codepoints(list(s.array), n)
     n_chars = pd.Series(lens_chars, index=idx).astype("int64")
-    py_ws_rows = np.zeros(n, dtype=bool)
     scrub_char_rows = np.zeros(n, dtype=bool)
     if len(codes_full):
-        hits = _PY_WS_LUT[codes_full]
-        if hits.any():
-            py_ws_rows[doc_full[hits]] = True
         scrub_char_rows[doc_full[_SCRUB_CHAR_LUT[codes_full]]] = True
 
-    # ---- token factorization core: ONE split, then every token-derived
-    # feature (counts, lengths, marker hits, distinct) via integer bincounts
-    # over the factorized token stream — replaces five regex passes that
-    # dominated the profile (langid alone was ~35% of batch time)
-    import itertools
-    tok_lists = _java_ws_token_lists(s, py_ws_mask=pd.Series(py_ws_rows,
-                                                            index=idx))
-    lens = tok_lists.map(len).to_numpy(dtype=np.int64)
-    total = int(lens.sum())
+    # ---- token core, fully Arrow (C++): ONE ascii-whitespace split with
+    # exact Java-\s parity (see _arrow_token_core), then every
+    # token-derived feature (counts, lengths, marker hits, distinct) via
+    # integer bincounts over the dictionary-encoded token stream — no
+    # Python string objects are ever materialized for tokens
+    arr_pa = pa.Array.from_pandas(s)
+    rows, codes, _flat, vocab_pa, lens = _arrow_token_core(arr_pa)
+    total = len(codes)
     n_words = pd.Series(lens, index=idx)
     if total:
-        flat = np.fromiter(itertools.chain.from_iterable(tok_lists.to_numpy()),
-                           dtype=object, count=total)
-        rows = np.repeat(np.arange(n), lens)
-        codes, vocab = pd.factorize(flat)
-        vocab_arr = np.asarray(vocab, dtype=object)
-        vocab_len = np.fromiter(map(len, vocab_arr), dtype=np.int64,
-                                count=len(vocab_arr))
+        vocab_len = pc.utf8_length(vocab_pa) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         tok_chars = np.bincount(rows, weights=vocab_len[codes], minlength=n)
         # distinct tokens per row: unique (row, code) pairs
-        pair = rows.astype(np.int64) * len(vocab_arr) + codes
-        uniq_rows = np.unique(pair) // len(vocab_arr)
+        nv = len(vocab_pa)
+        pair = rows * nv + codes
+        uniq_rows = np.unique(pair) // nv
         distinct = np.bincount(uniq_rows, minlength=n)
 
         def marker_counts(words: list[str]) -> np.ndarray:
-            # integer bincount over the masked row ids — no float64 cast of
-            # the full token stream (the casts were ~14% of batch time)
-            flag = np.isin(vocab_arr, np.asarray(words, dtype=object))
+            # membership once per DICTIONARY entry, bincount per occurrence
+            flag = pc.is_in(vocab_pa,
+                            value_set=pa.array(words, type=pa.string())) \
+                .to_numpy(zero_copy_only=False)
             return np.bincount(rows[flag[codes]], minlength=n)
     else:
         tok_chars = np.zeros(n)
@@ -558,9 +575,20 @@ def quality_annotations_batch(texts: pd.Series, thresholds=None,
         cjk_cnt = np.zeros(n)
     alpha = pd.Series(alpha_cnt / nchars_nan, index=idx)
     cjk = pd.Series(cjk_cnt / nchars_nan, index=idx)
-    lines = s.str.split("\n")
-    dup_line_frac = 1.0 - (lines.map(lambda xs: len(set(xs)))
-                           / lines.map(len).replace(0, np.nan))
+    # duplicate-line fraction via the same Arrow dictionary trick (the
+    # pandas path built a Python set per row); split_pattern keeps empty
+    # segments exactly like str.split("\n"), so counts are identical
+    ln = pc.split_pattern(arr_pa, pattern="\n")
+    lcnt = pc.list_value_length(ln).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    lenc = pc.list_flatten(ln).dictionary_encode()
+    lcodes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    lrows = np.repeat(np.arange(n, dtype=np.int64), lcnt)
+    nl_v = max(len(lenc.dictionary), 1)
+    l_distinct = np.bincount(np.unique(lrows * nl_v + lcodes) // nl_v,
+                             minlength=n)
+    dup_line_frac = pd.Series(
+        1.0 - l_distinct / np.where(lcnt == 0, np.nan, lcnt), index=idx)
     # toxicity regex only on rows that can match: two C-level substring
     # scans prefilter (exact superset — every pattern word contains
     # 'badword' or 'slur'), the \b regex then runs on the few candidates
