@@ -123,24 +123,20 @@ def _arrow_token_core(arr: "pa.Array"):
 
 def _tokenized_marker_scores(s: pd.Series) -> dict[str, np.ndarray]:
     """Occurrence count of each language's marker words over whitespace
-    tokens, via one split + factorize + bincount (token membership — the
-    same semantics as functions.text.langid's array_contains, NOT regex \\b
-    matching, which differs on punctuation-adjacent tokens)."""
-    import itertools
+    tokens, via one Arrow split + dictionary-encode + bincount (token
+    membership — the same semantics as functions.text.langid's
+    array_contains, NOT regex \\b matching, which differs on
+    punctuation-adjacent tokens)."""
     n = len(s)
-    tok_lists = _java_ws_token_lists(s)
-    lens = tok_lists.map(len).to_numpy(dtype=np.int64)
-    total = int(lens.sum())
-    if not total:
+    rows, codes, _flat, vocab_pa, _lens = _arrow_token_core(
+        pa.Array.from_pandas(s))
+    if not len(codes):
         return {lang: np.zeros(n) for lang in _MARKER_SETS}
-    flat = np.fromiter(itertools.chain.from_iterable(tok_lists.to_numpy()),
-                       dtype=object, count=total)
-    rows = np.repeat(np.arange(n), lens)
-    codes, vocab = pd.factorize(flat)
-    vocab_arr = np.asarray(vocab, dtype=object)
     out = {}
     for lang, words in _MARKER_SETS.items():
-        flag = np.isin(vocab_arr, np.asarray(words, dtype=object))
+        flag = pc.is_in(vocab_pa, value_set=pa.array(words,
+                                                    type=pa.string())) \
+            .to_numpy(zero_copy_only=False)
         out[lang] = np.bincount(rows[flag[codes]], minlength=n)
     return out
 
@@ -445,12 +441,27 @@ _STOP_RE = _MARKER_RE["en"]
 
 def gopher_stats_batch(texts: pd.Series) -> pd.DataFrame:
     t = texts.fillna("")
-    toks = _java_ws_token_lists(t)
-    n_words = toks.map(len)
-    n_chars_words = toks.map(lambda xs: sum(len(x) for x in xs))
-    n_distinct = toks.map(lambda xs: len(set(xs)))
-    mean_word_len = (n_chars_words / n_words.replace(0, np.nan))
-    dup_frac = 1.0 - n_distinct / n_words.replace(0, np.nan)
+    n = len(t)
+    # token stats via the Arrow core (same dictionary/bincount shapes as
+    # quality_annotations_batch); the alpha/stopword REGEX counts keep
+    # their original pandas semantics (stop_ratio is deliberately \b-regex
+    # over text here, unlike langid's token membership)
+    rows, codes, _flat, vocab_pa, lens = _arrow_token_core(
+        pa.Array.from_pandas(t))
+    n_words = pd.Series(lens, index=texts.index)
+    if len(codes):
+        vocab_len = pc.utf8_length(vocab_pa) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_chars = np.bincount(rows, weights=vocab_len[codes], minlength=n)
+        nv = len(vocab_pa)
+        distinct = np.bincount(np.unique(rows * nv + codes) // nv,
+                               minlength=n)
+    else:
+        tok_chars = np.zeros(n)
+        distinct = np.zeros(n, dtype=np.int64)
+    lens_nan = np.where(lens == 0, np.nan, lens)
+    mean_word_len = pd.Series(tok_chars / lens_nan, index=texts.index)
+    dup_frac = pd.Series(1.0 - distinct / lens_nan, index=texts.index)
     n_chars = t.str.len()
     alpha_ratio = t.str.count(_ALPHA_RE) / n_chars.replace(0, np.nan)
     stop_ratio = t.str.count(_STOP_RE) / n_words.replace(0, np.nan)
